@@ -1,0 +1,24 @@
+"""TPU-native recursive-utility asset-pricing solver library.
+
+Computes wealth-consumption ratios and stochastic discount factors for
+long-run-risk models (SSY, GCY) by solving the Koopmans fixed point
+
+    T(w) = 1 + beta * (H w^theta)^(1/theta)
+
+with autodiff-powered solvers, redesigned for TPU (JAX/XLA/Pallas/pjit).
+Capability parity target: jstac/sdfs_via_autodiff (see SURVEY.md).
+"""
+
+from . import config  # noqa: F401  (enables x64 support at import)
+
+from .models import SSY, GCY, ssy_loglinear_factory, gcy_loglinear_factory
+from .operators import (
+    SSYDiscretization, discretize_ssy, T_ssy_factory, dense_H_ssy,
+    GCYDiscretization, discretize_gcy, T_gcy_factory, dense_H_gcy,
+)
+from .solvers import (
+    SolveResult, solve, solver, successive_approx, newton_solver,
+    anderson_solver, gradient_solver,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,201 @@
+"""Discrete (Rouwenhorst tensor-grid) Koopmans operator for the GCY model.
+
+Six-state analogue of :mod:`.discrete_ssy`.  The reference broadcasts a
+12-axis product tensor (reference ``code/gcy/discrete/gcy_wc_ratio.py:
+134-238``); here ``H w^theta`` is a chain of six per-axis contractions.
+
+State order in w (reference loop oracle ``gcy_wc_ratio.py:296-298``):
+
+    w[i_z, i_z_pi, i_h_z, i_h_c, i_h_zpi, i_h_lam]
+
+Discretization structure (reference ``gcy_wc_ratio.py:31-131``):
+
+* independent Rouwenhorst chains for h_z, h_c, h_zpi, h_lam;
+* z_pi chains conditional on h_zpi: z_pi_states[i_h_zpi, i_z_pi];
+* z chains conditional on (z_pi, h_z, h_zpi) including the mean shift
+  rho_pi * z_pi: z_states[i_z_pi, i_h_z, i_h_zpi, i_z].
+
+All conditional chains share persistence, hence share one transition matrix
+each (``z_pi_P``, ``z_P``) — only the state ladders are scaled/shifted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gcy import GCY
+from ..ops.rouwenhorst import rouwenhorst, rouwenhorst_P, rouwenhorst_ladder
+
+__all__ = ["GCYDiscretization", "discretize_gcy", "T_gcy_factory",
+           "dense_H_gcy"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GCYDiscretization:
+    shapes: Tuple[int, int, int, int, int, int]   # (n_z, n_z_pi, n_h_z, n_h_c, n_h_zpi, n_h_lam)
+    h_z_states: jnp.ndarray
+    h_z_Q: jnp.ndarray
+    h_c_states: jnp.ndarray
+    h_c_Q: jnp.ndarray
+    h_zpi_states: jnp.ndarray
+    h_zpi_Q: jnp.ndarray
+    h_lam_states: jnp.ndarray
+    h_lam_Q: jnp.ndarray
+    z_pi_states: jnp.ndarray   # (n_h_zpi, n_z_pi)
+    z_pi_P: jnp.ndarray        # (n_z_pi, n_z_pi), shared over i_h_zpi
+    z_states: jnp.ndarray      # (n_z_pi, n_h_z, n_h_zpi, n_z)
+    z_P: jnp.ndarray           # (n_z, n_z), shared over conditioning states
+    sigma_z_states: jnp.ndarray
+    sigma_c_states: jnp.ndarray
+    sigma_zpi_states: jnp.ndarray
+
+    @property
+    def z_pi_Q(self) -> jnp.ndarray:
+        """(n_h_zpi, n_z_pi, n_z_pi) family (reference layout,
+        ``gcy_wc_ratio.py:93-100``)."""
+        n_h_zpi = self.shapes[4]
+        return jnp.broadcast_to(self.z_pi_P, (n_h_zpi,) + self.z_pi_P.shape)
+
+    @property
+    def z_Q(self) -> jnp.ndarray:
+        """(n_z_pi, n_h_z, n_h_zpi, n_z, n_z) family (reference layout,
+        ``gcy_wc_ratio.py:109-120``)."""
+        n_z, n_z_pi, n_h_z, _, n_h_zpi, _ = self.shapes
+        return jnp.broadcast_to(self.z_P,
+                                (n_z_pi, n_h_z, n_h_zpi) + self.z_P.shape)
+
+    def as_reference_tuple(self):
+        """The 15-tuple layout of reference ``gcy_wc_ratio.py:123-131``."""
+        return (self.z_states, self.z_Q,
+                self.z_pi_states, self.z_pi_Q,
+                self.h_z_states, self.h_z_Q, self.sigma_z_states,
+                self.h_c_states, self.h_c_Q, self.sigma_c_states,
+                self.h_zpi_states, self.h_zpi_Q, self.sigma_zpi_states,
+                self.h_lam_states, self.h_lam_Q)
+
+
+def discretize_gcy(model: GCY, shapes: Tuple[int, ...],
+                   dtype=jnp.float64) -> GCYDiscretization:
+    """Rouwenhorst discretization of the six GCY states (parity with
+    reference ``discretize_gcy``, ``gcy_wc_ratio.py:31-131``)."""
+    n_z, n_z_pi, n_h_z, n_h_c, n_h_zpi, n_h_lam = shapes
+    m = model
+
+    h_z_states, h_z_Q = rouwenhorst(n_h_z, m.rho_z, m.s_z)
+    h_c_states, h_c_Q = rouwenhorst(n_h_c, m.rho_c, m.s_c)
+    h_zpi_states, h_zpi_Q = rouwenhorst(n_h_zpi, m.rho_zpi, m.s_zpi)
+    h_lam_states, h_lam_Q = rouwenhorst(n_h_lam, m.rho_lam, m.s_lam)
+
+    sigma_z_states = m.phi_z * np.exp(h_z_states)
+    sigma_c_states = m.phi_c * np.exp(h_c_states)
+    sigma_zpi_states = m.phi_zpi * np.exp(h_zpi_states)
+
+    # z_pi' = rho_pipi*z_pi + sigma_zpi*eta: ladder scaled per h_zpi state.
+    zpi_ladder = rouwenhorst_ladder(n_z_pi, m.rho_pipi)
+    z_pi_states = sigma_zpi_states[:, None] * zpi_ladder[None, :]
+    z_pi_P = rouwenhorst_P(n_z_pi, m.rho_pipi)
+
+    # z' = rho*z + rho_pi*z_pi + sigma_z*eta: ladder scaled by sigma_z[i_h_z]
+    # and mean-shifted by rho_pi*z_pi/(1-rho) per (i_h_zpi, i_z_pi).
+    z_ladder = rouwenhorst_ladder(n_z, m.rho)
+    centers = (m.rho_pi / (1.0 - m.rho)) * z_pi_states      # (n_h_zpi, n_z_pi)
+    spread = sigma_z_states[:, None] * z_ladder[None, :]    # (n_h_z, n_z)
+    # target layout: (i_z_pi, i_h_z, i_h_zpi, i_z)
+    z_states = (centers.T[:, None, :, None] + spread[None, :, None, :])
+    z_P = rouwenhorst_P(n_z, m.rho)
+
+    cast = lambda a: jnp.asarray(a, dtype=dtype)
+    return GCYDiscretization(
+        shapes=tuple(shapes),
+        h_z_states=cast(h_z_states), h_z_Q=cast(h_z_Q),
+        h_c_states=cast(h_c_states), h_c_Q=cast(h_c_Q),
+        h_zpi_states=cast(h_zpi_states), h_zpi_Q=cast(h_zpi_Q),
+        h_lam_states=cast(h_lam_states), h_lam_Q=cast(h_lam_Q),
+        z_pi_states=cast(z_pi_states), z_pi_P=cast(z_pi_P),
+        z_states=cast(z_states), z_P=cast(z_P),
+        sigma_z_states=cast(sigma_z_states),
+        sigma_c_states=cast(sigma_c_states),
+        sigma_zpi_states=cast(sigma_zpi_states),
+    )
+
+
+def _gcy_factors(model: GCY, disc: GCYDiscretization):
+    theta, gamma = model.theta, model.gamma
+    # B_lam[i_h_lam, j_h_lam] = Q_lam * exp(theta * h_lam')
+    B_lam = disc.h_lam_Q * jnp.exp(theta * disc.h_lam_states)[None, :]
+    A2 = jnp.exp(0.5 * ((1 - gamma) * disc.sigma_c_states) ** 2)  # (i_h_c,)
+    # A3 over current (i_z, i_z_pi, i_h_z, i_h_zpi); z_states has layout
+    # (i_z_pi, i_h_z, i_h_zpi, i_z) -> move i_z to the front.
+    A3 = jnp.exp((1 - gamma) * (model.mu_c
+                                + jnp.transpose(disc.z_states, (3, 0, 1, 2))))
+    return B_lam, A2, A3
+
+
+def T_gcy_factory(model: GCY,
+                  disc: GCYDiscretization,
+                  *,
+                  space: str = "w",
+                  dtype=None,
+                  jit: bool = True) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Koopmans operator T for the discretized GCY model as a chain of six
+    per-axis contractions (replaces the 12-axis broadcast of reference
+    ``T_gcy``, ``gcy_wc_ratio.py:134-238``).
+
+    Axis labels in the einsums: a=z, b=z_pi, c=h_z, d=h_c, e=h_zpi,
+    l=h_lam; capital = next-period index.
+    """
+    if space not in ("w", "log"):
+        raise ValueError(f"unknown space {space!r}")
+    beta, theta = model.beta, model.theta
+    B_lam, A2, A3 = _gcy_factors(model, disc)
+    Qc, Qhz, Qhzpi = disc.h_c_Q, disc.h_z_Q, disc.h_zpi_Q
+    zpiP, zP = disc.z_pi_P, disc.z_P
+    if dtype is not None:
+        (B_lam, A2, A3, Qc, Qhz, Qhzpi, zpiP, zP) = (
+            a.astype(dtype)
+            for a in (B_lam, A2, A3, Qc, Qhz, Qhzpi, zpiP, zP))
+
+    def apply_H(v):
+        u = jnp.einsum("lL,ABCDEL->ABCDEl", B_lam, v)   # next-h_lam
+        u = jnp.einsum("dD,ABCDEl->ABCdEl", Qc, u)      # next-h_c
+        u = jnp.einsum("cC,ABCdEl->ABcdEl", Qhz, u)     # next-h_z
+        u = jnp.einsum("eE,ABcdEl->ABcdel", Qhzpi, u)   # next-h_zpi
+        u = jnp.einsum("bB,ABcdel->Abcdel", zpiP, u)    # next-z_pi
+        u = jnp.einsum("aA,Abcdel->abcdel", zP, u)      # next-z
+        return u
+
+    if space == "w":
+        def T(w):
+            u = apply_H(w ** theta)
+            hwt = (A2[None, None, None, :, None, None]
+                   * A3[:, :, :, None, :, None] * u)
+            return 1.0 + beta * hwt ** (1.0 / theta)
+    else:
+        log_A2 = jnp.log(A2)
+        log_A3 = jnp.log(A3)
+
+        def T(ell):
+            p = theta * ell
+            mx = jnp.max(p)
+            u = apply_H(jnp.exp(p - mx))
+            log_hwt = (mx + jnp.log(u)
+                       + log_A2[None, None, None, :, None, None]
+                       + log_A3[:, :, :, None, :, None])
+            return jnp.log1p(beta * jnp.exp(log_hwt / theta))
+
+    return jax.jit(T) if jit else T
+
+
+def dense_H_gcy(model: GCY, disc: GCYDiscretization) -> jnp.ndarray:
+    """Dense (N, N) single-index H for tiny grids (cross-check path)."""
+    B_lam, A2, A3 = _gcy_factors(model, disc)
+    H12 = jnp.einsum("aA,bB,cC,dD,eE,lL,d,abce->abcdelABCDEL",
+                     disc.z_P, disc.z_pi_P, disc.h_z_Q, disc.h_c_Q,
+                     disc.h_zpi_Q, B_lam, A2, A3)
+    n = int(np.prod(disc.shapes))
+    return H12.reshape(n, n)

@@ -1,0 +1,204 @@
+"""Discrete (Rouwenhorst tensor-grid) Koopmans operator for the SSY model.
+
+The reference implements ``T_ssy`` by broadcasting an 8-axis product tensor
+``H = A1*A2*A3*Q_lam*Q_c*Q_hz*z_Q`` and summing over the four next-state axes
+(reference ``code/ssy/discrete/ssy_wc_ratio.py:82-151``) — O(N^2) work and
+memory in the number of grid points N.  Because the transition kernel is a
+product of per-axis factors, ``H w^theta`` is here computed as a *chain of
+per-axis contractions* (skinny matmuls on the MXU): O(N * sum(n_axis)) FLOPs
+and O(N) memory.  This is the central TPU-first redesign; it is exact (same
+sum, reordered) and is validated against a loop oracle and a dense-H path in
+the tests.
+
+Two operator spaces are provided:
+
+* ``space="w"``: iterate on w directly (matches reference semantics; needs
+  float64 because w^theta ~ 1e-47 underflows float32 at theta ~ -16).
+* ``space="log"``: iterate on l = log(w); the contraction runs on
+  ``exp(theta*l - m)`` with a max-shift m, which keeps every intermediate in
+  comfortable float32 range — the fast TPU path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ssy import SSY
+from ..ops.rouwenhorst import rouwenhorst, rouwenhorst_P, rouwenhorst_ladder
+
+__all__ = ["SSYDiscretization", "discretize_ssy", "T_ssy_factory",
+           "dense_H_ssy"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SSYDiscretization:
+    """Discrete representation of the SSY state space.
+
+    Index convention (reference ``ssy_wc_ratio.py:31-39``):
+
+        h_lam[l], h_c[k], h_z[i], and z[i, j] — the z grid depends on the
+        current h_z index i through sigma_z = phi_z * exp(h_z[i]);
+        z_Q[i, j, jp] is the z transition matrix at volatility state i.
+
+    Because the Rouwenhorst transition matrix depends only on the
+    persistence, all slices z_Q[i] coincide; ``z_P`` stores that shared
+    matrix and the operator contracts against it directly.
+    """
+
+    shapes: Tuple[int, int, int, int]
+    h_lam_states: jnp.ndarray
+    h_lam_Q: jnp.ndarray
+    h_c_states: jnp.ndarray
+    h_c_Q: jnp.ndarray
+    h_z_states: jnp.ndarray
+    h_z_Q: jnp.ndarray
+    z_states: jnp.ndarray      # (n_h_z, n_z)
+    z_P: jnp.ndarray           # (n_z, n_z) shared across volatility states
+    sigma_c_states: jnp.ndarray
+    sigma_z_states: jnp.ndarray
+
+    @property
+    def z_Q(self) -> jnp.ndarray:
+        """Full (n_h_z, n_z, n_z) family, materialized on demand (parity
+        with the reference's return layout, ``ssy_wc_ratio.py:60-66``)."""
+        n_h_z = self.shapes[2]
+        return jnp.broadcast_to(self.z_P, (n_h_z,) + self.z_P.shape)
+
+    def as_reference_tuple(self):
+        """The 10-tuple layout the reference passes around
+        (``ssy_wc_ratio.py:73-79``)."""
+        return (self.h_lam_states, self.h_lam_Q,
+                self.h_c_states, self.h_c_Q,
+                self.h_z_states, self.h_z_Q,
+                self.z_states, self.z_Q,
+                self.sigma_c_states, self.sigma_z_states)
+
+
+def discretize_ssy(model: SSY, shapes: Tuple[int, int, int, int],
+                   dtype=jnp.float64) -> SSYDiscretization:
+    """Rouwenhorst discretization of the four SSY states.
+
+    Matches reference ``discretize_ssy`` (``ssy_wc_ratio.py:23-79``): one
+    chain per h process; for z, a volatility-dependent family of chains
+    z_states[i, :] = sigma_z[i] * ladder(rho) sharing one transition matrix.
+    Host-side float64 construction, cast to ``dtype`` on device.
+    """
+    n_h_lam, n_h_c, n_h_z, n_z = shapes
+    m = model
+
+    h_lam_states, h_lam_Q = rouwenhorst(n_h_lam, m.rho_lam, m.s_lam)
+    h_c_states, h_c_Q = rouwenhorst(n_h_c, m.rho_c, m.s_c)
+    h_z_states, h_z_Q = rouwenhorst(n_h_z, m.rho_z, m.s_z)
+
+    sigma_z_states = m.phi_z * np.exp(h_z_states)
+    sigma_c_states = m.phi_c * np.exp(h_c_states)
+
+    z_ladder = rouwenhorst_ladder(n_z, m.rho)
+    z_states = sigma_z_states[:, None] * z_ladder[None, :]
+    z_P = rouwenhorst_P(n_z, m.rho)
+
+    cast = lambda a: jnp.asarray(a, dtype=dtype)
+    return SSYDiscretization(
+        shapes=tuple(shapes),
+        h_lam_states=cast(h_lam_states), h_lam_Q=cast(h_lam_Q),
+        h_c_states=cast(h_c_states), h_c_Q=cast(h_c_Q),
+        h_z_states=cast(h_z_states), h_z_Q=cast(h_z_Q),
+        z_states=cast(z_states), z_P=cast(z_P),
+        sigma_c_states=cast(sigma_c_states),
+        sigma_z_states=cast(sigma_z_states),
+    )
+
+
+def _ssy_factors(model: SSY, disc: SSYDiscretization):
+    """Per-axis factors of H.  A1 folds into the h_lam transition matrix."""
+    theta = model.theta
+    gamma = model.gamma
+    # B_lam[l, lp] = Q_lam[l, lp] * exp(theta * h_lam[lp])
+    B_lam = disc.h_lam_Q * jnp.exp(theta * disc.h_lam_states)[None, :]
+    A2 = jnp.exp(0.5 * ((1 - gamma) * disc.sigma_c_states) ** 2)       # (k,)
+    A3 = jnp.exp((1 - gamma) * (model.mu_c + disc.z_states))           # (i, j)
+    return B_lam, A2, A3
+
+
+def _hw_theta_factored(v, B_lam, Qc, Qhz, zP, A2, A3):
+    """Chain of per-axis contractions: (H v)[l,k,i,j] for v = w^theta.
+
+    Each step is a dot_general the XLA TPU backend tiles onto the MXU;
+    intermediates stay O(N).
+    """
+    u = jnp.einsum("lm,mkij->lkij", B_lam, v)     # contract next-h_lam
+    u = jnp.einsum("km,lmij->lkij", Qc, u)        # contract next-h_c
+    u = jnp.einsum("im,lkmj->lkij", Qhz, u)       # contract next-h_z
+    u = jnp.einsum("jm,lkim->lkij", zP, u)        # contract next-z
+    return A2[None, :, None, None] * A3[None, None, :, :] * u
+
+
+def T_ssy_factory(model: SSY,
+                  disc: SSYDiscretization,
+                  *,
+                  space: str = "w",
+                  dtype=None,
+                  jit: bool = True) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build the Koopmans operator T for the discretized SSY model.
+
+    T(w) = 1 + beta * (H w^theta)^(1/theta) on the (l, k, i, j) tensor grid
+    (reference ``ssy_wc_ratio.py:143-148``), computed by factored per-axis
+    contractions.
+
+    space="w":   T maps w -> T(w)                  (float64 parity path)
+    space="log": T maps log w -> log T(w)          (float32-safe fast path)
+    """
+    if space not in ("w", "log"):
+        raise ValueError(f"unknown space {space!r}")
+    beta, theta = model.beta, model.theta
+    B_lam, A2, A3 = _ssy_factors(model, disc)
+    Qc, Qhz, zP = disc.h_c_Q, disc.h_z_Q, disc.z_P
+    if dtype is not None:
+        B_lam, A2, A3, Qc, Qhz, zP = (a.astype(dtype)
+                                      for a in (B_lam, A2, A3, Qc, Qhz, zP))
+
+    if space == "w":
+        def T(w):
+            v = w ** theta
+            hwt = _hw_theta_factored(v, B_lam, Qc, Qhz, zP, A2, A3)
+            return 1.0 + beta * hwt ** (1.0 / theta)
+    else:
+        log_A2 = jnp.log(A2)
+        log_A3 = jnp.log(A3)
+
+        def T(ell):
+            # v = exp(theta*ell - m); m = max(theta*ell) keeps v in (0, 1].
+            p = theta * ell
+            mx = jnp.max(p)
+            v = jnp.exp(p - mx)
+            u = jnp.einsum("lm,mkij->lkij", B_lam, v)
+            u = jnp.einsum("km,lmij->lkij", Qc, u)
+            u = jnp.einsum("im,lkmj->lkij", Qhz, u)
+            u = jnp.einsum("jm,lkim->lkij", zP, u)
+            log_hwt = (mx + jnp.log(u)
+                       + log_A2[None, :, None, None]
+                       + log_A3[None, None, :, :])
+            return jnp.log1p(beta * jnp.exp(log_hwt / theta))
+
+    return jax.jit(T) if jit else T
+
+
+def dense_H_ssy(model: SSY, disc: SSYDiscretization) -> jnp.ndarray:
+    """Materialize H as a dense (N, N) single-index matrix.
+
+    Only for small grids: validates the factored contraction against a plain
+    matmul ``1 + beta*(H @ w^theta)^(1/theta)`` (the reference keeps an
+    equivalent legacy path for exactly this purpose,
+    ``code/ssy/discrete/temp_ssy.py:49-159``).
+    """
+    B_lam, A2, A3 = _ssy_factors(model, disc)
+    H8 = jnp.einsum("lL,kK,iI,jJ,k,ij->lkijLKIJ",
+                    B_lam, disc.h_c_Q, disc.h_z_Q, disc.z_P, A2, A3)
+    n = int(np.prod(disc.shapes))
+    return H8.reshape(n, n)

@@ -1,0 +1,11 @@
+from .rouwenhorst import rouwenhorst, rouwenhorst_P, rouwenhorst_ladder, stationary_distribution
+from .quadrature import gauss_hermite_normal, tensor_quadrature_normal
+from .grids import build_grid_ssy, build_grid_gcy, flatten_mesh
+from .interp import lin_interp, multilinear_interp, uniform_grid_coords
+
+__all__ = [
+    "rouwenhorst", "rouwenhorst_P", "rouwenhorst_ladder", "stationary_distribution",
+    "gauss_hermite_normal", "tensor_quadrature_normal",
+    "build_grid_ssy", "build_grid_gcy", "flatten_mesh",
+    "lin_interp", "multilinear_interp", "uniform_grid_coords",
+]

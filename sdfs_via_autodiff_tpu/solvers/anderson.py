@@ -1,0 +1,133 @@
+"""Anderson acceleration, implemented natively (no jaxopt dependency).
+
+The reference wraps ``jaxopt.AndersonAcceleration`` with hard-coded
+hyperparameters (reference ``code/solvers.py:98-124``: mixing_frequency=4,
+history_size=10, beta=8.0, ridge=1e-6, jit+unroll).  jaxopt is unmaintained
+and absent from this environment, so this is a from-scratch Type-II AA:
+
+* residual/iterate histories live in fixed-size ring buffers on device;
+* the constrained least-squares  min ||sum_i a_i g_i||, sum a_i = 1  is
+  solved via ridge-regularized normal equations (an m x m solve, m ~ 10 —
+  trivially cheap relative to an operator application);
+* ``beta`` is the relaxation weight: x+ = (1-beta)*sum a_i x_i
+  + beta*sum a_i f_i (beta > 1 over-relaxes, as the reference's beta=8);
+* ``mixing_frequency`` applies the AA combination only every k-th
+  iteration, with plain fixed-point steps in between.
+
+The whole loop is one jitted ``lax.while_loop``; histories never leave the
+device, which also makes the solver work unchanged on sharded iterates
+(the m x m normal matrix is formed by reductions XLA turns into psums).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ._cache import cached_build
+from .fixed_point import DEFAULT_TOL
+from .result import SolveResult
+
+__all__ = ["anderson_solver"]
+
+
+def _solve_small_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for a small SPD matrix by unrolled Gauss–Jordan.
+
+    ``jnp.linalg.solve`` lowers to an LU decomposition that the TPU backend
+    does not implement for f64; the ridge-regularized Gram system here is
+    tiny (history_size ~ 10) and positive definite, so plain elimination
+    with diagonal pivots in basic arithmetic (accurate in emulated f64 on
+    TPU) is both portable and stable enough.
+    """
+    m = A.shape[0]
+    M = jnp.concatenate([A, b[:, None]], axis=1)
+    for i in range(m):
+        M = M / jnp.where(jnp.arange(m) == i, M[i, i], 1.0)[:, None]
+        row = M[i]
+        elim = jnp.where(jnp.arange(m)[:, None] == i, 0.0, M[:, i:i + 1])
+        M = M - elim * row[None, :]
+    return M[:, m]
+
+
+def anderson_solver(T: Callable,
+                    x0,
+                    tol: float = DEFAULT_TOL,
+                    max_iter: int = 10_000,
+                    *,
+                    history_size: int = 10,
+                    mixing_frequency: int = 4,
+                    beta: float = 8.0,
+                    ridge: float = 1e-6,
+                    warmup: int = 10,
+                    verbose: bool = False,
+                    jit: bool = True) -> SolveResult:
+    """Anderson-accelerated fixed point of T.
+
+    Defaults mirror the reference configuration (``code/solvers.py:104-113``)
+    plus its notebook practice of warm-starting with plain T iterations
+    (reference ``ssy_test_continuous.md:171-175``).
+    """
+    m = history_size
+    shape = x0.shape
+    dtype = jnp.result_type(x0)
+    n = x0.size
+
+    def flat_T(xf):
+        return T(xf.reshape(shape)).reshape(-1)
+
+    def aa_combination(X, F, fx):
+        """Solve the ridge normal equations over the m stored pairs."""
+        G = F - X                                   # residuals g_i, (m, n)
+        A = G @ G.T                                 # (m, m) Gram
+        scale = jnp.maximum(jnp.trace(A) / m, 1e-30)
+        A = A + ridge * scale * jnp.eye(m, dtype=dtype)
+        ones = jnp.ones((m,), dtype=dtype)
+        c = _solve_small_spd(A, ones)
+        alpha = c / jnp.sum(c)
+        x_plus = (1.0 - beta) * (alpha @ X) + beta * (alpha @ F)
+        # Guard: fall back to a plain step if the solve went non-finite.
+        bad = ~jnp.all(jnp.isfinite(x_plus))
+        return jnp.where(bad, fx, x_plus)
+
+    def run(x_init, tol, max_iter):
+        xf0 = x_init.reshape(-1)
+        X0 = jnp.zeros((m, n), dtype=dtype)
+        F0 = jnp.zeros((m, n), dtype=dtype)
+        big = jnp.asarray(jnp.inf, dtype=dtype)
+
+        def cond(state):
+            _, _, _, err, it = state
+            return (err > tol) & (it < max_iter) & ~jnp.isnan(err)
+
+        def body(state):
+            xf, X, F, err, it = state
+            fx = flat_T(xf)
+            err = jnp.max(jnp.abs(fx - xf))
+            if verbose:
+                jax.debug.print("iter = {it}, error = {err}", it=it, err=err,
+                                ordered=False)
+            slot = it % m
+            X = X.at[slot].set(xf)
+            F = F.at[slot].set(fx)
+            use_aa = (it >= warmup) & (it >= m) & (it % mixing_frequency == 0)
+            x_next = lax.cond(use_aa,
+                              lambda: aa_combination(X, F, fx),
+                              lambda: fx)
+            return x_next, X, F, err, it + 1
+
+        xf, _, _, err, it = lax.while_loop(
+            cond, body, (xf0, X0, F0, big, 0))
+        converged = (err <= tol) & ~jnp.isnan(err)
+        return SolveResult(x=xf.reshape(shape), iterations=it, residual=err,
+                           converged=converged)
+
+    if not jit:
+        return run(x0, tol, max_iter)
+    key = ("anderson", m, mixing_frequency, beta, ridge, warmup, verbose,
+           x0.shape)
+    fn = cached_build(T, key, lambda: jax.jit(run))
+    return fn(x0, jnp.asarray(tol, dtype), jnp.asarray(max_iter, jnp.int64))

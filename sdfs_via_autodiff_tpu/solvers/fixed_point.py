@@ -1,0 +1,150 @@
+"""Successive approximation and Newton–Kantorovich fixed-point solvers.
+
+TPU-first redesign of reference ``code/solvers.py:19-95``: the reference
+drives the iteration from a host ``while`` loop, paying a dispatch plus a
+device->host error readback every iteration (reference ``solvers.py:34-40``).
+Here the entire solve — operator applications, sup-norm error, iteration
+control, and for Newton the inner matrix-free Krylov solve — is a single
+jitted ``lax.while_loop`` that stays resident on the device.  Compiled loops
+are cached per operator (see ``_cache``), with tolerance and iteration cap
+as traced arguments, so repeated solves never re-compile.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ._cache import cached_build
+from .result import SolveResult
+
+DEFAULT_TOL = 1e-7          # reference code/solvers.py:16
+DEFAULT_MAX_ITER = 1_000_000  # reference code/solvers.py:17
+
+__all__ = ["successive_approx", "newton_solver", "DEFAULT_TOL",
+           "DEFAULT_MAX_ITER"]
+
+
+def _iterate(step: Callable, x0, tol, max_iter, *, verbose=False,
+             trace_len: int = 0) -> SolveResult:
+    """Run ``x <- step(x)`` until sup-norm convergence, on device.
+
+    The loop also stops on a NaN residual (divergence guard; the reference
+    checks NaNs only manually in notebooks, ``ssy_test_continuous.md:178``).
+    ``tol`` and ``max_iter`` may be traced values.
+    """
+    dtype = jnp.result_type(x0)
+    big = jnp.asarray(jnp.inf, dtype=dtype)
+    trace0 = jnp.full((trace_len,), jnp.nan, dtype=dtype) if trace_len else None
+
+    def cond(state):
+        _, err, it, _ = state
+        return (err > tol) & (it < max_iter) & ~jnp.isnan(err)
+
+    def body(state):
+        x, err, it, trace = state
+        x_new = step(x)
+        err = jnp.max(jnp.abs(x_new - x))
+        if verbose:
+            jax.debug.print(
+                "iter = {it}, error = {err}", it=it, err=err, ordered=False)
+        if trace is not None:
+            trace = trace.at[jnp.minimum(it, trace_len - 1)].set(err)
+        return x_new, err, it + 1, trace
+
+    x, err, it, trace = lax.while_loop(cond, body, (x0, big, 0, trace0))
+    converged = (err <= tol) & ~jnp.isnan(err)
+    return SolveResult(x=x, iterations=it, residual=err, converged=converged,
+                       error_trace=trace)
+
+
+def _run(step: Callable, cache_anchor: Callable, cache_key, x0, tol, max_iter,
+         *, verbose, trace_len, jit) -> SolveResult:
+    if not jit:
+        return _iterate(step, x0, tol, max_iter, verbose=verbose,
+                        trace_len=trace_len)
+    fn = cached_build(
+        cache_anchor, cache_key,
+        lambda: jax.jit(lambda x, t, mi: _iterate(
+            step, x, t, mi, verbose=verbose, trace_len=trace_len)))
+    return fn(x0, jnp.asarray(tol, jnp.result_type(x0)),
+              jnp.asarray(max_iter, jnp.int64))
+
+
+def successive_approx(T: Callable,
+                      x0,
+                      tol: float = DEFAULT_TOL,
+                      max_iter: int = DEFAULT_MAX_ITER,
+                      *,
+                      verbose: bool = False,
+                      trace_len: int = 0,
+                      jit: bool = True) -> SolveResult:
+    """Successive approximation x <- T(x) to a sup-norm fixed point.
+
+    Parity target: reference ``successive_approx`` (``code/solvers.py:
+    19-48``), minus the per-iteration host round-trip.
+    """
+    return _run(T, T, ("sa", verbose, trace_len), x0, tol, max_iter,
+                verbose=verbose, trace_len=trace_len, jit=jit)
+
+
+def newton_solver(T: Callable,
+                  x0,
+                  tol: float = DEFAULT_TOL,
+                  max_iter: int = DEFAULT_MAX_ITER,
+                  *,
+                  inner: str = "bicgstab",
+                  inner_tol: float = 1e-4,
+                  inner_maxiter: Optional[int] = None,
+                  verbose: bool = False,
+                  trace_len: int = 0,
+                  jit: bool = True) -> SolveResult:
+    """Newton–Kantorovich iteration for a fixed point of T.
+
+    Defines ``g(x) = T(x) - x`` and iterates the Newton map
+    ``q(x) = x - J(x)^{-1} g(x)`` to convergence, exactly the structure of
+    reference ``newton_solver`` (``code/solvers.py:51-95``): the Jacobian is
+    never materialized — ``jax.jvp`` provides the linear map ``v -> J(x) v``
+    (reference ``solvers.py:87``) fed to a matrix-free Krylov solver.
+
+    inner: "bicgstab" (reference default, ``solvers.py:91``), "gmres", or
+    "dense" (explicit ``jacfwd`` + LU solve; small grids on CPU only — TPU
+    lacks an f64 LU, and the reference measured the dense path to be slower
+    anyway, ``temp_ssy.py:198-226``).
+
+    Unlike the reference's fixed ``atol=1e-4`` (``solvers.py:55``) the inner
+    Krylov tolerance here is *relative* to ||g(x)|| (an inexact-Newton
+    forcing term): with an absolute tolerance, any iterate with
+    ||g(x)|| < atol makes the zero vector an acceptable Krylov solution, the
+    Newton step collapses to zero, and the outer loop reports convergence at
+    a spurious point.
+    """
+    g = lambda x: T(x) - x
+
+    if inner == "dense":
+        def q(x):
+            flat = x.reshape(-1)
+            shape = x.shape
+            gf = lambda v: g(v.reshape(shape)).reshape(-1)
+            J = jax.jacfwd(gf)(flat)
+            return x - jnp.linalg.solve(J, gf(flat)).reshape(shape)
+    elif inner in ("bicgstab", "gmres"):
+        krylov = (jax.scipy.sparse.linalg.bicgstab if inner == "bicgstab"
+                  else jax.scipy.sparse.linalg.gmres)
+        kw = {} if inner_maxiter is None else {"maxiter": inner_maxiter}
+
+        def q(x):
+            jac_prod = lambda v: jax.jvp(g, (x,), (v,))[1]
+            gx = g(x)
+            atol = inner_tol * jnp.linalg.norm(gx.reshape(-1))
+            b, _ = krylov(jac_prod, gx, atol=atol, **kw)
+            return x - b
+    else:
+        raise ValueError(f"unknown inner solver {inner!r}")
+
+    key = ("newton", inner, inner_tol, inner_maxiter, verbose, trace_len)
+    return _run(q, T, key, x0, tol, max_iter, verbose=verbose,
+                trace_len=trace_len, jit=jit)

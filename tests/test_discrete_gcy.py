@@ -1,0 +1,84 @@
+"""Discrete GCY operator: oracle, dense-H, log-space, and end-to-end tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import (
+    GCY, T_gcy_factory, dense_H_gcy, discretize_gcy, solve)
+from oracles import T_gcy_oracle
+
+# (n_z, n_z_pi, n_h_z, n_h_c, n_h_zpi, n_h_lam) — tiny for the oracle.
+SHAPES = (3, 2, 2, 3, 2, 2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = GCY()
+    disc = discretize_gcy(model, SHAPES)
+    return model, disc
+
+
+def test_discretization_layout(setup):
+    model, disc = setup
+    n_z, n_z_pi, n_h_z, n_h_c, n_h_zpi, n_h_lam = SHAPES
+    assert disc.z_pi_states.shape == (n_h_zpi, n_z_pi)
+    assert disc.z_states.shape == (n_z_pi, n_h_z, n_h_zpi, n_z)
+    arrays = disc.as_reference_tuple()
+    assert len(arrays) == 15
+    assert arrays[1].shape == (n_z_pi, n_h_z, n_h_zpi, n_z, n_z)  # z_Q
+    assert arrays[3].shape == (n_h_zpi, n_z_pi, n_z_pi)           # z_pi_Q
+    # z grid centers shift with rho_pi * z_pi / (1 - rho).
+    centers = np.asarray(disc.z_states).mean(axis=-1)
+    expected = (model.rho_pi / (1 - model.rho)) * np.asarray(disc.z_pi_states).T[:, None, :]
+    np.testing.assert_allclose(centers, np.broadcast_to(expected, centers.shape),
+                               atol=1e-12)
+
+
+def test_factored_matches_loop_oracle(setup, rng):
+    model, disc = setup
+    T = T_gcy_factory(model, disc)
+    w = jnp.asarray(np.exp(rng.standard_normal(SHAPES)))
+    np.testing.assert_allclose(np.asarray(T(w)),
+                               T_gcy_oracle(w, model, disc), rtol=1e-10)
+
+
+def test_factored_matches_dense_H(setup, rng):
+    model, disc = setup
+    T = T_gcy_factory(model, disc)
+    H = dense_H_gcy(model, disc)
+    theta, beta = model.theta, model.beta
+    w = jnp.asarray(np.exp(rng.standard_normal(SHAPES)))
+    via_dense = 1 + beta * (H @ (w.reshape(-1) ** theta)) ** (1 / theta)
+    np.testing.assert_allclose(np.asarray(T(w)).ravel(),
+                               np.asarray(via_dense), rtol=1e-10)
+
+
+def test_log_space_consistent(setup, rng):
+    model, disc = setup
+    T = T_gcy_factory(model, disc)
+    T_log = T_gcy_factory(model, disc, space="log")
+    w = jnp.asarray(np.exp(rng.standard_normal(SHAPES))) * 500
+    np.testing.assert_allclose(np.exp(np.asarray(T_log(jnp.log(w)))),
+                               np.asarray(T(w)), rtol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["successive_approx", "newton", "anderson"])
+def test_end_to_end_solve(setup, method):
+    model, disc = setup
+    T = T_gcy_factory(model, disc)
+    w0 = jnp.full(SHAPES, 800.0)   # reference init, gcy_wc_ratio.py:336-337
+    res = solve(T, w0, method=method, tol=1e-7)
+    assert bool(res.converged), f"{method} did not converge: {res}"
+    np.testing.assert_allclose(np.asarray(T(res.x)), np.asarray(res.x),
+                               atol=2e-7)
+
+
+def test_solvers_agree(setup):
+    model, disc = setup
+    T = T_gcy_factory(model, disc)
+    w0 = jnp.full(SHAPES, 800.0)
+    w_succ = solve(T, w0, method="successive_approx", tol=1e-10).x
+    w_newt = solve(T, w0, method="newton", tol=1e-10).x
+    np.testing.assert_allclose(np.asarray(w_succ), np.asarray(w_newt),
+                               atol=1e-7)

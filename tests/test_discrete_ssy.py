@@ -1,0 +1,112 @@
+"""Discrete SSY operator: oracle, dense-H, log-space, and end-to-end tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import (
+    SSY, T_ssy_factory, dense_H_ssy, discretize_ssy, solve)
+from oracles import T_ssy_oracle
+
+SHAPES = (4, 3, 5, 6)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SSY()
+    disc = discretize_ssy(model, SHAPES)
+    return model, disc
+
+
+def test_factored_matches_loop_oracle(setup, rng):
+    model, disc = setup
+    T = T_ssy_factory(model, disc)
+    w = jnp.asarray(np.exp(rng.standard_normal(SHAPES)))
+    np.testing.assert_allclose(np.asarray(T(w)),
+                               T_ssy_oracle(w, model, disc), rtol=1e-10)
+
+
+def test_factored_matches_dense_H(setup, rng):
+    model, disc = setup
+    T = T_ssy_factory(model, disc)
+    H = dense_H_ssy(model, disc)
+    theta, beta = model.theta, model.beta
+    w = jnp.asarray(np.exp(rng.standard_normal(SHAPES)))
+    via_dense = 1 + beta * (H @ (w.reshape(-1) ** theta)) ** (1 / theta)
+    np.testing.assert_allclose(np.asarray(T(w)).ravel(),
+                               np.asarray(via_dense), rtol=1e-10)
+
+
+def test_log_space_consistent(setup, rng):
+    model, disc = setup
+    T = T_ssy_factory(model, disc)
+    T_log = T_ssy_factory(model, disc, space="log")
+    w = jnp.asarray(np.exp(rng.standard_normal(SHAPES))) * 500
+    np.testing.assert_allclose(np.exp(np.asarray(T_log(jnp.log(w)))),
+                               np.asarray(T(w)), rtol=1e-12)
+
+
+def test_operator_is_monotone(setup, rng):
+    # T is order-preserving (Koopmans operators are monotone).
+    model, disc = setup
+    T = T_ssy_factory(model, disc)
+    w = jnp.asarray(np.exp(rng.standard_normal(SHAPES))) + 1.0
+    bigger = w + 0.5
+    assert np.all(np.asarray(T(bigger)) >= np.asarray(T(w)) - 1e-12)
+
+
+def test_spectral_condition(setup):
+    # Existence/uniqueness requires r(H)^(1/theta) < 1 at the default
+    # calibration (Stachurski–Zhang; SURVEY.md §0).
+    model, disc = setup
+    H = np.asarray(dense_H_ssy(model, disc))
+    r = np.max(np.abs(np.linalg.eigvals(H)))
+    assert model.beta * r ** (1 / model.theta) < 1
+
+
+@pytest.mark.parametrize("method,kwargs", [
+    ("successive_approx", {}),
+    ("newton", {}),
+    ("newton", {"inner": "dense"}),
+    ("anderson", {}),
+])
+def test_end_to_end_solve(setup, method, kwargs):
+    model, disc = setup
+    T = T_ssy_factory(model, disc)
+    w0 = jnp.full(SHAPES, 800.0)   # reference init, ssy_wc_ratio.py:233-234
+    res = solve(T, w0, method=method, tol=1e-7, **kwargs)
+    assert bool(res.converged), f"{method} did not converge: {res}"
+    # Fixed point property, independent of solver path.
+    np.testing.assert_allclose(np.asarray(T(res.x)), np.asarray(res.x),
+                               atol=2e-7)
+
+
+def test_solvers_agree(setup):
+    model, disc = setup
+    T = T_ssy_factory(model, disc)
+    w0 = jnp.full(SHAPES, 800.0)
+    w_succ = solve(T, w0, method="successive_approx", tol=1e-10).x
+    w_newt = solve(T, w0, method="newton", tol=1e-10).x
+    np.testing.assert_allclose(np.asarray(w_succ), np.asarray(w_newt),
+                               atol=1e-7)
+
+
+def test_log_space_solve_matches_w_space(setup):
+    model, disc = setup
+    T = T_ssy_factory(model, disc)
+    T_log = T_ssy_factory(model, disc, space="log")
+    w0 = jnp.full(SHAPES, 800.0)
+    w_star = solve(T, w0, method="newton", tol=1e-10).x
+    ell_star = solve(T_log, jnp.log(w0), method="newton", tol=1e-12).x
+    np.testing.assert_allclose(np.exp(np.asarray(ell_star)),
+                               np.asarray(w_star), atol=1e-6)
+
+
+def test_reference_tuple_layout(setup):
+    model, disc = setup
+    arrays = disc.as_reference_tuple()
+    assert len(arrays) == 10
+    n_l, n_k, n_i, n_j = SHAPES
+    assert arrays[6].shape == (n_i, n_j)           # z_states
+    assert arrays[7].shape == (n_i, n_j, n_j)      # z_Q family
+    np.testing.assert_allclose(np.asarray(arrays[7]).sum(-1), 1.0, rtol=1e-12)

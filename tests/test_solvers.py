@@ -1,0 +1,121 @@
+"""Solver unit tests on analytically-solvable fixed-point problems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu.solvers import (
+    SolveResult, anderson_solver, gradient_solver, newton_solver, solve,
+    solver, successive_approx)
+
+# Affine contraction T(x) = A x + b with ||A|| < 1: unique fixed point
+# x* = (I - A)^{-1} b.
+A = jnp.asarray(np.array([[0.5, 0.2], [0.1, 0.6]]))
+B = jnp.asarray(np.array([1.0, 2.0]))
+X_STAR = jnp.linalg.solve(jnp.eye(2) - A, B)
+
+
+def affine(x):
+    return A @ x + B
+
+
+def test_successive_approx():
+    res = successive_approx(affine, jnp.zeros(2), tol=1e-12)
+    assert isinstance(res, SolveResult)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(X_STAR),
+                               atol=1e-10)
+    assert int(res.iterations) > 10   # plain iteration is slow
+
+
+def test_newton_one_shot_on_affine():
+    # Newton solves an affine problem in a single outer iteration.
+    res = newton_solver(affine, jnp.zeros(2), tol=1e-10)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(X_STAR),
+                               atol=1e-8)
+
+
+@pytest.mark.parametrize("inner", ["bicgstab", "gmres", "dense"])
+def test_newton_inner_variants(inner):
+    res = newton_solver(affine, jnp.zeros(2), tol=1e-10, inner=inner)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(X_STAR),
+                               atol=1e-8)
+
+
+def test_newton_nonlinear():
+    # Scalar-ish nonlinear map: T(x) = sqrt(2 + x) elementwise, fixed point 2.
+    T = lambda x: jnp.sqrt(2.0 + x)
+    res = newton_solver(T, jnp.full(3, 10.0), tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 2.0, atol=1e-10)
+
+
+def test_anderson():
+    res = anderson_solver(affine, jnp.zeros(2), tol=1e-10, beta=1.0,
+                          warmup=2, history_size=4, mixing_frequency=1)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(X_STAR),
+                               atol=1e-8)
+    # AA on an affine problem should beat plain iteration decisively.
+    plain = successive_approx(affine, jnp.zeros(2), tol=1e-10)
+    assert int(res.iterations) < int(plain.iterations)
+
+
+def test_gradient_solver():
+    res = gradient_solver(affine, jnp.zeros(2), tol=1e-6, max_iter=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(X_STAR),
+                               atol=1e-4)
+
+
+def test_nan_guard_stops():
+    def diverge(x):
+        return x * jnp.nan
+
+    res = successive_approx(diverge, jnp.ones(2), tol=1e-10, max_iter=100)
+    assert not bool(res.converged)
+    assert int(res.iterations) < 100   # stopped early on NaN, not max_iter
+
+
+def test_max_iter_cap():
+    slow = lambda x: 0.99999 * x + 0.1
+    res = successive_approx(slow, jnp.zeros(2), tol=1e-14, max_iter=50)
+    assert not bool(res.converged)
+    assert int(res.iterations) == 50
+
+
+def test_trace_recording():
+    res = successive_approx(affine, jnp.zeros(2), tol=1e-10, trace_len=16)
+    t = np.asarray(res.error_trace)
+    assert t.shape == (16,)
+    valid = t[~np.isnan(t)]
+    assert len(valid) >= 5
+    assert np.all(np.diff(valid[:5]) < 0)   # contraction: decreasing errors
+
+
+def test_solve_front_end_unknown_method():
+    with pytest.raises(ValueError):
+        solve(affine, jnp.zeros(2), method="nope")
+
+
+def test_reference_compat_solver_shim():
+    # Unknown algorithm falls back to successive approximation with a
+    # warning (reference code/solvers.py:164-171) and returns the array.
+    with pytest.warns(UserWarning):
+        x = solver(affine, jnp.zeros(2), algorithm="definitely_not_a_solver",
+                   verbose=False)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(X_STAR), atol=1e-6)
+
+
+def test_jvp_through_operator():
+    # Autodiff differentiates straight through a solver-facing closure —
+    # the contract the reference's Newton relies on (solvers.py:87).
+    g = lambda x: affine(x) - x
+    v = jnp.asarray([1.0, -1.0])
+    _, jv = jax.jvp(g, (jnp.zeros(2),), (v,))
+    np.testing.assert_allclose(np.asarray(jv), np.asarray((A - jnp.eye(2)) @ v),
+                               atol=1e-12)
