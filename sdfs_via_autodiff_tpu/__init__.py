@@ -15,7 +15,14 @@ from .models import SSY, GCY, ssy_loglinear_factory, gcy_loglinear_factory
 from .operators import (
     SSYDiscretization, discretize_ssy, T_ssy_factory, dense_H_ssy,
     GCYDiscretization, discretize_gcy, T_gcy_factory, dense_H_gcy,
+    next_state_ssy, T_ssy_continuous_factory,
+    next_state_gcy, T_gcy_continuous_factory,
 )
+from .ops import build_grid_ssy, build_grid_gcy
+from .drivers import WCSolution, wc_ratio_discrete, wc_ratio_continuous
+from .sdf import (construct_wstar_callable, simulate_states,
+                  simulated_w_moments, sdf_factory_ssy)
+from .utils import save_solution, load_solution
 from .solvers import (
     SolveResult, solve, solver, successive_approx, newton_solver,
     anderson_solver, gradient_solver,

@@ -1,0 +1,136 @@
+"""Command-line interface.
+
+The reference has no CLI (driving happens from notebooks — SURVEY.md §5
+config section); this exposes the end-to-end drivers:
+
+    sdfs-tpu solve ssy --kind discrete --shapes 10,10,10,10 --algorithm newton
+    sdfs-tpu solve gcy --kind continuous --shapes 4,4,4,4,6,4 --checkpoint out.npz
+    sdfs-tpu simulate ssy --checkpoint out.npz --steps 1000000
+    sdfs-tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _model(name: str):
+    from .models.gcy import GCY
+    from .models.ssy import SSY
+    if name == "ssy":
+        return SSY()
+    if name == "gcy":
+        return GCY()
+    raise SystemExit(f"unknown model {name!r} (want ssy|gcy)")
+
+
+def _parse_shapes(s: str):
+    return tuple(int(x) for x in s.split(","))
+
+
+def cmd_solve(args):
+    from .drivers import wc_ratio_continuous, wc_ratio_discrete
+
+    model = _model(args.model)
+    shapes = _parse_shapes(args.shapes)
+    want = 4 if args.model == "ssy" else 6
+    if len(shapes) != want:
+        raise SystemExit(
+            f"--shapes for {args.model} needs {want} comma-separated sizes "
+            f"(got {len(shapes)}: {args.shapes})")
+    t0 = time.time()
+    if args.kind == "discrete":
+        sol = wc_ratio_discrete(
+            model, shapes, algorithm=args.algorithm, tol=args.tol,
+            space=args.space, checkpoint_path=args.checkpoint)
+    else:
+        sol = wc_ratio_continuous(
+            model, shapes, algorithm=args.algorithm, tol=args.tol,
+            space=args.space, method=args.method, interp=args.interp,
+            quad_degree=args.quad_degree, num_std_devs=args.num_std_devs,
+            checkpoint_path=args.checkpoint)
+    wall = time.time() - t0
+    out = dict(model=args.model, kind=args.kind, shapes=list(shapes),
+               algorithm=args.algorithm,
+               iterations=int(sol.result.iterations),
+               residual=float(sol.result.residual),
+               converged=bool(sol.converged),
+               w_min=float(sol.w_star.min()), w_max=float(sol.w_star.max()),
+               w_mean=float(sol.w_star.mean()), seconds=round(wall, 3))
+    print(json.dumps(out))
+    return 0 if sol.converged else 2
+
+
+def cmd_simulate(args):
+    from .sdf.simulate import simulated_w_moments
+    from .sdf.wstar import construct_wstar_callable
+    from .utils.checkpoint import load_solution
+
+    ckpt = load_solution(args.checkpoint)
+    model = _model(ckpt.model_name.lower())
+    f = construct_wstar_callable(datafile=args.checkpoint)
+    mean, std = simulated_w_moments(model, f, num_steps=args.steps,
+                                    seed=args.seed)
+    print(json.dumps(dict(model=ckpt.model_name, steps=args.steps,
+                          w_mean=round(mean, 4), w_std=round(std, 4))))
+    return 0
+
+
+def cmd_info(_args):
+    import jax
+
+    from . import __version__
+    print(json.dumps(dict(
+        version=__version__,
+        backend=jax.default_backend(),
+        devices=[str(d) for d in jax.devices()],
+        x64_enabled=bool(jax.config.jax_enable_x64),
+    )))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="sdfs-tpu",
+        description="TPU-native wealth-consumption / SDF solver (SSY, GCY)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("solve", help="solve for the W/C ratio fixed point")
+    ps.add_argument("model", choices=["ssy", "gcy"])
+    ps.add_argument("--kind", choices=["discrete", "continuous"],
+                    default="discrete")
+    ps.add_argument("--shapes", required=True,
+                    help="comma-separated grid sizes, e.g. 10,10,10,10")
+    ps.add_argument("--algorithm", default="newton",
+                    choices=["newton", "anderson", "successive_approx", "gd"])
+    ps.add_argument("--tol", type=float, default=1e-7)
+    ps.add_argument("--space", choices=["w", "log"], default=None)
+    ps.add_argument("--method", choices=["quadrature", "monte_carlo"],
+                    default="quadrature")
+    ps.add_argument("--interp", choices=["pre", "post", "loglin"],
+                    default="pre")
+    ps.add_argument("--quad-degree", type=int, default=5)
+    ps.add_argument("--num-std-devs", type=float, default=3.2)
+    ps.add_argument("--checkpoint", default=None)
+    ps.set_defaults(fn=cmd_solve)
+
+    pm = sub.add_parser("simulate",
+                        help="simulated moments of w* from a checkpoint")
+    pm.add_argument("model", choices=["ssy", "gcy"])
+    pm.add_argument("--checkpoint", required=True)
+    pm.add_argument("--steps", type=int, default=1_000_000)
+    pm.add_argument("--seed", type=int, default=1234)
+    pm.set_defaults(fn=cmd_simulate)
+
+    pi = sub.add_parser("info", help="backend / version info")
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,163 @@
+"""High-level drivers: model -> grids -> operator -> solver -> checkpoint.
+
+End-to-end parity with the reference drivers ``wc_ratio_continuous``
+(``ssy_wc_ratio_continuous.py:229-297``, ``gcy_wc_ratio_continuous.py:
+264-335``) and the discrete test drivers (``ssy_wc_ratio.py:216-240``,
+``gcy_wc_ratio.py:319-340``), with a structured result instead of prints,
+checkpointing via :mod:`.utils.checkpoint`, and a log-space default for the
+iterate: solving on ell = log w enforces w > 0 (Newton in w space can step
+to negative w, where w^theta is undefined), is required on TPU (w^theta
+underflows the f32 exponent range there), and reproduces the w-space fixed
+point to ~1e-12 relative.  Pass ``space="w"`` for strict reference
+semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .models.gcy import GCY
+from .models.ssy import SSY
+from .operators.continuous_gcy import T_gcy_continuous_factory, build_grid_gcy
+from .operators.continuous_ssy import T_ssy_continuous_factory, build_grid_ssy
+from .operators.discrete_gcy import T_gcy_factory, discretize_gcy
+from .operators.discrete_ssy import T_ssy_factory, discretize_ssy
+from .solvers import SolveResult, solve
+from .utils.checkpoint import save_solution
+
+__all__ = ["WCSolution", "wc_ratio_discrete", "wc_ratio_continuous"]
+
+DEFAULT_INIT_W = 800.0   # reference w_init, ssy_wc_ratio.py:233
+
+
+@dataclasses.dataclass
+class WCSolution:
+    """Wealth-consumption-ratio solve output: w* plus how we got it."""
+    w_star: jnp.ndarray
+    grids: Optional[Tuple[jnp.ndarray, ...]]
+    result: SolveResult
+    space: str
+
+    @property
+    def converged(self) -> bool:
+        return bool(self.result.converged)
+
+
+def _auto_space() -> str:
+    # Log space is the robust default everywhere (see module docstring);
+    # this hook exists so the policy is overridable in one place.
+    return "log"
+
+
+def _run_solver(T, w0, space, algorithm, tol, solver_opts) -> WCSolution:
+    if space == "log":
+        x0 = jnp.log(w0)
+        res = solve(T, x0, method=algorithm, tol=tol, **solver_opts)
+        w_star = jnp.exp(res.x)
+    else:
+        res = solve(T, w0, method=algorithm, tol=tol, **solver_opts)
+        w_star = res.x
+    return WCSolution(w_star=w_star, grids=None, result=res, space=space)
+
+
+def wc_ratio_discrete(model,
+                      shapes: Sequence[int],
+                      *,
+                      algorithm: str = "newton",
+                      tol: float = 1e-7,
+                      space: Optional[str] = None,
+                      w_init=None,
+                      dtype=None,
+                      checkpoint_path: Optional[str] = None,
+                      **solver_opts) -> WCSolution:
+    """Solve the discretized (Rouwenhorst tensor-grid) model.
+
+    Parity: reference ``test_compute_wc_ratio_ssy`` / ``..._gcy``
+    (``ssy_wc_ratio.py:216-240``, ``gcy_wc_ratio.py:319-340``).
+    """
+    space = space or _auto_space()
+    if isinstance(model, SSY):
+        disc = discretize_ssy(model, tuple(shapes),
+                              dtype=dtype or jnp.float64)
+        T = T_ssy_factory(model, disc, space=space, dtype=dtype)
+    elif isinstance(model, GCY):
+        disc = discretize_gcy(model, tuple(shapes),
+                              dtype=dtype or jnp.float64)
+        T = T_gcy_factory(model, disc, space=space, dtype=dtype)
+    else:
+        raise TypeError(f"unsupported model {type(model).__name__}")
+
+    w0 = (jnp.full(tuple(shapes), DEFAULT_INIT_W, dtype=dtype or jnp.float64)
+          if w_init is None else jnp.asarray(w_init))
+    sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
+    if checkpoint_path:
+        save_solution(checkpoint_path, model, (), sol.w_star,
+                      meta=dict(kind="discrete", shapes=list(shapes),
+                                algorithm=algorithm, tol=tol, space=space,
+                                iterations=int(sol.result.iterations),
+                                residual=float(sol.result.residual)))
+    return sol
+
+
+def wc_ratio_continuous(model,
+                        grid_sizes: Sequence[int],
+                        *,
+                        num_std_devs: float = 3.2,
+                        method: str = "quadrature",
+                        interp: str = "pre",
+                        quad_degree: int = 5,
+                        mc_draw_size: int = 2000,
+                        seed: int = 1234,
+                        algorithm: str = "newton",
+                        tol: float = 1e-7,
+                        space: Optional[str] = None,
+                        w_init=None,
+                        batch_size: Optional[int] = None,
+                        dtype=None,
+                        checkpoint_path: Optional[str] = None,
+                        **solver_opts) -> WCSolution:
+    """Solve the continuous-state model on interpolation grids.
+
+    Parity: reference ``wc_ratio_continuous``
+    (``ssy_wc_ratio_continuous.py:229-297``); grid bounds via
+    ``num_std_devs`` stationary standard deviations, Gauss-Hermite degree
+    ``quad_degree`` per dimension or ``mc_draw_size`` Monte Carlo draws,
+    initial guess all-ones (reference :243-245) unless ``w_init`` given.
+    """
+    space = space or _auto_space()
+    gdtype = dtype or jnp.float64
+    if isinstance(model, SSY):
+        grids = build_grid_ssy(model, *grid_sizes, num_std_devs=num_std_devs,
+                               dtype=gdtype)
+        T = T_ssy_continuous_factory(
+            model, grids, method=method, interp=interp, space=space,
+            quad_degree=quad_degree, mc_draw_size=mc_draw_size, seed=seed,
+            batch_size=batch_size, dtype=dtype)
+    elif isinstance(model, GCY):
+        grids = build_grid_gcy(model, *grid_sizes, num_std_devs=num_std_devs,
+                               dtype=gdtype)
+        T = T_gcy_continuous_factory(
+            model, grids, method=method, interp=interp, space=space,
+            quad_degree=quad_degree, mc_draw_size=mc_draw_size, seed=seed,
+            batch_size=batch_size, dtype=dtype)
+    else:
+        raise TypeError(f"unsupported model {type(model).__name__}")
+
+    shape = tuple(len(g) for g in grids)
+    w0 = (jnp.ones(shape, dtype=gdtype) if w_init is None
+          else jnp.asarray(w_init))
+    sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
+    sol = dataclasses.replace(sol, grids=tuple(grids))
+    if checkpoint_path:
+        save_solution(checkpoint_path, model, grids, sol.w_star,
+                      meta=dict(kind="continuous", method=method,
+                                interp=interp, quad_degree=quad_degree,
+                                num_std_devs=num_std_devs,
+                                algorithm=algorithm, tol=tol, space=space,
+                                iterations=int(sol.result.iterations),
+                                residual=float(sol.result.residual)))
+    return sol

@@ -1,0 +1,163 @@
+"""Continuous-state Koopmans operator for the SSY model.
+
+State grids (h_lam, h_c, h_z, z) with multilinear interpolation of w.
+Parity targets: reference ``code/ssy/continuous_junnan/
+ssy_wc_ratio_continuous.py`` — ``next_state`` (:63-83), the vmapped MC and
+quadrature kernels ``Kg_vmap_mc``/``Kg_vmap_quad`` (:90-153), and the
+batched operator factory ``T_fun_factory`` (:156-226).
+
+Interpolation spaces (``interp``):
+
+* ``"post"``  — interpolate w, then raise to theta (the reference's
+  semantics, ``ssy_wc_ratio_continuous.py:111,146``): gather path.
+* ``"pre"``   — interpolate g = w^theta: the tensor-product quadrature
+  expectation then *factorizes* into per-axis contraction matrices (see
+  :mod:`.continuous_common`) — the fast TPU path, matmuls instead of
+  gathers.  Agrees with "post" in the fine-grid limit.
+* ``"loglin"``— interpolate log w, then exponentiate (the reference's
+  log-interpolation experiment, ``test_newton.md:69-154``).
+
+``space="log"`` (iterate on log w) is available for every variant and is
+required on TPU, where w^theta underflows the f32 exponent range.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models.ssy import SSY
+from ..ops.grids import build_grid_ssy
+from ..ops.quadrature import gauss_hermite_normal, tensor_quadrature_normal
+from .continuous_common import expectation_matrix, make_gather_T
+
+__all__ = ["next_state_ssy", "T_ssy_continuous_factory", "build_grid_ssy"]
+
+
+def next_state_ssy(model: SSY, x: jnp.ndarray, shocks: jnp.ndarray) -> jnp.ndarray:
+    """One step of the four SSY state processes.
+
+    ``x`` has leading axis (h_lam, h_c, h_z, z); ``shocks`` is (4, N) (or
+    broadcastable).  Parity: reference ``next_state``
+    (``ssy_wc_ratio_continuous.py:63-83``).
+    """
+    m = model
+    h_lam, h_c, h_z, z = x[0], x[1], x[2], x[3]
+    sigma_z = m.phi_z * jnp.exp(h_z)
+    return jnp.stack([
+        m.rho_lam * h_lam + m.s_lam * shocks[0],
+        m.rho_c * h_c + m.s_c * shocks[1],
+        m.rho_z * h_z + m.s_z * shocks[2],
+        m.rho * z + sigma_z * shocks[3],
+    ])
+
+
+def _log_kappa_ssy(model: SSY, h_c, z):
+    """log kappa(h_c, z) = (1-gamma)(mu_c+z) + (1/2)(1-gamma)^2 sigma_c^2,
+    sigma_c = phi_c*exp(h_c) (reference ``ssy_wc_ratio_continuous.py:
+    102-103``)."""
+    sigma_c = model.phi_c * jnp.exp(h_c)
+    return ((1 - model.gamma) * (model.mu_c + z)
+            + 0.5 * (1 - model.gamma) ** 2 * sigma_c ** 2)
+
+
+def _factored_T(model, grids, degree, space, dtype):
+    """Factored per-axis contraction operator (quadrature + interp="pre").
+
+    Per-dimension expectation matrices from 1-D Gauss-Hermite rules —
+    exactly equivalent to the tensor-product rule by separability of the
+    multilinear basis.  Axis labels: l=h_lam, k=h_c, i=h_z, j=z.
+    """
+    beta, theta = model.beta, model.theta
+    m = model
+    h_lam_grid, h_c_grid, h_z_grid, z_grid = grids
+    eta, omega = map(jnp.asarray, gauss_hermite_normal(degree))
+
+    P_lam = expectation_matrix(h_lam_grid, m.rho_lam * h_lam_grid, m.s_lam,
+                               eta, omega,
+                               payoff=lambda xn: jnp.exp(theta * xn))
+    P_c = expectation_matrix(h_c_grid, m.rho_c * h_c_grid, m.s_c, eta, omega)
+    P_hz = expectation_matrix(h_z_grid, m.rho_z * h_z_grid, m.s_z, eta, omega)
+    sigma_z = m.phi_z * jnp.exp(h_z_grid)
+    # z' = rho*z + sigma_z(h_z)*eta depends on (h_z, z): P_z[i, j, j'].
+    P_z = expectation_matrix(z_grid,
+                             jnp.broadcast_to(m.rho * z_grid,
+                                              (len(h_z_grid), len(z_grid))),
+                             sigma_z[:, None], eta, omega)
+    log_kappa = _log_kappa_ssy(m, h_c_grid[:, None], z_grid[None, :])  # (k, j)
+
+    if dtype is not None:
+        P_lam, P_c, P_hz, P_z, log_kappa = (
+            a.astype(dtype) for a in (P_lam, P_c, P_hz, P_z, log_kappa))
+
+    def apply_K(g):
+        u = jnp.einsum("lL,LKIJ->lKIJ", P_lam, g)
+        u = jnp.einsum("kK,lKIJ->lkIJ", P_c, u)
+        u = jnp.einsum("iI,lkIJ->lkiJ", P_hz, u)
+        u = jnp.einsum("ijJ,lkiJ->lkij", P_z, u)
+        return u
+
+    if space == "w":
+        kappa = jnp.exp(log_kappa)
+
+        def T(w):
+            kg = kappa[None, :, None, :] * apply_K(w ** theta)
+            return 1.0 + beta * kg ** (1.0 / theta)
+    else:
+        def T(ell):
+            p = theta * ell
+            mx = jnp.max(p)
+            u = apply_K(jnp.exp(p - mx))
+            log_kg = mx + jnp.log(u) + log_kappa[None, :, None, :]
+            return jnp.log1p(beta * jnp.exp(log_kg / theta))
+
+    return T
+
+
+def T_ssy_continuous_factory(model: SSY,
+                             grids: Sequence[jnp.ndarray],
+                             *,
+                             method: str = "quadrature",
+                             interp: str = "pre",
+                             space: str = "w",
+                             quad_degree: int = 5,
+                             mc_draw_size: int = 2000,
+                             seed: int = 1234,
+                             batch_size: Optional[int] = None,
+                             dtype=None,
+                             jit: bool = True) -> Callable:
+    """Build the continuous-state SSY operator T.
+
+    method="quadrature" uses degree-``quad_degree`` Gauss-Hermite per
+    dimension (reference default d=5, ``ssy_wc_ratio_continuous.py:232``);
+    "monte_carlo" uses ``mc_draw_size`` joint draws (reference :231,
+    default 2000).
+
+    quadrature + interp="pre" dispatches to the factored contraction path;
+    other combinations use the vmapped gather path with optional
+    ``batch_size`` chunking (replacing the reference's RAM-free heuristic,
+    ``ssy_wc_ratio_continuous.py:271-285``).
+    """
+    if space not in ("w", "log"):
+        raise ValueError(f"unknown space {space!r}")
+    if method == "quadrature" and interp == "pre":
+        T = _factored_T(model, grids, quad_degree, space, dtype)
+    elif method in ("quadrature", "monte_carlo"):
+        if method == "quadrature":
+            nodes, weights = tensor_quadrature_normal([quad_degree] * 4)
+            shocks, weights = jnp.asarray(nodes), jnp.asarray(weights)
+        else:
+            key = jax.random.PRNGKey(seed)
+            shocks = jax.random.normal(key, (4, mc_draw_size),
+                                       dtype=jnp.result_type(grids[0]))
+            weights = None
+        T = make_gather_T(
+            lambda x, s: next_state_ssy(model, x, s),
+            lambda x: _log_kappa_ssy(model, x[1], x[3]),
+            grids, shocks, weights, interp, space, batch_size,
+            model.beta, model.theta)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return jax.jit(T) if jit else T

@@ -1,0 +1,5 @@
+from .wstar import construct_wstar_callable
+from .simulate import simulate_states, simulated_w_moments, sdf_factory_ssy
+
+__all__ = ["construct_wstar_callable", "simulate_states",
+           "simulated_w_moments", "sdf_factory_ssy"]

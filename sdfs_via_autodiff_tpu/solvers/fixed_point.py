@@ -141,7 +141,13 @@ def newton_solver(T: Callable,
             gx = g(x)
             atol = inner_tol * jnp.linalg.norm(gx.reshape(-1))
             b, _ = krylov(jac_prod, gx, atol=atol, **kw)
-            return x - b
+            x_new = x - b
+            # Non-finite residuals silently stall Krylov at a zero step
+            # (NaN > atol is False), which would report convergence at a
+            # spurious point; poison the iterate so the outer NaN guard
+            # stops with converged=False instead.
+            bad = ~jnp.all(jnp.isfinite(gx)) | ~jnp.all(jnp.isfinite(x_new))
+            return jnp.where(bad, jnp.nan, x_new)
     else:
         raise ValueError(f"unknown inner solver {inner!r}")
 

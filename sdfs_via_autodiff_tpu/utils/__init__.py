@@ -1,0 +1,3 @@
+from .checkpoint import save_solution, load_solution, SolutionCheckpoint
+
+__all__ = ["save_solution", "load_solution", "SolutionCheckpoint"]

@@ -1,0 +1,43 @@
+"""CLI smoke tests (in-process main())."""
+
+import json
+
+import pytest
+
+from sdfs_via_autodiff_tpu.cli import main
+
+
+def test_info(capsys):
+    assert main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "version" in out and "backend" in out
+
+
+def test_solve_discrete_and_simulate(tmp_path, capsys):
+    ckpt = str(tmp_path / "c.npz")
+    rc = main(["solve", "ssy", "--kind", "continuous",
+               "--shapes", "4,4,4,6", "--algorithm", "newton",
+               "--tol", "1e-8", "--checkpoint", ckpt])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["converged"] is True
+    assert out["w_min"] > 1
+
+    rc = main(["simulate", "ssy", "--checkpoint", ckpt, "--steps", "5000"])
+    assert rc == 0
+    sim = json.loads(capsys.readouterr().out)
+    assert sim["w_std"] > 0
+
+
+def test_solve_discrete_small(capsys):
+    rc = main(["solve", "gcy", "--kind", "discrete",
+               "--shapes", "2,2,2,2,2,2", "--algorithm", "newton",
+               "--tol", "1e-8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["converged"] is True
+
+
+def test_bad_model():
+    with pytest.raises(SystemExit):
+        main(["solve", "bad", "--shapes", "2,2"])

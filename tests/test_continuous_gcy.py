@@ -1,0 +1,83 @@
+"""Continuous-state GCY operator tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import GCY, build_grid_gcy, next_state_gcy
+from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+    T_gcy_continuous_factory)
+
+SIZES = (3, 3, 3, 3, 4, 3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = GCY()
+    grids = build_grid_gcy(model, *SIZES)
+    return model, grids
+
+
+def rand_w(rng, scale=500.0, spread=0.05):
+    return jnp.asarray(scale * np.exp(spread * rng.standard_normal(SIZES)))
+
+
+def test_next_state_matches_dynamics(setup, rng):
+    model, _ = setup
+    x = jnp.asarray(rng.standard_normal(6) * 0.01)
+    eps = jnp.asarray(rng.standard_normal((6, 8)))
+    out = next_state_gcy(model, x, eps)
+    m = model
+    np.testing.assert_allclose(out[0], m.rho_lam * x[0] + m.s_lam * eps[0])
+    np.testing.assert_allclose(out[3], m.rho_zpi * x[3] + m.s_zpi * eps[3])
+    sigma_z = m.phi_z * np.exp(x[2])
+    np.testing.assert_allclose(out[4], m.rho * x[4] + m.rho_pi * x[5]
+                               + sigma_z * eps[4])
+    sigma_zpi = m.phi_zpi * np.exp(x[3])
+    np.testing.assert_allclose(out[5], m.rho_pipi * x[5] + sigma_zpi * eps[5])
+
+
+def test_factored_equals_gather_pre(setup, rng):
+    model, grids = setup
+    T_fac = T_gcy_continuous_factory(model, grids, interp="pre",
+                                     quad_degree=3)
+    from sdfs_via_autodiff_tpu.operators.continuous_common import make_gather_T
+    from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+        _log_kappa_gcy, next_state_gcy as ns)
+    from sdfs_via_autodiff_tpu.ops.quadrature import tensor_quadrature_normal
+    nodes, weights = tensor_quadrature_normal([3] * 6)
+    T_gather = make_gather_T(
+        lambda x, s: ns(model, x, s),
+        lambda x: _log_kappa_gcy(model, x[1], x[4]),
+        grids, jnp.asarray(nodes), jnp.asarray(weights),
+        "pre", "w", None, model.beta, model.theta)
+    w = rand_w(rng)
+    np.testing.assert_allclose(np.asarray(T_fac(w)), np.asarray(T_gather(w)),
+                               rtol=1e-11)
+
+
+def test_log_space_consistent(setup, rng):
+    model, grids = setup
+    w = rand_w(rng)
+    for interp in ("pre", "post"):
+        T = T_gcy_continuous_factory(model, grids, interp=interp,
+                                     quad_degree=3)
+        T_log = T_gcy_continuous_factory(model, grids, interp=interp,
+                                         space="log", quad_degree=3)
+        np.testing.assert_allclose(
+            np.exp(np.asarray(T_log(jnp.log(w)))), np.asarray(T(w)),
+            rtol=1e-11, err_msg=interp)
+
+
+def test_end_to_end_continuous_solve(setup):
+    from sdfs_via_autodiff_tpu import wc_ratio_continuous
+    model, _ = setup
+    sol = wc_ratio_continuous(model, SIZES, algorithm="newton", tol=1e-9,
+                              interp="pre", quad_degree=3)
+    assert sol.converged
+    w = np.asarray(sol.w_star)
+    assert w.shape == SIZES
+    assert np.all(w > 1)
+    # GCY w* sits lower than SSY's at coarse grids (beta~1 level
+    # sensitivity); just pin the order of magnitude.
+    assert 10 < w.mean() < 3000

@@ -1,0 +1,149 @@
+"""Continuous-state SSY operator tests: factorization exactness, interp
+variants, log-space consistency, end-to-end solves."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import SSY, build_grid_ssy, next_state_ssy
+from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+    T_ssy_continuous_factory)
+
+SIZES = (4, 5, 6, 7)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SSY()
+    grids = build_grid_ssy(model, *SIZES)
+    return model, grids
+
+
+def rand_w(rng, scale=700.0, spread=0.1):
+    return jnp.asarray(scale * np.exp(spread * rng.standard_normal(SIZES)))
+
+
+def test_next_state_matches_dynamics(setup, rng):
+    model, _ = setup
+    x = jnp.asarray(rng.standard_normal(4) * 0.01)
+    eps = jnp.asarray(rng.standard_normal((4, 10)))
+    out = next_state_ssy(model, x, eps)
+    m = model
+    np.testing.assert_allclose(out[0], m.rho_lam * x[0] + m.s_lam * eps[0])
+    np.testing.assert_allclose(out[1], m.rho_c * x[1] + m.s_c * eps[1])
+    np.testing.assert_allclose(out[2], m.rho_z * x[2] + m.s_z * eps[2])
+    sigma_z = m.phi_z * np.exp(x[2])
+    np.testing.assert_allclose(out[3], m.rho * x[3] + sigma_z * eps[3])
+
+
+def test_factored_equals_gather_pre(setup, rng):
+    # The per-axis factorization is EXACT for tensor-product quadrature of
+    # the pre-power interpolant.
+    model, grids = setup
+    T_fac = T_ssy_continuous_factory(model, grids, interp="pre",
+                                     quad_degree=4)
+    # gather path with the same tensor rule, forced via make_gather_T
+    from sdfs_via_autodiff_tpu.operators.continuous_common import make_gather_T
+    from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+        _log_kappa_ssy, next_state_ssy as ns)
+    from sdfs_via_autodiff_tpu.ops.quadrature import tensor_quadrature_normal
+    nodes, weights = tensor_quadrature_normal([4] * 4)
+    T_gather = make_gather_T(
+        lambda x, s: ns(model, x, s),
+        lambda x: _log_kappa_ssy(model, x[1], x[3]),
+        grids, jnp.asarray(nodes), jnp.asarray(weights),
+        "pre", "w", None, model.beta, model.theta)
+    w = rand_w(rng)
+    np.testing.assert_allclose(np.asarray(T_fac(w)), np.asarray(T_gather(w)),
+                               rtol=1e-11)
+
+
+def test_post_and_pre_interp_close(setup, rng):
+    # Different interpolation functional forms; must agree to O(grid error).
+    model, grids = setup
+    T_pre = T_ssy_continuous_factory(model, grids, interp="pre")
+    T_post = T_ssy_continuous_factory(model, grids, interp="post")
+    w = rand_w(rng, spread=0.02)
+    a, b = np.asarray(T_pre(w)), np.asarray(T_post(w))
+    assert np.max(np.abs(a - b) / np.abs(b)) < 0.05
+
+
+def test_log_space_consistent_all_interps(setup, rng):
+    model, grids = setup
+    w = rand_w(rng)
+    for interp in ("pre", "post", "loglin"):
+        T = T_ssy_continuous_factory(model, grids, interp=interp)
+        T_log = T_ssy_continuous_factory(model, grids, interp=interp,
+                                         space="log")
+        np.testing.assert_allclose(
+            np.exp(np.asarray(T_log(jnp.log(w)))), np.asarray(T(w)),
+            rtol=1e-11, err_msg=interp)
+
+
+def test_monte_carlo_close_to_quadrature(setup, rng):
+    model, grids = setup
+    T_q = T_ssy_continuous_factory(model, grids, interp="post")
+    T_mc = T_ssy_continuous_factory(model, grids, method="monte_carlo",
+                                    interp="post", mc_draw_size=4000)
+    w = rand_w(rng, spread=0.02)
+    a, b = np.asarray(T_q(w)), np.asarray(T_mc(w))
+    # Kg-level MC noise is tiny after the 1/theta compression.
+    assert np.max(np.abs(a - b) / np.abs(a)) < 0.02
+
+
+def test_batched_equals_unbatched(setup, rng):
+    model, grids = setup
+    n = int(np.prod(SIZES))
+    T1 = T_ssy_continuous_factory(model, grids, interp="post")
+    T2 = T_ssy_continuous_factory(model, grids, interp="post",
+                                  batch_size=n // 4)
+    w = rand_w(rng)
+    np.testing.assert_allclose(np.asarray(T1(w)), np.asarray(T2(w)),
+                               rtol=1e-12)
+
+
+def test_bad_batch_size_raises(setup):
+    model, grids = setup
+    with pytest.raises(ValueError):
+        T_ssy_continuous_factory(model, grids, interp="post", batch_size=11)(
+            jnp.ones(SIZES))
+
+
+def test_end_to_end_continuous_solve(setup):
+    from sdfs_via_autodiff_tpu import wc_ratio_continuous
+    model, _ = setup
+    sol = wc_ratio_continuous(model, SIZES, algorithm="newton", tol=1e-9,
+                              interp="pre")
+    assert sol.converged
+    w = np.asarray(sol.w_star)
+    assert w.shape == SIZES
+    assert np.all(w > 1)
+    # Sanity vs the reference's observed magnitudes: w* is O(10^2-10^3).
+    assert 100 < w.mean() < 3000
+
+
+def test_interp_variants_converge_with_grid_refinement():
+    # The pre/post interpolation forms differ by O(grid error) per operator
+    # application (and the beta~1 fixed point amplifies that difference by
+    # ~1/(1-beta) in levels — the same level sensitivity the reference
+    # observed for its log-interpolation variant, test_newton.md:217-238).
+    # Consistency check: the per-application gap shrinks as the grid is
+    # refined, evaluated on a smooth w field.
+    from sdfs_via_autodiff_tpu import ssy_loglinear_factory
+    from sdfs_via_autodiff_tpu.ops.grids import flatten_mesh
+    model = SSY()
+    ll = ssy_loglinear_factory(model)
+
+    def gap(sizes):
+        grids = build_grid_ssy(model, *sizes)
+        shape = tuple(len(g) for g in grids)
+        w = jnp.exp(jnp.asarray(
+            ll(np.asarray(flatten_mesh(grids)).T).reshape(shape)))
+        a = T_ssy_continuous_factory(model, grids, interp="pre")(w)
+        b = T_ssy_continuous_factory(model, grids, interp="post")(w)
+        return float(jnp.max(jnp.abs(a - b) / jnp.abs(b)))
+
+    coarse = gap((4, 4, 4, 5))
+    fine = gap((10, 10, 10, 14))
+    assert fine < coarse
+    assert fine < 0.01

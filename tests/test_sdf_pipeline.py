@@ -1,0 +1,114 @@
+"""SDF output pipeline: checkpoints, w* callables, simulation, moments."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import (
+    SSY, GCY, construct_wstar_callable, load_solution, save_solution,
+    sdf_factory_ssy, simulate_states, simulated_w_moments,
+    ssy_loglinear_factory, wc_ratio_continuous)
+
+
+@pytest.fixture(scope="module")
+def ssy_solution():
+    model = SSY()
+    sol = wc_ratio_continuous(model, (4, 4, 4, 6), algorithm="newton",
+                              tol=1e-9, interp="pre")
+    assert sol.converged
+    return model, sol
+
+
+def test_checkpoint_roundtrip(tmp_path, ssy_solution):
+    model, sol = ssy_solution
+    path = str(tmp_path / "ssy.npz")
+    save_solution(path, model, sol.grids, sol.w_star,
+                  meta=dict(algorithm="newton"))
+    ckpt = load_solution(path)
+    assert ckpt.model_name == "SSY"
+    assert ckpt.model_params["beta"] == model.beta
+    assert ckpt.meta["algorithm"] == "newton"
+    np.testing.assert_allclose(ckpt.w_star, np.asarray(sol.w_star))
+    for g, g2 in zip(ckpt.grids, sol.grids):
+        np.testing.assert_allclose(g, np.asarray(g2))
+
+
+def test_wstar_callable_from_checkpoint(tmp_path, ssy_solution):
+    model, sol = ssy_solution
+    path = str(tmp_path / "ssy.npz")
+    save_solution(path, model, sol.grids, sol.w_star)
+    f = construct_wstar_callable(datafile=path)
+    # Exact at grid points.
+    x = jnp.asarray([g[1] for g in sol.grids])
+    np.testing.assert_allclose(float(f(x)), float(sol.w_star[1, 1, 1, 1]),
+                               rtol=1e-12)
+    # Batch evaluation.
+    xs = jnp.stack([x, x * 0.5], axis=1)
+    assert f(xs).shape == (2,)
+
+
+def test_driver_checkpoint_kwarg(tmp_path):
+    model = SSY()
+    path = str(tmp_path / "drv.npz")
+    sol = wc_ratio_continuous(model, (3, 3, 3, 4), algorithm="newton",
+                              tol=1e-8, interp="pre", checkpoint_path=path)
+    ckpt = load_solution(path)
+    assert ckpt.meta["kind"] == "continuous"
+    assert ckpt.meta["iterations"] == int(sol.result.iterations)
+
+
+def test_simulate_states_shapes_and_stationarity():
+    model = SSY()
+    path = simulate_states(model, 20000, seed=7)
+    assert path.shape == (4, 20000)
+    # h processes are mean-zero stationary AR(1)s; sample mean ~ 0 and
+    # sample std close to the stationary std.
+    stds = model.h_stationary_std()
+    for i, s in enumerate(stds):
+        assert abs(float(path[i].mean())) < 5 * s
+        assert 0.5 * s < float(path[i].std()) < 1.5 * s
+
+
+def test_simulated_w_moments(ssy_solution):
+    model, sol = ssy_solution
+    f = construct_wstar_callable(sol.w_star, sol.grids)
+    mean, std = simulated_w_moments(model, f, num_steps=50_000, seed=3)
+    w = np.asarray(sol.w_star)
+    assert w.min() - 3 * std <= mean <= w.max() + 3 * std
+    assert std > 0
+
+
+def test_gcy_simulation():
+    model = GCY()
+    path = simulate_states(model, 5000, seed=11)
+    assert path.shape == (6, 5000)
+    assert np.isfinite(np.asarray(path)).all()
+
+
+def test_sdf_positive_and_finite(ssy_solution):
+    model, sol = ssy_solution
+    f = construct_wstar_callable(sol.w_star, sol.grids)
+    sdf = sdf_factory_ssy(model, f)
+    path = simulate_states(model, 500, seed=5)
+    m_vals = [float(sdf(path[:, t], path[:, t + 1], 0.1))
+              for t in range(0, 400, 40)]
+    assert all(np.isfinite(m_vals))
+    assert all(v > 0 for v in m_vals)
+
+
+def test_loglinear_vs_solved_wc():
+    # The log-linear closed form should be in the same ballpark as a
+    # solved continuous w* at the state-space center on a reasonably fine
+    # grid (validation oracle, reference ssy_test_continuous.md:200-225).
+    # Uses the factored pre-interp path, which solves 15^3 x 20 in seconds;
+    # at this config the solved center (~676) also matches the reference's
+    # simulated E[w] = 670.75 at 15^4/std=3.2/d=5 (BASELINE.md).
+    model = SSY()
+    sol = wc_ratio_continuous(model, (15, 15, 15, 20), algorithm="newton",
+                              tol=1e-9, interp="pre")
+    assert sol.converged
+    ll = ssy_loglinear_factory(model)
+    w_ll = np.exp(ll(np.zeros(4)))
+    w_num = float(sol.w_star[7, 7, 7, 10])
+    assert 0.5 < w_ll / w_num < 2.0
+    assert 600 < w_num < 760

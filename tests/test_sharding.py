@@ -1,0 +1,113 @@
+"""Multi-device sharding correctness on a virtual 8-device CPU mesh.
+
+The standard way to validate ICI layouts without TPU hardware (SURVEY.md
+§4): compare n-device sharded solves against single-device solves to tight
+tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import (
+    SSY, GCY, T_gcy_factory, T_ssy_factory, discretize_gcy, discretize_ssy,
+    solve)
+from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+    T_ssy_continuous_factory)
+from sdfs_via_autodiff_tpu.ops.grids import build_grid_ssy
+from sdfs_via_autodiff_tpu.parallel.mesh import (
+    grid_sharding, make_mesh, shard_grid_array)
+
+needs_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices")
+
+
+@needs_devices
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh2 = make_mesh(8, shape=(2, 4))
+    assert mesh2.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh(8, shape=(3, 2))
+
+
+@needs_devices
+def test_sharded_operator_matches_single_device(rng):
+    model = SSY()
+    shapes = (8, 8, 6, 6)
+    disc = discretize_ssy(model, shapes)
+    T = T_ssy_factory(model, disc, space="log")
+    ell = jnp.asarray(np.log(800) + 0.05 * rng.standard_normal(shapes))
+
+    ref = T(ell)
+
+    mesh = make_mesh(8)          # dp=4 on axis 0, tp=2 on axis 1
+    ell_sharded = shard_grid_array(ell, mesh)
+    out = T(ell_sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+@needs_devices
+def test_sharded_solve_matches_single_device():
+    model = SSY()
+    shapes = (8, 8, 4, 4)
+    disc = discretize_ssy(model, shapes)
+    T = T_ssy_factory(model, disc, space="log")
+    ell0 = jnp.full(shapes, jnp.log(800.0))
+
+    res_single = solve(T, ell0, method="newton", tol=1e-10)
+
+    mesh = make_mesh(8)
+    ell0_sharded = shard_grid_array(ell0, mesh)
+    res_sharded = solve(T, ell0_sharded, method="newton", tol=1e-10)
+
+    assert bool(res_sharded.converged)
+    np.testing.assert_allclose(np.asarray(res_sharded.x),
+                               np.asarray(res_single.x), atol=1e-12)
+    # The sharded solve's iterate keeps its sharding (no silent gather).
+    assert not res_sharded.x.sharding.is_fully_replicated
+
+
+@needs_devices
+def test_sharded_continuous_factored(rng):
+    model = SSY()
+    grids = build_grid_ssy(model, 8, 8, 6, 6)
+    T = T_ssy_continuous_factory(model, grids, interp="pre", space="log")
+    shapes = (8, 8, 6, 6)
+    ell = jnp.asarray(np.log(700) + 0.02 * rng.standard_normal(shapes))
+    ref = T(ell)
+    mesh = make_mesh(8)
+    out = T(shard_grid_array(ell, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+@needs_devices
+def test_sharded_gcy(rng):
+    model = GCY()
+    shapes = (4, 4, 4, 4, 2, 2)
+    disc = discretize_gcy(model, shapes)
+    T = T_gcy_factory(model, disc, space="log")
+    ell = jnp.asarray(np.log(500) + 0.02 * rng.standard_normal(shapes))
+    ref = T(ell)
+    mesh = make_mesh(8, shape=(4, 2))
+    out = T(shard_grid_array(ell, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+@needs_devices
+def test_anderson_on_sharded_iterate():
+    # Anderson histories live on device; the solve must work when the
+    # iterate (and hence the flattened history rows) is sharded.
+    model = SSY()
+    shapes = (8, 8, 4, 4)
+    disc = discretize_ssy(model, shapes)
+    T = T_ssy_factory(model, disc, space="log")
+    ell0 = jnp.full(shapes, jnp.log(800.0))
+    mesh = make_mesh(8)
+    res = solve(T, shard_grid_array(ell0, mesh), method="anderson", tol=1e-9)
+    assert bool(res.converged)
+    res_single = solve(T, ell0, method="anderson", tol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_single.x),
+                               atol=1e-10)
