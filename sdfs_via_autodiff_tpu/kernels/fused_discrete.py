@@ -1,0 +1,138 @@
+"""Fused Pallas kernel for the discrete SSY log-space Koopmans operator.
+
+The factored operator is a chain of four skinny per-axis matmuls with
+elementwise exp/log around them (``operators/discrete_ssy.py``).  XLA runs
+that as several HBM round-trips, and 10-wide matmuls pad poorly onto the
+128x128 MXU.  This kernel re-associates the chain into two Kronecker-
+product contractions
+
+    u = M1 @ v @ M2^T,   M1 = kron(B_lam, Q_c),  M2 = kron(Q_hz, z_P)
+
+with v = exp(theta*ell - m) viewed as an (n_l*n_k, n_i*n_j) matrix, and
+fuses shift, exponentials, both matmuls, and the final log into a single
+VMEM-resident Pallas program: one HBM read of ell, one HBM write of T(ell).
+The kron matrices cost O(N*(n_l*n_k + n_i*n_j)) FLOPs instead of
+O(N*sum n_i) — more arithmetic, but on MXU-shaped (>=128-wide) operands,
+and with zero intermediate HBM traffic.
+
+Mosaic supports f32/bf16, not the f64 double-float emulation, so this is
+the float32 fast path (log-space f32 holds ~1e-7 *relative* accuracy on w;
+the f64 XLA path remains the parity tier).  Newton works through it via a
+custom JVP whose tangent uses transposable XLA einsums (reverse-mode
+therefore also works).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.ssy import SSY
+from ..operators.discrete_ssy import SSYDiscretization, _ssy_factors
+
+__all__ = ["make_fused_T_log_ssy", "kron_operands_ssy"]
+
+# Keep the whole working set comfortably inside ~16 MB of VMEM.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def kron_operands_ssy(model: SSY, disc: SSYDiscretization, dtype=jnp.float32):
+    """(M1, M2T, log_kappa) for the kron-form contraction, as ``dtype``.
+
+    log_kappa[(l k), (i j)] = log A2[k] + log A3[i, j] broadcast to the
+    matrix view of the state space.
+    """
+    B_lam, A2, A3 = _ssy_factors(model, disc)
+    n_l, n_k, n_i, n_j = disc.shapes
+    M1 = jnp.kron(B_lam, disc.h_c_Q)
+    M2 = jnp.kron(disc.h_z_Q, disc.z_P)
+    log_kap = (jnp.log(A2)[None, :, None, None]
+               + jnp.log(A3)[None, None, :, :]
+               + jnp.zeros((n_l, 1, 1, 1)))
+    log_kap = jnp.broadcast_to(log_kap, disc.shapes)
+    log_kap = log_kap.reshape(n_l * n_k, n_i * n_j)
+    return (M1.astype(dtype), M2.T.astype(dtype), log_kap.astype(dtype))
+
+
+def _fused_kernel(theta, beta, ell_ref, mx_ref, m1_ref, m2t_ref, kap_ref,
+                  out_ref):
+    mx = mx_ref[0, 0]
+    v = jnp.exp(theta * ell_ref[:] - mx)
+    u = jnp.dot(m1_ref[:], v, preferred_element_type=jnp.float32)
+    u = jnp.dot(u, m2t_ref[:], preferred_element_type=jnp.float32)
+    log_hwt = mx + jnp.log(u) + kap_ref[:]
+    out_ref[:] = jnp.log1p(beta * jnp.exp(log_hwt / theta))
+
+
+def make_fused_T_log_ssy(model: SSY,
+                         disc: SSYDiscretization,
+                         dtype=jnp.float32,
+                         interpret: bool = False) -> Callable:
+    """Build the fused log-space T as a differentiable callable.
+
+    The returned function maps ell (n_l, n_k, n_i, n_j) -> T-image with the
+    same shape/dtype; it carries a custom JVP so Newton's matrix-free
+    Jacobian products work (tangent computed with XLA einsums on the same
+    kron operands).
+    """
+    theta, beta = model.theta, model.beta
+    n_l, n_k, n_i, n_j = disc.shapes
+    rows, cols = n_l * n_k, n_i * n_j
+    M1, M2T, log_kap = kron_operands_ssy(model, disc, dtype)
+
+    working = (rows * cols * 4 + rows * rows + cols * cols) * np.dtype(
+        jnp.float32).itemsize
+    if working > _VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"state space {disc.shapes} needs ~{working/2**20:.1f} MiB VMEM; "
+            "use the XLA factored operator for grids this large")
+
+    kernel = partial(_fused_kernel, theta, beta)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # ell matrix
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # mx (1,1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # M1
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # M2^T
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # log_kappa
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    def _primal(ell_mat, mx):
+        return call(ell_mat, mx, M1, M2T, log_kap)
+
+    @jax.custom_jvp
+    def T(ell):
+        ell_mat = ell.reshape(rows, cols).astype(dtype)
+        mx = jnp.max(theta * ell_mat).reshape(1, 1)
+        return _primal(ell_mat, jax.lax.stop_gradient(mx)).reshape(disc.shapes)
+
+    @T.defjvp
+    def _jvp(primals, tangents):
+        (ell,), (dell,) = primals, tangents
+        ell_mat = ell.reshape(rows, cols).astype(dtype)
+        dell_mat = dell.reshape(rows, cols).astype(dtype)
+        mx = jax.lax.stop_gradient(jnp.max(theta * ell_mat))
+        out = _primal(ell_mat, mx.reshape(1, 1))
+        # Tangent in XLA (transposable, so reverse-mode works too):
+        #   s  = M1 v M2T,  v = exp(theta*ell - mx)
+        #   ds = M1 (theta*v*dell) M2T
+        #   dT = (1 - exp(-T)) * ds / (theta * s)
+        v = jnp.exp(theta * ell_mat - mx)
+        s = M1 @ v @ M2T
+        ds = M1 @ (theta * v * dell_mat) @ M2T
+        dout = (1.0 - jnp.exp(-out)) * ds / (theta * s)
+        return (out.reshape(disc.shapes),
+                dout.reshape(disc.shapes).astype(dtype))
+
+    return T

@@ -1,0 +1,120 @@
+"""Whole-solve-in-one-kernel: successive approximation fused into Pallas.
+
+At the SSY/GCY calibrations beta ~ 0.999, successive approximation needs
+O(10^4) operator applications.  The XLA ``lax.while_loop`` solver pays
+per-iteration HBM round-trips and loop overhead (~0.5 ms/iteration for a
+10^4-point grid on v5e); with the state resident in VMEM, one iteration is
+just two kron matmuls plus VPU elementwise — microseconds.  This kernel
+runs the *entire solve* on-chip: HBM is touched once to read the initial
+guess and once to write the fixed point.
+
+Scope: discrete SSY log-space operator in f32 (Mosaic has no f64), grids
+up to ~10^5 points (VMEM-bounded); returns (ell*, iterations, residual)
+exactly like the XLA solver.  The convergence check (sup-norm of the
+log-iterate update) and the NaN divergence guard run in-kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.ssy import SSY
+from ..operators.discrete_ssy import SSYDiscretization
+from .fused_discrete import kron_operands_ssy, _VMEM_BUDGET_BYTES
+
+__all__ = ["make_fused_solver_ssy"]
+
+
+def _solver_kernel(theta, beta, ell_ref, tol_ref, maxit_ref,
+                   m1_ref, m2t_ref, kap_ref,
+                   out_ref, iters_ref, err_ref):
+    tol = tol_ref[0]
+    max_iter = maxit_ref[0]
+    kap = kap_ref[:]
+    M1 = m1_ref[:]
+    M2T = m2t_ref[:]
+
+    def T(ell):
+        p = theta * ell
+        mx = jnp.max(p)
+        v = jnp.exp(p - mx)
+        u = jnp.dot(M1, v, preferred_element_type=jnp.float32)
+        u = jnp.dot(u, M2T, preferred_element_type=jnp.float32)
+        log_hwt = mx + jnp.log(u) + kap
+        return jnp.log1p(beta * jnp.exp(log_hwt / theta))
+
+    def cond(state):
+        _, err, it = state
+        return (err > tol) & (it < max_iter) & ~jnp.isnan(err)
+
+    def body(state):
+        ell, _, it = state
+        ell_new = T(ell)
+        err = jnp.max(jnp.abs(ell_new - ell))
+        return ell_new, err, it + 1
+
+    init = (ell_ref[:], jnp.float32(jnp.inf), jnp.int32(0))
+    ell, err, it = jax.lax.while_loop(cond, body, init)
+    out_ref[:] = ell
+    iters_ref[0] = it
+    err_ref[0] = err
+
+
+def make_fused_solver_ssy(model: SSY,
+                          disc: SSYDiscretization,
+                          interpret: bool = False) -> Callable:
+    """Build ``solve(ell0, tol, max_iter) -> (ell_star, iters, residual)``
+    running entirely on-chip (f32)."""
+    theta, beta = model.theta, model.beta
+    n_l, n_k, n_i, n_j = disc.shapes
+    rows, cols = n_l * n_k, n_i * n_j
+    M1, M2T, log_kap = kron_operands_ssy(model, disc, jnp.float32)
+
+    working = (rows * cols * 5 + rows * rows + cols * cols) * 4
+    if working > _VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"state space {disc.shapes} needs ~{working/2**20:.1f} MiB VMEM; "
+            "use the XLA solver for grids this large")
+
+    kernel = partial(_solver_kernel, theta, beta)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # ell0
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # tol (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # max_iter (1,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # M1
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # M2T
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # log_kappa
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def solve_fused(ell0, tol=1e-6, max_iter=100_000):
+        ell_mat = ell0.reshape(rows, cols).astype(jnp.float32)
+        ell, iters, err = call(
+            ell_mat,
+            jnp.asarray([tol], jnp.float32),
+            jnp.asarray([max_iter], jnp.int32),
+            M1, M2T, log_kap)
+        return ell.reshape(disc.shapes), iters[0], err[0]
+
+    return solve_fused

@@ -99,6 +99,7 @@ def newton_solver(T: Callable,
                   inner: str = "bicgstab",
                   inner_tol: float = 1e-4,
                   inner_maxiter: Optional[int] = None,
+                  safeguard: bool = True,
                   verbose: bool = False,
                   trace_len: int = 0,
                   jit: bool = True) -> SolveResult:
@@ -121,6 +122,16 @@ def newton_solver(T: Callable,
     ||g(x)|| < atol makes the zero vector an acceptable Krylov solution, the
     Newton step collapses to zero, and the outer loop reports convergence at
     a spurious point.
+
+    ``safeguard=True`` (default) globalizes the iteration: a Newton
+    candidate whose residual is non-finite is rejected in favour of a plain
+    fixed-point step T(x) (free — g(x) is already computed).  Newton is not
+    globally convergent on these operators (a far-from-solution step can
+    leave the domain, e.g. negative w where w^theta is undefined); the
+    fallback keeps the iteration inside the contraction's basin.  With
+    ``safeguard=False`` a non-finite candidate poisons the iterate so the
+    outer NaN guard stops with ``converged=False`` rather than letting
+    Krylov silently stall at a zero step and fake convergence.
     """
     g = lambda x: T(x) - x
 
@@ -144,13 +155,18 @@ def newton_solver(T: Callable,
             x_new = x - b
             # Non-finite residuals silently stall Krylov at a zero step
             # (NaN > atol is False), which would report convergence at a
-            # spurious point; poison the iterate so the outer NaN guard
-            # stops with converged=False instead.
+            # spurious point.
             bad = ~jnp.all(jnp.isfinite(gx)) | ~jnp.all(jnp.isfinite(x_new))
+            if safeguard:
+                g_cand = g(x_new)
+                bad = bad | ~jnp.all(jnp.isfinite(g_cand))
+                # Plain fixed-point step T(x) = x + g(x) as the fallback.
+                return jnp.where(bad, x + gx, x_new)
             return jnp.where(bad, jnp.nan, x_new)
     else:
         raise ValueError(f"unknown inner solver {inner!r}")
 
-    key = ("newton", inner, inner_tol, inner_maxiter, verbose, trace_len)
+    key = ("newton", inner, inner_tol, inner_maxiter, safeguard, verbose,
+           trace_len)
     return _run(q, T, key, x0, tol, max_iter, verbose=verbose,
                 trace_len=trace_len, jit=jit)

@@ -81,3 +81,19 @@ def test_end_to_end_continuous_solve(setup):
     # GCY w* sits lower than SSY's at coarse grids (beta~1 level
     # sensitivity); just pin the order of magnitude.
     assert 10 < w.mean() < 3000
+
+
+def test_newton_safeguard_rescues_w_space(setup):
+    # w-space Newton from w0=1 steps outside the domain (negative w,
+    # where w^theta is NaN); the safeguard falls back to plain T steps and
+    # recovers, while safeguard=False reports an honest failure.
+    from sdfs_via_autodiff_tpu.solvers import newton_solver
+    model, grids = setup
+    T = T_gcy_continuous_factory(model, grids, interp="pre", quad_degree=3)
+    w0 = jnp.ones(SIZES)
+    res = newton_solver(T, w0, tol=1e-9)
+    assert bool(res.converged)
+    assert float(res.x.min()) > 1
+
+    res_unsafe = newton_solver(T, w0, tol=1e-9, safeguard=False)
+    assert not bool(res_unsafe.converged)

@@ -1,0 +1,121 @@
+"""Pallas kernel tests (interpret mode — compiled path is validated on TPU).
+
+The fused kernels are the f32 fast tier; agreement bounds below reflect the
+f32 floor (relative ~1e-6 on the log iterate), not kernel bugs — exactness
+at f64 is covered by the XLA-path tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import SSY, T_ssy_factory, discretize_ssy, solve
+from sdfs_via_autodiff_tpu.kernels.fused_discrete import (
+    kron_operands_ssy, make_fused_T_log_ssy)
+from sdfs_via_autodiff_tpu.kernels.solver_kernel import make_fused_solver_ssy
+
+SHAPES = (8, 8, 6, 6)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SSY()
+    disc = discretize_ssy(model, SHAPES)
+    return model, disc
+
+
+def test_kron_operands_match_factored_chain(setup, rng):
+    # M1 @ v @ M2^T must equal the per-axis contraction chain.
+    from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
+        _hw_theta_factored, _ssy_factors)
+    model, disc = setup
+    M1, M2T, log_kap = kron_operands_ssy(model, disc, jnp.float64)
+    n_l, n_k, n_i, n_j = SHAPES
+    v = jnp.asarray(np.exp(rng.standard_normal(SHAPES)))
+    B_lam, A2, A3 = _ssy_factors(model, disc)
+    chain = _hw_theta_factored(v, B_lam, disc.h_c_Q, disc.h_z_Q, disc.z_P,
+                               jnp.ones_like(A2), jnp.ones_like(A3))
+    kron = (M1 @ v.reshape(n_l * n_k, n_i * n_j) @ M2T).reshape(SHAPES)
+    np.testing.assert_allclose(np.asarray(kron), np.asarray(chain),
+                               rtol=1e-10)
+    # log_kappa carries the A2/A3 factors.
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(log_kap.reshape(SHAPES))),
+        np.asarray(A2[None, :, None, None]
+                   * A3[None, None, :, :]
+                   * jnp.ones((SHAPES[0], 1, 1, 1))), rtol=1e-10)
+
+
+def test_fused_T_matches_xla(setup, rng):
+    model, disc = setup
+    T64 = T_ssy_factory(model, disc, space="log")
+    T_fused = make_fused_T_log_ssy(model, disc, interpret=True)
+    ell = jnp.asarray(np.log(800) + 0.05 * rng.standard_normal(SHAPES))
+    a = np.asarray(T64(ell))
+    b = np.asarray(T_fused(ell.astype(jnp.float32))).astype(np.float64)
+    assert np.max(np.abs(a - b)) < 5e-6
+
+
+def test_fused_T_jvp_matches_xla(setup, rng):
+    model, disc = setup
+    T64 = T_ssy_factory(model, disc, space="log")
+    T_fused = make_fused_T_log_ssy(model, disc, interpret=True)
+    ell = jnp.asarray(np.log(800) + 0.05 * rng.standard_normal(SHAPES))
+    v = jnp.asarray(rng.standard_normal(SHAPES))
+    _, jv64 = jax.jvp(T64, (ell,), (v,))
+    _, jv32 = jax.jvp(T_fused, (ell.astype(jnp.float32),),
+                      (v.astype(jnp.float32),))
+    assert np.max(np.abs(np.asarray(jv64) - np.asarray(jv32))) < 1e-4
+
+
+def test_fused_T_reverse_mode(setup, rng):
+    model, disc = setup
+    T_fused = make_fused_T_log_ssy(model, disc, interpret=True)
+    ell = jnp.full(SHAPES, jnp.log(800.0), dtype=jnp.float32)
+    g = jax.grad(lambda e: jnp.sum(T_fused(e)))(ell)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_newton_solve(setup):
+    model, disc = setup
+    T64 = T_ssy_factory(model, disc, space="log")
+    T_fused = make_fused_T_log_ssy(model, disc, interpret=True)
+    ell0 = jnp.full(SHAPES, jnp.log(800.0))
+    ref = solve(T64, ell0, method="newton", tol=1e-11)
+    res = solve(T_fused, ell0.astype(jnp.float32), method="newton", tol=2e-5)
+    assert bool(res.converged)
+    w_diff = np.max(np.abs(np.exp(np.asarray(res.x, dtype=np.float64))
+                           - np.exp(np.asarray(ref.x))))
+    assert w_diff < 1.0          # f32 tier: ~1e-3 relative on w ~ 800
+
+
+def test_fused_solver_kernel(setup):
+    model, disc = setup
+    T64 = T_ssy_factory(model, disc, space="log")
+    fsolve = make_fused_solver_ssy(model, disc, interpret=True)
+    ell0 = jnp.full(SHAPES, jnp.log(800.0))
+    ell, iters, err = fsolve(ell0, 1e-6, 100_000)
+    assert int(iters) > 100
+    assert float(err) <= 1e-6
+    ref = solve(T64, ell0, method="newton", tol=1e-11)
+    w_diff = np.max(np.abs(np.exp(np.asarray(ell, dtype=np.float64))
+                           - np.exp(np.asarray(ref.x))))
+    assert w_diff < 2.0          # tol/(1-rate) in w units at f32
+
+
+def test_fused_solver_max_iter_cap(setup):
+    model, disc = setup
+    fsolve = make_fused_solver_ssy(model, disc, interpret=True)
+    ell0 = jnp.full(SHAPES, jnp.log(800.0))
+    _, iters, err = fsolve(ell0, 0.0, 50)
+    assert int(iters) == 50
+
+
+def test_vmem_guard():
+    model = SSY()
+    disc = discretize_ssy(model, (40, 40, 40, 40))
+    with pytest.raises(ValueError):
+        make_fused_T_log_ssy(model, disc)
+    with pytest.raises(ValueError):
+        make_fused_solver_ssy(model, disc)
