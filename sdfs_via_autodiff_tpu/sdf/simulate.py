@@ -21,7 +21,8 @@ from ..models.ssy import SSY
 from ..operators.continuous_gcy import next_state_gcy
 from ..operators.continuous_ssy import next_state_ssy
 
-__all__ = ["simulate_states", "simulated_w_moments", "sdf_factory_ssy"]
+__all__ = ["simulate_states", "simulated_w_moments", "one_step_w_moments",
+           "sdf_factory_ssy"]
 
 
 def _next_state_for(model):
@@ -61,6 +62,25 @@ def simulated_w_moments(model, w_star_func: Callable, num_steps: int = 1_000_000
     (the reference's validation metric, ``test_newton.md:210-215``)."""
     path = simulate_states(model, num_steps + burn_in, seed=seed)
     w = w_star_func(path[:, burn_in:])
+    return float(jnp.mean(w)), float(jnp.std(w))
+
+
+def one_step_w_moments(model, w_star_func: Callable,
+                       num_draws: int = 1_000_000, *, seed: int = 1234,
+                       x0=None) -> Tuple[float, float]:
+    """Mean/std of w* over the one-step-ahead state distribution from x0.
+
+    This is the exact methodology behind the reference's tabulated
+    "simulated" E[w], sigma[w] anchors (reference ``test_newton.md:
+    198-215``): one ``next_state`` step from the origin with 10^6 draws
+    under ``PRNGKey(seed)``, then interpolate w* at those states.
+    """
+    step, dim = _next_state_for(model)
+    key = jax.random.PRNGKey(seed)
+    draws = jax.random.normal(key, (dim, num_draws))
+    x0 = jnp.zeros(dim) if x0 is None else jnp.asarray(x0)
+    x_next = step(x0, draws)
+    w = w_star_func(x_next)
     return float(jnp.mean(w)), float(jnp.std(w))
 
 
