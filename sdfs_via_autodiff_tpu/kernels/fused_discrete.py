@@ -60,13 +60,19 @@ def kron_operands_ssy(model: SSY, disc: SSYDiscretization, dtype=jnp.float32):
     return (M1.astype(dtype), M2.T.astype(dtype), log_kap.astype(dtype))
 
 
-def _fused_kernel(theta, beta, ell_ref, mx_ref, m1_ref, m2t_ref, kap_ref,
-                  out_ref):
-    mx = mx_ref[0, 0]
-    v = jnp.exp(theta * ell_ref[:] - mx)
-    u = jnp.dot(m1_ref[:], v, preferred_element_type=jnp.float32)
-    u = jnp.dot(u, m2t_ref[:], preferred_element_type=jnp.float32)
-    log_hwt = mx + jnp.log(u) + kap_ref[:]
+def _fused_kernel(theta, beta, ell_ref, m1_ref, m2t_ref, kap_ref, out_ref):
+    # Two kron contractions with per-step log-sum-exp shifts: exact in f32
+    # for any dynamic range of theta*ell (a single global shift overflows
+    # once the range passes exp's f32 limit — see ops/contract.py).
+    p = theta * ell_ref[:]
+    sh1 = jnp.max(p, axis=0, keepdims=True)
+    u = jnp.dot(m1_ref[:], jnp.exp(p - sh1),
+                preferred_element_type=jnp.float32)
+    log_u = sh1 + jnp.log(u)
+    sh2 = jnp.max(log_u, axis=1, keepdims=True)
+    u = jnp.dot(jnp.exp(log_u - sh2), m2t_ref[:],
+                preferred_element_type=jnp.float32)
+    log_hwt = sh2 + jnp.log(u) + kap_ref[:]
     out_ref[:] = jnp.log1p(beta * jnp.exp(log_hwt / theta))
 
 
@@ -99,7 +105,6 @@ def make_fused_T_log_ssy(model: SSY,
         out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # ell matrix
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # mx (1,1)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # M1
             pl.BlockSpec(memory_space=pltpu.VMEM),      # M2^T
             pl.BlockSpec(memory_space=pltpu.VMEM),      # log_kappa
@@ -108,30 +113,34 @@ def make_fused_T_log_ssy(model: SSY,
         interpret=interpret,
     )
 
-    def _primal(ell_mat, mx):
-        return call(ell_mat, mx, M1, M2T, log_kap)
+    def _primal(ell_mat):
+        return call(ell_mat, M1, M2T, log_kap)
 
     @jax.custom_jvp
     def T(ell):
         ell_mat = ell.reshape(rows, cols).astype(dtype)
-        mx = jnp.max(theta * ell_mat).reshape(1, 1)
-        return _primal(ell_mat, jax.lax.stop_gradient(mx)).reshape(disc.shapes)
+        return _primal(ell_mat).reshape(disc.shapes)
 
     @T.defjvp
     def _jvp(primals, tangents):
         (ell,), (dell,) = primals, tangents
         ell_mat = ell.reshape(rows, cols).astype(dtype)
         dell_mat = dell.reshape(rows, cols).astype(dtype)
-        mx = jax.lax.stop_gradient(jnp.max(theta * ell_mat))
-        out = _primal(ell_mat, mx.reshape(1, 1))
-        # Tangent in XLA (transposable, so reverse-mode works too):
-        #   s  = M1 v M2T,  v = exp(theta*ell - mx)
-        #   ds = M1 (theta*v*dell) M2T
-        #   dT = (1 - exp(-T)) * ds / (theta * s)
-        v = jnp.exp(theta * ell_mat - mx)
-        s = M1 @ v @ M2T
-        ds = M1 @ (theta * v * dell_mat) @ M2T
-        dout = (1.0 - jnp.exp(-out)) * ds / (theta * s)
+        out = _primal(ell_mat)
+        # Tangent in XLA (transposable, so reverse-mode works too),
+        # mirroring the kernel's per-step LSE shifts (shift maxima are
+        # constants a.e. so they carry no tangent):
+        p = theta * ell_mat
+        sh1 = jax.lax.stop_gradient(jnp.max(p, axis=0, keepdims=True))
+        e1 = jnp.exp(p - sh1)
+        s1 = M1 @ e1
+        dl1 = (M1 @ (e1 * (theta * dell_mat))) / s1
+        log_u1 = sh1 + jnp.log(s1)
+        sh2 = jax.lax.stop_gradient(jnp.max(log_u1, axis=1, keepdims=True))
+        e2 = jnp.exp(log_u1 - sh2)
+        s2 = e2 @ M2T
+        dlu = ((e2 * dl1) @ M2T) / s2
+        dout = (1.0 - jnp.exp(-out)) * dlu / theta
         return (out.reshape(disc.shapes),
                 dout.reshape(disc.shapes).astype(dtype))
 

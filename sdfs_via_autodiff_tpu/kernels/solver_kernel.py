@@ -42,12 +42,16 @@ def _solver_kernel(theta, beta, ell_ref, tol_ref, maxit_ref,
     M2T = m2t_ref[:]
 
     def T(ell):
+        # Per-step LSE shifts, matching kernels/fused_discrete.py.
         p = theta * ell
-        mx = jnp.max(p)
-        v = jnp.exp(p - mx)
-        u = jnp.dot(M1, v, preferred_element_type=jnp.float32)
-        u = jnp.dot(u, M2T, preferred_element_type=jnp.float32)
-        log_hwt = mx + jnp.log(u) + kap
+        sh1 = jnp.max(p, axis=0, keepdims=True)
+        u = jnp.dot(M1, jnp.exp(p - sh1),
+                    preferred_element_type=jnp.float32)
+        log_u = sh1 + jnp.log(u)
+        sh2 = jnp.max(log_u, axis=1, keepdims=True)
+        u = jnp.dot(jnp.exp(log_u - sh2), M2T,
+                    preferred_element_type=jnp.float32)
+        log_hwt = sh2 + jnp.log(u) + kap
         return jnp.log1p(beta * jnp.exp(log_hwt / theta))
 
     def cond(state):

@@ -117,11 +117,17 @@ def _factored_T(model, grids, degree, space, dtype):
             kg = kappa[expand] * apply_K(w ** theta)
             return 1.0 + beta * kg ** (1.0 / theta)
     else:
+        from ..ops.contract import lse_matmul
+
         def T(ell):
-            p = theta * ell
-            mx = jnp.max(p)
-            u = apply_K(jnp.exp(p - mx))
-            log_kg = mx + jnp.log(u) + log_kappa[expand]
+            a = theta * ell
+            a = lse_matmul(P_lam, a, "lL,LKIYJB->lKIYJB", 0)
+            a = lse_matmul(P_c, a, "kK,lKIYJB->lkIYJB", 1)
+            a = lse_matmul(P_hz, a, "iI,lkIYJB->lkiYJB", 2)
+            a = lse_matmul(P_hzpi, a, "yY,lkiYJB->lkiyJB", 3)
+            a = lse_matmul(P_zpi, a, "ybB,lkiyJB->lkiyJb", 5)
+            a = lse_matmul(P_z, a, "ijbJ,lkiyJb->lkiyjb", 4)
+            log_kg = a + log_kappa[expand]
             return jnp.log1p(beta * jnp.exp(log_kg / theta))
 
     return T

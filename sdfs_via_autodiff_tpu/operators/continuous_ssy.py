@@ -106,11 +106,15 @@ def _factored_T(model, grids, degree, space, dtype):
             kg = kappa[None, :, None, :] * apply_K(w ** theta)
             return 1.0 + beta * kg ** (1.0 / theta)
     else:
+        from ..ops.contract import lse_matmul
+
         def T(ell):
-            p = theta * ell
-            mx = jnp.max(p)
-            u = apply_K(jnp.exp(p - mx))
-            log_kg = mx + jnp.log(u) + log_kappa[None, :, None, :]
+            a = theta * ell
+            a = lse_matmul(P_lam, a, "lL,LKIJ->lKIJ", 0)
+            a = lse_matmul(P_c, a, "kK,lKIJ->lkIJ", 1)
+            a = lse_matmul(P_hz, a, "iI,lkIJ->lkiJ", 2)
+            a = lse_matmul(P_z, a, "ijJ,lkiJ->lkij", 3)
+            log_kg = a + log_kappa[None, :, None, :]
             return jnp.log1p(beta * jnp.exp(log_kg / theta))
 
     return T

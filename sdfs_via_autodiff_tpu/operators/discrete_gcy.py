@@ -22,7 +22,7 @@ each (``z_pi_P``, ``z_P``) — only the state ladders are scaled/shifted.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +140,7 @@ def T_gcy_factory(model: GCY,
                   disc: GCYDiscretization,
                   *,
                   space: str = "w",
+                  baseline: Optional[str] = None,
                   dtype=None,
                   jit: bool = True) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Koopmans operator T for the discretized GCY model as a chain of six
@@ -148,9 +149,18 @@ def T_gcy_factory(model: GCY,
 
     Axis labels in the einsums: a=z, b=z_pi, c=h_z, d=h_c, e=h_zpi,
     l=h_lam; capital = next-period index.
+
+    baseline="loglinear" (log space only): baseline-normalized variant —
+    see :func:`_T_gcy_normalized`.
     """
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
+    if baseline not in (None, "loglinear"):
+        raise ValueError(f"unknown baseline {baseline!r}")
+    if baseline and space != "log":
+        raise ValueError("baseline normalization requires space='log'")
+    if baseline:
+        return _T_gcy_normalized(model, disc, dtype=dtype, jit=jit)
     beta, theta = model.beta, model.theta
     B_lam, A2, A3 = _gcy_factors(model, disc)
     Qc, Qhz, Qhzpi = disc.h_c_Q, disc.h_z_Q, disc.h_zpi_Q
@@ -176,15 +186,20 @@ def T_gcy_factory(model: GCY,
                    * A3[:, :, :, None, :, None] * u)
             return 1.0 + beta * hwt ** (1.0 / theta)
     else:
+        from ..ops.contract import lse_matmul
         log_A2 = jnp.log(A2)
         log_A3 = jnp.log(A3)
 
         def T(ell):
-            p = theta * ell
-            mx = jnp.max(p)
-            u = apply_H(jnp.exp(p - mx))
-            log_hwt = (mx + jnp.log(u)
-                       + log_A2[None, None, None, :, None, None]
+            # Per-axis log-sum-exp contractions (f32-safe at any range).
+            a = theta * ell
+            a = lse_matmul(B_lam, a, "lL,ABCDEL->ABCDEl", 5)
+            a = lse_matmul(Qc, a, "dD,ABCDEl->ABCdEl", 3)
+            a = lse_matmul(Qhz, a, "cC,ABCdEl->ABcdEl", 2)
+            a = lse_matmul(Qhzpi, a, "eE,ABcdEl->ABcdel", 4)
+            a = lse_matmul(zpiP, a, "bB,ABcdel->Abcdel", 1)
+            a = lse_matmul(zP, a, "aA,Abcdel->abcdel", 0)
+            log_hwt = (a + log_A2[None, None, None, :, None, None]
                        + log_A3[:, :, :, None, :, None])
             return jnp.log1p(beta * jnp.exp(log_hwt / theta))
 
@@ -199,3 +214,121 @@ def dense_H_gcy(model: GCY, disc: GCYDiscretization) -> jnp.ndarray:
                      disc.h_zpi_Q, B_lam, A2, A3)
     n = int(np.prod(disc.shapes))
     return H12.reshape(n, n)
+
+
+def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
+                      jit: bool = True):
+    """Log-space GCY operator with the log-linear baseline folded in.
+
+    Six-state analogue of the SSY normalization (see
+    ``discrete_ssy._T_ssy_normalized``): the separable log-linear
+    approximation ell0 distributes into the per-axis transition factors
+    with exact telescoping across the coupled terms (z_pi couples
+    (h_zpi, z_pi); z couples (z_pi, h_z, h_zpi, z), so those components
+    ride the contractions as conditioning batch axes).  Assembled in host
+    float64; keeps every device intermediate at O(exp(theta*(ell-ell0))).
+    """
+    from ..models.gcy import gcy_loglinear_factory
+    from ..ops.contract import lse_matmul
+
+    theta, beta, gamma = model.theta, model.beta, model.gamma
+    work_dtype = dtype or jnp.float32
+    m = model
+
+    co = gcy_loglinear_factory(model).coefficients
+    h_lam = np.asarray(disc.h_lam_states, np.float64)
+    h_c = np.asarray(disc.h_c_states, np.float64)
+    h_z = np.asarray(disc.h_z_states, np.float64)
+    h_zpi = np.asarray(disc.h_zpi_states, np.float64)
+    zpi = np.asarray(disc.z_pi_states, np.float64)      # (e, b)
+    # z_states layout (b, c, e, a) = (i_z_pi, i_h_z, i_h_zpi, i_z)
+    zst = np.asarray(disc.z_states, np.float64)
+
+    phi_l = co["A_hlam"] * h_lam
+    phi_d = co["A_hc"] * (h_c * 2 * m.phi_c**2 + m.phi_c**2)
+    phi_c_ = co["A_hz"] * (h_z * 2 * m.phi_z**2 + m.phi_z**2)
+    phi_e = co["A_hzpi"] * (h_zpi * 2 * m.phi_zpi**2 + m.phi_zpi**2)
+    psi_pi = co["A_zpi"] * zpi                          # (e, b)
+    psi_z = co["A_z"] * zst                             # (b, c, e, a)
+
+    # ell0 on the (a, b, c, d, e, l) grid.
+    ell0 = (co["A0"]
+            + psi_z.transpose(3, 0, 1, 2)[:, :, :, None, :, None]
+            + psi_pi.T[None, :, None, None, :, None]
+            + phi_c_[None, None, :, None, None, None]
+            + phi_d[None, None, None, :, None, None]
+            + phi_e[None, None, None, None, :, None]
+            + phi_l[None, None, None, None, None, :])
+
+    with np.errstate(divide="ignore"):
+        logQ = lambda P: np.log(np.asarray(P, np.float64))
+        lQlam = logQ(disc.h_lam_Q)
+        lQc = logQ(disc.h_c_Q)
+        lQhz = logQ(disc.h_z_Q)
+        lQhzpi = logQ(disc.h_zpi_Q)
+        lzpiP = logQ(disc.z_pi_P)
+        lzP = logQ(disc.z_P)
+
+    t = theta
+    M1 = np.exp(lQlam + t * (h_lam + phi_l)[None, :] - t * phi_l[:, None])
+    M2 = np.exp(lQc + t * (phi_d[None, :] - phi_d[:, None]))
+    # M3[A,B,E,c,C]: contract next-h_z at fixed (A,B,E); psi_z's
+    # C-dependence folds here, rescaled by the current-c slice.
+    psz_ABEC = psi_z.transpose(3, 0, 2, 1)              # (A, B, E, C)
+    M3 = np.exp(lQhz[None, None, None, :, :]
+                + t * (phi_c_[None, None, None, None, :]
+                       - phi_c_[None, None, None, :, None]
+                       + psz_ABEC[:, :, :, None, :]
+                       - psz_ABEC[:, :, :, :, None]))
+    # M4[A,B,c,e,E]: contract next-h_zpi; folds phi_e, psi_pi's
+    # E-dependence, and psi_z's E-dependence.
+    psz_ABCE = psi_z.transpose(3, 0, 1, 2)              # (A, B, C, E)
+    psipi_BE = psi_pi.T                                  # (B, E)
+    M4 = np.exp(lQhzpi[None, None, None, :, :]
+                + t * (phi_e[None, None, None, None, :]
+                       - phi_e[None, None, None, :, None]
+                       + psipi_BE[None, :, None, None, :]
+                       - psipi_BE[None, :, None, :, None]
+                       + psz_ABCE[:, :, :, None, :]
+                       - psz_ABCE[:, :, :, :, None]))
+    # M5[A,c,e,b,B]: contract next-z_pi; folds psi_pi's B-dependence and
+    # psi_z's B-dependence.
+    psz_ACEB = psi_z.transpose(3, 1, 2, 0)              # (A, C, E, B)
+    M5 = np.exp(lzpiP[None, None, None, :, :]
+                + t * (psipi_BE.T[None, None, :, None, :]
+                       - psipi_BE.T[None, None, :, :, None]
+                       + psz_ACEB[:, :, :, None, :]
+                       - psz_ACEB[:, :, :, :, None]))
+    # M6[b,c,e,a,A]: contract next-z; folds psi_z's A-dependence.
+    psz_BCEA = psi_z                                    # (B, C, E, A)
+    M6 = np.exp(lzP[None, None, None, :, :]
+                + t * (psz_BCEA[:, :, :, None, :]
+                       - psz_BCEA[:, :, :, :, None]))
+
+    A2 = np.exp(0.5 * ((1 - gamma) * np.asarray(disc.sigma_c_states)) ** 2)
+    log_A2 = np.log(A2)
+    log_A3 = (1 - gamma) * (m.mu_c + zst.transpose(3, 0, 1, 2))  # (a,b,c,e)
+
+    cast = lambda x: jnp.asarray(x, work_dtype)
+    M1, M2, M3, M4, M5, M6 = map(cast, (M1, M2, M3, M4, M5, M6))
+    ell0_j = cast(ell0)
+    log_A2 = cast(log_A2)
+    log_A3 = cast(log_A3)
+    t_c = jnp.asarray(theta, work_dtype)
+
+    def T(ell):
+        a = t_c * (ell - ell0_j)
+        a = lse_matmul(M1, a, "lL,ABCDEL->ABCDEl", 5)
+        a = lse_matmul(M2, a, "dD,ABCDEl->ABCdEl", 3)
+        a = lse_matmul(M3, a, "ABEcC,ABCdEl->ABcdEl", 2)
+        a = lse_matmul(M4, a, "ABceE,ABcdEl->ABcdel", 4)
+        a = lse_matmul(M5, a, "AcebB,ABcdel->Abcdel", 1)
+        a = lse_matmul(M6, a, "bceaA,Abcdel->abcdel", 0)
+        log_hwt = (t_c * ell0_j + a
+                   + log_A2[None, None, None, :, None, None]
+                   + log_A3[:, :, :, None, :, None])
+        return jnp.log1p(beta * jnp.exp(log_hwt / t_c))
+
+    T = jax.jit(T) if jit else T
+    T.baseline_log_w = ell0_j
+    return T

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,7 @@ def T_ssy_factory(model: SSY,
                   disc: SSYDiscretization,
                   *,
                   space: str = "w",
+                  baseline: Optional[str] = None,
                   dtype=None,
                   jit: bool = True) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the Koopmans operator T for the discretized SSY model.
@@ -153,9 +154,24 @@ def T_ssy_factory(model: SSY,
 
     space="w":   T maps w -> T(w)                  (float64 parity path)
     space="log": T maps log w -> log T(w)          (float32-safe fast path)
+
+    baseline="loglinear" (log space only) folds the separable log-linear
+    closed-form approximation ell0 into the transition factors so the
+    contraction runs on the residual theta*(ell - ell0) — required on wide
+    grids where a single state axis carries more log-range than exp can
+    represent (theta*Delta(ell) beyond ~87 in f32 / on TPU, whose "f64"
+    emulation shares the f32 exponent range).  Exact algebra, better
+    conditioning; iterate should start near the baseline (the returned T
+    exposes ``T.baseline_log_w``).
     """
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
+    if baseline not in (None, "loglinear"):
+        raise ValueError(f"unknown baseline {baseline!r}")
+    if baseline and space != "log":
+        raise ValueError("baseline normalization requires space='log'")
+    if baseline:
+        return _T_ssy_normalized(model, disc, dtype=dtype, jit=jit)
     beta, theta = model.beta, model.theta
     B_lam, A2, A3 = _ssy_factors(model, disc)
     Qc, Qhz, zP = disc.h_c_Q, disc.h_z_Q, disc.z_P
@@ -169,20 +185,20 @@ def T_ssy_factory(model: SSY,
             hwt = _hw_theta_factored(v, B_lam, Qc, Qhz, zP, A2, A3)
             return 1.0 + beta * hwt ** (1.0 / theta)
     else:
+        from ..ops.contract import lse_matmul
         log_A2 = jnp.log(A2)
         log_A3 = jnp.log(A3)
 
         def T(ell):
-            # v = exp(theta*ell - m); m = max(theta*ell) keeps v in (0, 1].
-            p = theta * ell
-            mx = jnp.max(p)
-            v = jnp.exp(p - mx)
-            u = jnp.einsum("lm,mkij->lkij", B_lam, v)
-            u = jnp.einsum("km,lmij->lkij", Qc, u)
-            u = jnp.einsum("im,lkmj->lkij", Qhz, u)
-            u = jnp.einsum("jm,lkim->lkij", zP, u)
-            log_hwt = (mx + jnp.log(u)
-                       + log_A2[None, :, None, None]
+            # Per-axis log-sum-exp contractions: exact for any dynamic
+            # range of theta*ell (a single global shift overflows f32 on
+            # wide Rouwenhorst grids — see ops/contract.py).
+            a = theta * ell
+            a = lse_matmul(B_lam, a, "lm,mkij->lkij", 0)
+            a = lse_matmul(Qc, a, "km,lmij->lkij", 1)
+            a = lse_matmul(Qhz, a, "im,lkmj->lkij", 2)
+            a = lse_matmul(zP, a, "jm,lkim->lkij", 3)
+            log_hwt = (a + log_A2[None, :, None, None]
                        + log_A3[None, None, :, :])
             return jnp.log1p(beta * jnp.exp(log_hwt / theta))
 
@@ -202,3 +218,94 @@ def dense_H_ssy(model: SSY, disc: SSYDiscretization) -> jnp.ndarray:
                     B_lam, disc.h_c_Q, disc.h_z_Q, disc.z_P, A2, A3)
     n = int(np.prod(disc.shapes))
     return H8.reshape(n, n)
+
+
+def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
+                      jit: bool = True):
+    """Log-space operator with the log-linear baseline folded in.
+
+    With ell0 the (separable) log-linear approximation of log w*, the
+    folded kernel H~(x, x') = H(x, x') * exp(theta*(ell0(x') - ell0(x)))
+    satisfies  sum_x' H~(x,x') e^{theta*delta(x')} = e^{-theta*ell0(x)} *
+    (H w^theta)(x)  for delta = ell - ell0.  ell0's per-axis components
+    distribute into the per-axis factors (the z-component, coupled in
+    (i, j), rides the z contraction exactly like the state-dependent z_Q),
+    telescoping exactly — no approximation, only reconditioning: every
+    intermediate is O(e^{theta*delta}), so wide grids stay inside f32
+    range.  Matrices are assembled in host float64 (full exponent range)
+    and cast.
+    """
+    from ..models.ssy import ssy_loglinear_factory
+    from ..ops.contract import lse_matmul
+
+    theta, beta, gamma = model.theta, model.beta, model.gamma
+    work_dtype = dtype or jnp.float32
+
+    ll = ssy_loglinear_factory(model)
+    co = ll.coefficients
+    h_lam = np.asarray(disc.h_lam_states, dtype=np.float64)
+    h_c = np.asarray(disc.h_c_states, dtype=np.float64)
+    h_z = np.asarray(disc.h_z_states, dtype=np.float64)
+    z_states = np.asarray(disc.z_states, dtype=np.float64)
+
+    # Separable baseline components (models/ssy.py wc_loglinear):
+    phi_l = co["A_hlam"] * h_lam
+    phi_k = co["A_hc"] * (h_c * 2 * model.phi_c**2 + model.phi_c**2)
+    phi_i = co["A_hz"] * (h_z * 2 * model.phi_z**2 + model.phi_z**2)
+    psi_ij = co["A_z"] * z_states                       # (i, j)
+    ell0 = (co["A0"] + phi_l[:, None, None, None]
+            + phi_k[None, :, None, None]
+            + phi_i[None, None, :, None]
+            + psi_ij[None, None, :, :])
+
+    # Folded factors, assembled in log space on host (full f64 range).
+    def fold(logP, dnext, dcur):
+        return np.exp(logP + theta * (dnext - dcur))
+
+    def logQ(P):
+        # Corner transition probabilities underflow even host f64 on very
+        # wide chains; log(0) = -inf is the correct sentinel (exp restores
+        # an exact 0 contribution).
+        with np.errstate(divide="ignore"):
+            return np.log(np.asarray(P, dtype=np.float64))
+    B_log = logQ(disc.h_lam_Q) + theta * h_lam[None, :]   # A1 folded
+    M1 = fold(B_log, phi_l[None, :], phi_l[:, None])
+    M2 = fold(logQ(disc.h_c_Q), phi_k[None, :], phi_k[:, None])
+    # Step 3 (contract i' at fixed next-j axis): fold phi_i and the
+    # (i', j')-coupled psi, rescaled by the current-(i, j') psi.
+    # M3[j, i, ip] = Qhz[i, ip] * exp(theta*(phi_i[ip] - phi_i[i]
+    #                                + psi[ip, j] - psi[i, j]))
+    M3 = np.exp(logQ(disc.h_z_Q)[None, :, :]
+                + theta * (phi_i[None, None, :] - phi_i[None, :, None]
+                           + psi_ij.T[:, None, :]
+                           - psi_ij.T[:, :, None]))
+    # Step 4 (contract j' at fixed i): remaining telescope factor.
+    # M4[i, j, jp] = zP[j, jp] * exp(theta*(psi[i, jp] - psi[i, j]))
+    M4 = np.exp(logQ(disc.z_P)[None, :, :]
+                + theta * (psi_ij[:, None, :] - psi_ij[:, :, None]))
+
+    A2 = np.exp(0.5 * ((1 - gamma) * np.asarray(disc.sigma_c_states)) ** 2)
+    log_A2 = np.log(A2)
+    log_A3 = (1 - gamma) * (model.mu_c + z_states)
+
+    cast = lambda a: jnp.asarray(a, dtype=work_dtype)
+    M1, M2, M3, M4 = map(cast, (M1, M2, M3, M4))
+    ell0_j = cast(ell0)
+    log_A2 = cast(log_A2)
+    log_A3 = cast(log_A3)
+    theta_c = jnp.asarray(theta, work_dtype)
+
+    def T(ell):
+        a = theta_c * (ell - ell0_j)
+        a = lse_matmul(M1, a, "lm,mkij->lkij", 0)
+        a = lse_matmul(M2, a, "km,lmij->lkij", 1)
+        a = lse_matmul(M3, a, "jim,lkmj->lkij", 2)
+        a = lse_matmul(M4, a, "ijm,lkim->lkij", 3)
+        log_hwt = (theta_c * ell0_j + a
+                   + log_A2[None, :, None, None]
+                   + log_A3[None, None, :, :])
+        return jnp.log1p(beta * jnp.exp(log_hwt / theta_c))
+
+    T = jax.jit(T) if jit else T
+    T.baseline_log_w = ell0_j
+    return T

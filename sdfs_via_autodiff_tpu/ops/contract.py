@@ -1,0 +1,38 @@
+"""Log-sum-exp factored contractions.
+
+``log(M @ exp(a))`` computed with a shift along the contracted axis:
+
+    m = max(a, axis); result = m + log(M @ exp(a - m))
+
+Each step stays a dense matmul on the MXU with all exponentials in (0, 1].
+A *single global* shift (as in a naive log-space formulation) overflows
+f32 once the iterate's dynamic range exceeds exp's range — at the SSY
+calibration theta*Delta(log w) passes the f32 limit (~87) already on
+~50^4 Rouwenhorst grids, whose ladders span ±7 standard deviations.  The
+per-axis shifts here are exact (no clamping) and cost one max/exp/log per
+contraction step.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["lse_matmul"]
+
+
+def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
+               axis: int) -> jnp.ndarray:
+    """log of ``einsum(subscripts, M, exp(log_v))`` with a per-slice shift
+    over the contracted ``axis`` of ``log_v``.
+
+    ``subscripts`` must contract exactly the given axis of ``log_v`` and
+    produce an output whose shape broadcasts against
+    ``max(log_v, axis, keepdims=True)`` (true for all the per-axis
+    contractions used by the operators, where the contracted axis is
+    replaced by the matching current-state axis in place).
+
+    All entries of ``M`` must be non-negative.
+    """
+    m = jnp.max(log_v, axis=axis, keepdims=True)
+    u = jnp.einsum(subscripts, M, jnp.exp(log_v - m))
+    return m + jnp.log(u)

@@ -158,9 +158,14 @@ def newton_solver(T: Callable,
             # spurious point.
             bad = ~jnp.all(jnp.isfinite(gx)) | ~jnp.all(jnp.isfinite(x_new))
             if safeguard:
+                # Reject candidates that are non-finite OR blow the
+                # residual up by >10x (low-precision Krylov can emit
+                # finite-but-garbage steps far from the solution); fall
+                # back to a plain fixed-point step T(x) = x + g(x).
                 g_cand = g(x_new)
-                bad = bad | ~jnp.all(jnp.isfinite(g_cand))
-                # Plain fixed-point step T(x) = x + g(x) as the fallback.
+                grew = (jnp.max(jnp.abs(g_cand))
+                        > 10.0 * jnp.max(jnp.abs(gx)))
+                bad = bad | ~jnp.all(jnp.isfinite(g_cand)) | grew
                 return jnp.where(bad, x + gx, x_new)
             return jnp.where(bad, jnp.nan, x_new)
     else:

@@ -82,3 +82,31 @@ def test_solvers_agree(setup):
     w_newt = solve(T, w0, method="newton", tol=1e-10).x
     np.testing.assert_allclose(np.asarray(w_succ), np.asarray(w_newt),
                                atol=1e-7)
+
+
+def test_normalized_operator_matches_plain(setup, rng):
+    model, disc = setup
+    T_plain = T_gcy_factory(model, disc, space="log")
+    T_norm = T_gcy_factory(model, disc, space="log", baseline="loglinear",
+                           dtype=jnp.float64)
+    ell = jnp.asarray(np.asarray(T_norm.baseline_log_w)
+                      + 0.05 * rng.standard_normal(SHAPES))
+    np.testing.assert_allclose(np.asarray(T_norm(ell)),
+                               np.asarray(T_plain(ell)), atol=1e-11)
+    res_n = solve(T_norm, T_norm.baseline_log_w, method="newton", tol=1e-11)
+    res_p = solve(T_plain, jnp.full(SHAPES, jnp.log(800.0)), method="newton",
+                  tol=1e-11)
+    assert bool(res_n.converged)
+    np.testing.assert_allclose(np.asarray(res_n.x), np.asarray(res_p.x),
+                               atol=1e-9)
+
+
+def test_normalized_f32_wide_grid_stays_finite():
+    model = GCY()
+    disc = discretize_gcy(model, (40, 3, 3, 3, 3, 3), dtype=jnp.float32)
+    T = T_gcy_factory(model, disc, space="log", baseline="loglinear",
+                      dtype=jnp.float32)
+    ell = T.baseline_log_w
+    for _ in range(25):
+        ell = T(ell)
+    assert bool(jnp.all(jnp.isfinite(ell)))

@@ -110,3 +110,47 @@ def test_reference_tuple_layout(setup):
     assert arrays[6].shape == (n_i, n_j)           # z_states
     assert arrays[7].shape == (n_i, n_j, n_j)      # z_Q family
     np.testing.assert_allclose(np.asarray(arrays[7]).sum(-1), 1.0, rtol=1e-12)
+
+
+def test_normalized_operator_matches_plain(setup, rng):
+    # Baseline normalization is exact algebra: same operator values and
+    # the same fixed point.
+    model, disc = setup
+    T_plain = T_ssy_factory(model, disc, space="log")
+    T_norm = T_ssy_factory(model, disc, space="log", baseline="loglinear",
+                           dtype=jnp.float64)
+    ell = jnp.asarray(np.asarray(T_norm.baseline_log_w)
+                      + 0.05 * rng.standard_normal(SHAPES))
+    np.testing.assert_allclose(np.asarray(T_norm(ell)),
+                               np.asarray(T_plain(ell)), atol=1e-11)
+    res_n = solve(T_norm, T_norm.baseline_log_w, method="newton", tol=1e-11)
+    res_p = solve(T_plain, jnp.full(SHAPES, jnp.log(800.0)), method="newton",
+                  tol=1e-11)
+    assert bool(res_n.converged)
+    np.testing.assert_allclose(np.asarray(res_n.x), np.asarray(res_p.x),
+                               atol=1e-9)
+
+
+def test_normalized_f32_wide_grid_stays_finite():
+    # On wide Rouwenhorst grids a single state axis carries more log-range
+    # than f32 exp can represent; the baseline-normalized operator stays
+    # finite where the plain log-space operator overflows.
+    model = SSY()
+    disc32 = discretize_ssy(model, (4, 4, 4, 48), dtype=jnp.float32)
+    T_norm = T_ssy_factory(model, disc32, space="log", baseline="loglinear",
+                           dtype=jnp.float32)
+    ell = T_norm.baseline_log_w
+    for _ in range(30):
+        ell = T_norm(ell)
+    assert bool(jnp.all(jnp.isfinite(ell)))
+    # Converges toward the f64 fixed point of the plain operator.
+    disc64 = discretize_ssy(model, (4, 4, 4, 48))
+    T64 = T_ssy_factory(model, disc64, space="log")
+    ref = solve(T64, jnp.asarray(T_norm.baseline_log_w, jnp.float64),
+                method="newton", tol=1e-11)
+    res = solve(T_norm, ell, method="newton", tol=3e-5)
+    assert bool(res.converged)
+    rel = np.max(np.abs(np.exp(np.asarray(res.x, np.float64))
+                        - np.exp(np.asarray(ref.x)))
+                 / np.exp(np.asarray(ref.x)))
+    assert rel < 1e-3
