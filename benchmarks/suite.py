@@ -1,0 +1,113 @@
+"""Multi-metric benchmark suite (writes BENCH_SUITE.json).
+
+Richer companion to the single-line ``bench.py``: exercises the
+configurations from BASELINE.json across precision tiers and operator
+paths on whatever backend is active.  Each entry reports wall time with
+compilation excluded (second run of a cached solve).
+
+Run:  python -m benchmarks.suite [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args):
+    out = jax.block_until_ready(fn(*args))   # compile
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))
+    return time.perf_counter() - t0, out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the large-grid entries")
+    ap.add_argument("--out", default="BENCH_SUITE.json")
+    args = ap.parse_args(argv)
+
+    from sdfs_via_autodiff_tpu import (
+        GCY, SSY, build_grid_ssy, discretize_gcy, discretize_ssy,
+        solve, T_gcy_factory, T_ssy_factory)
+    from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+        T_ssy_continuous_factory)
+    from sdfs_via_autodiff_tpu.kernels.solver_kernel import (
+        make_fused_solver_ssy_continuous)
+
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0]), "entries": []}
+
+    def add(name, seconds, detail):
+        results["entries"].append(
+            dict(name=name, seconds=round(seconds, 4), **detail))
+        print(f"{name}: {seconds:.4f}s {detail}")
+
+    ssy, gcy = SSY(), GCY()
+
+    # 1. Discrete SSY Newton, 10^4 grid (reference sandpit config), f64 log.
+    disc = discretize_ssy(ssy, (10, 10, 10, 10))
+    T = T_ssy_factory(ssy, disc, space="log")
+    ell0 = jnp.full((10, 10, 10, 10), jnp.log(800.0))
+    s, res = timed(lambda x: solve(T, x, method="newton", tol=1e-10).x, ell0)
+    add("ssy_discrete_newton_10^4_f64log_tol1e-10", s,
+        dict(points=10_000))
+
+    # 2. Discrete GCY Newton, 5^6, f64 log.
+    gdisc = discretize_gcy(gcy, (5,) * 6)
+    Tg = T_gcy_factory(gcy, gdisc, space="log")
+    g0 = jnp.full((5,) * 6, jnp.log(800.0))
+    s, _ = timed(lambda x: solve(Tg, x, method="newton", tol=1e-10).x, g0)
+    add("gcy_discrete_newton_5^6_f64log_tol1e-10", s, dict(points=5**6))
+
+    # 3. Continuous SSY Newton, 15^4 (reference default working grid),
+    #    factored pre-interp, f64 log.
+    grids = build_grid_ssy(ssy, 15, 15, 15, 15)
+    Tc = T_ssy_continuous_factory(ssy, grids, interp="pre", space="log")
+    c0 = jnp.full((15,) * 4, jnp.log(800.0))
+    s, _ = timed(lambda x: solve(Tc, x, method="newton", tol=1e-9).x, c0)
+    add("ssy_continuous_newton_15^4_factored_f64log", s, dict(points=15**4))
+
+    # 4. Whole-solve Pallas kernel, continuous 20^4 (reference's largest
+    #    recorded config), f32: fixed 20k iterations.
+    grids32 = build_grid_ssy(ssy, 20, 20, 20, 20, dtype=jnp.float32)
+    try:
+        fsolve = make_fused_solver_ssy_continuous(ssy, grids32)
+        f0 = jnp.full((20,) * 4, jnp.log(800.0), dtype=jnp.float32)
+        s, out = timed(lambda x: fsolve(x, 0.0, 20_000)[0], f0)
+        add("ssy_continuous_fused_kernel_20^4_f32_20k_iters", s,
+            dict(points=20**4, iters=20_000,
+                 us_per_iter=round(s / 20_000 * 1e6, 2)))
+    except Exception as e:  # pallas unsupported on this backend
+        add("ssy_continuous_fused_kernel_20^4_f32_20k_iters", -1,
+            dict(skipped=str(e)[:120]))
+
+    # 5. Large-grid operator throughput, continuous 48^4 f32 (20 apps).
+    if not args.quick:
+        grids48 = build_grid_ssy(ssy, 48, 48, 48, 48, dtype=jnp.float32)
+        T48 = T_ssy_continuous_factory(ssy, grids48, interp="pre",
+                                       space="log", dtype=jnp.float32)
+        x = jnp.full((48,) * 4, jnp.log(800.0), dtype=jnp.float32)
+
+        def apps20(x0):
+            def body(i, v):
+                return T48(v)
+            return jax.lax.fori_loop(0, 20, body, x0)
+
+        s, _ = timed(jax.jit(apps20), x)
+        add("ssy_continuous_T_48^4_f32_20apps", s,
+            dict(points=48**4,
+                 M_point_updates_per_s=round(20 * 48**4 / s / 1e6)))
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from .models.gcy import GCY
@@ -54,6 +53,12 @@ def _auto_space() -> str:
 
 
 def _run_solver(T, w0, space, algorithm, tol, solver_opts) -> WCSolution:
+    import warnings
+    if jnp.result_type(w0) == jnp.float32 and tol < 5e-6:
+        warnings.warn(
+            f"tol={tol:g} is below the float32 iteration floor (~5e-6 on "
+            "the log iterate); the solve may stall at max_iter. Use "
+            "float64 or relax tol.", stacklevel=3)
     if space == "log":
         x0 = jnp.log(w0)
         res = solve(T, x0, method=algorithm, tol=tol, **solver_opts)

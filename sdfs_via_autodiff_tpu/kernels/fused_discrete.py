@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.ssy import SSY
 from ..operators.discrete_ssy import SSYDiscretization, _ssy_factors
 
-__all__ = ["make_fused_T_log_ssy", "kron_operands_ssy"]
+__all__ = ["make_fused_T_log_ssy", "kron_operands_ssy",
+           "kron_operands_ssy_continuous", "make_fused_T_from_operands"]
 
 # Keep the whole working set comfortably inside ~16 MB of VMEM.
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
@@ -76,27 +77,58 @@ def _fused_kernel(theta, beta, ell_ref, m1_ref, m2t_ref, kap_ref, out_ref):
     out_ref[:] = jnp.log1p(beta * jnp.exp(log_hwt / theta))
 
 
-def make_fused_T_log_ssy(model: SSY,
-                         disc: SSYDiscretization,
-                         dtype=jnp.float32,
-                         interpret: bool = False) -> Callable:
-    """Build the fused log-space T as a differentiable callable.
+def kron_operands_ssy_continuous(model: SSY, grids, degree: int = 5,
+                                 dtype=jnp.float32):
+    """(M1, M2T, log_kappa) for the *continuous* factored operator
+    (quadrature, pre-power interpolation) in the same two-matmul form.
 
-    The returned function maps ell (n_l, n_k, n_i, n_j) -> T-image with the
-    same shape/dtype; it carries a custom JVP so Newton's matrix-free
-    Jacobian products work (tangent computed with XLA einsums on the same
-    kron operands).
+    M1 = kron(P_lam, P_c); the (h_z, z) block composes the h_z expectation
+    matrix with the (i, j)-conditional z expectation matrix into one dense
+    (n_i*n_j, n_i*n_j) operand C[(i,j),(i',j')] = P_hz[i,i'] * P_z[i,j,j'].
     """
-    theta, beta = model.theta, model.beta
-    n_l, n_k, n_i, n_j = disc.shapes
-    rows, cols = n_l * n_k, n_i * n_j
-    M1, M2T, log_kap = kron_operands_ssy(model, disc, dtype)
+    from ..operators.continuous_common import expectation_matrix
+    from ..operators.continuous_ssy import _log_kappa_ssy
+    from ..ops.quadrature import gauss_hermite_normal
 
+    theta = model.theta
+    m = model
+    h_lam_grid, h_c_grid, h_z_grid, z_grid = grids
+    eta, omega = map(jnp.asarray, gauss_hermite_normal(degree))
+    P_lam = expectation_matrix(h_lam_grid, m.rho_lam * h_lam_grid, m.s_lam,
+                               eta, omega,
+                               payoff=lambda xn: jnp.exp(theta * xn))
+    P_c = expectation_matrix(h_c_grid, m.rho_c * h_c_grid, m.s_c, eta, omega)
+    P_hz = expectation_matrix(h_z_grid, m.rho_z * h_z_grid, m.s_z, eta, omega)
+    sigma_z = m.phi_z * jnp.exp(h_z_grid)
+    P_z = expectation_matrix(z_grid,
+                             jnp.broadcast_to(m.rho * z_grid,
+                                              (len(h_z_grid), len(z_grid))),
+                             sigma_z[:, None], eta, omega)
+    n_i, n_j = len(h_z_grid), len(z_grid)
+    C = P_hz[:, None, :, None] * P_z[:, :, None, :]       # (i, j, i', j')
+    M1 = jnp.kron(P_lam, P_c)
+    M2T = C.reshape(n_i * n_j, n_i * n_j).T
+    n_l, n_k = len(h_lam_grid), len(h_c_grid)
+    log_kap = _log_kappa_ssy(m, h_c_grid[:, None], z_grid[None, :])  # (k, j)
+    full = jnp.broadcast_to(log_kap[None, :, None, :],
+                            (n_l, n_k, n_i, n_j))
+    return (M1.astype(dtype), M2T.astype(dtype),
+            full.reshape(n_l * n_k, n_i * n_j).astype(dtype))
+
+
+def make_fused_T_from_operands(M1, M2T, log_kap, theta, beta, shapes,
+                               rows, cols, dtype=jnp.float32,
+                               interpret: bool = False) -> Callable:
+    """Fused two-matmul log-space T from prebuilt operands.
+
+    Shared machinery for the discrete and continuous SSY kernels; carries
+    a custom JVP (XLA-side tangent, transposable — reverse-mode works).
+    """
     working = (rows * cols * 4 + rows * rows + cols * cols) * np.dtype(
         jnp.float32).itemsize
     if working > _VMEM_BUDGET_BYTES:
         raise ValueError(
-            f"state space {disc.shapes} needs ~{working/2**20:.1f} MiB VMEM; "
+            f"state space {shapes} needs ~{working/2**20:.1f} MiB VMEM; "
             "use the XLA factored operator for grids this large")
 
     kernel = partial(_fused_kernel, theta, beta)
@@ -119,7 +151,7 @@ def make_fused_T_log_ssy(model: SSY,
     @jax.custom_jvp
     def T(ell):
         ell_mat = ell.reshape(rows, cols).astype(dtype)
-        return _primal(ell_mat).reshape(disc.shapes)
+        return _primal(ell_mat).reshape(shapes)
 
     @T.defjvp
     def _jvp(primals, tangents):
@@ -141,7 +173,37 @@ def make_fused_T_log_ssy(model: SSY,
         s2 = e2 @ M2T
         dlu = ((e2 * dl1) @ M2T) / s2
         dout = (1.0 - jnp.exp(-out)) * dlu / theta
-        return (out.reshape(disc.shapes),
-                dout.reshape(disc.shapes).astype(dtype))
+        return (out.reshape(shapes),
+                dout.reshape(shapes).astype(dtype))
 
     return T
+
+
+def make_fused_T_log_ssy(model: SSY,
+                         disc: SSYDiscretization,
+                         dtype=jnp.float32,
+                         interpret: bool = False) -> Callable:
+    """Fused log-space T for the *discrete* SSY operator (kron operands).
+
+    Maps ell (n_l, n_k, n_i, n_j) -> T-image, differentiable (custom JVP).
+    """
+    n_l, n_k, n_i, n_j = disc.shapes
+    M1, M2T, log_kap = kron_operands_ssy(model, disc, dtype)
+    return make_fused_T_from_operands(
+        M1, M2T, log_kap, model.theta, model.beta, disc.shapes,
+        n_l * n_k, n_i * n_j, dtype=dtype, interpret=interpret)
+
+
+def make_fused_T_log_ssy_continuous(model: SSY, grids, degree: int = 5,
+                                    dtype=jnp.float32,
+                                    interpret: bool = False) -> Callable:
+    """Fused log-space T for the *continuous* SSY operator (quadrature,
+    pre-power interpolation) — same two-matmul kernel with the composed
+    (h_z, z) expectation operand."""
+    shapes = tuple(len(g) for g in grids)
+    n_l, n_k, n_i, n_j = shapes
+    M1, M2T, log_kap = kron_operands_ssy_continuous(model, grids, degree,
+                                                    dtype)
+    return make_fused_T_from_operands(
+        M1, M2T, log_kap, model.theta, model.beta, shapes,
+        n_l * n_k, n_i * n_j, dtype=dtype, interpret=interpret)

@@ -21,15 +21,16 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ssy import SSY
 from ..operators.discrete_ssy import SSYDiscretization
-from .fused_discrete import kron_operands_ssy, _VMEM_BUDGET_BYTES
+from .fused_discrete import (kron_operands_ssy, kron_operands_ssy_continuous,
+                             _VMEM_BUDGET_BYTES)
 
-__all__ = ["make_fused_solver_ssy"]
+__all__ = ["make_fused_solver_ssy", "make_fused_solver_from_operands",
+           "make_fused_solver_ssy_continuous"]
 
 
 def _solver_kernel(theta, beta, ell_ref, tol_ref, maxit_ref,
@@ -71,20 +72,14 @@ def _solver_kernel(theta, beta, ell_ref, tol_ref, maxit_ref,
     err_ref[0] = err
 
 
-def make_fused_solver_ssy(model: SSY,
-                          disc: SSYDiscretization,
-                          interpret: bool = False) -> Callable:
-    """Build ``solve(ell0, tol, max_iter) -> (ell_star, iters, residual)``
-    running entirely on-chip (f32)."""
-    theta, beta = model.theta, model.beta
-    n_l, n_k, n_i, n_j = disc.shapes
-    rows, cols = n_l * n_k, n_i * n_j
-    M1, M2T, log_kap = kron_operands_ssy(model, disc, jnp.float32)
-
+def make_fused_solver_from_operands(M1, M2T, log_kap, theta, beta, shapes,
+                                    rows, cols,
+                                    interpret: bool = False) -> Callable:
+    """Whole-solve kernel from prebuilt two-matmul operands (f32)."""
     working = (rows * cols * 5 + rows * rows + cols * cols) * 4
     if working > _VMEM_BUDGET_BYTES:
         raise ValueError(
-            f"state space {disc.shapes} needs ~{working/2**20:.1f} MiB VMEM; "
+            f"state space {shapes} needs ~{working/2**20:.1f} MiB VMEM; "
             "use the XLA solver for grids this large")
 
     kernel = partial(_solver_kernel, theta, beta)
@@ -119,6 +114,30 @@ def make_fused_solver_ssy(model: SSY,
             jnp.asarray([tol], jnp.float32),
             jnp.asarray([max_iter], jnp.int32),
             M1, M2T, log_kap)
-        return ell.reshape(disc.shapes), iters[0], err[0]
+        return ell.reshape(shapes), iters[0], err[0]
 
     return solve_fused
+
+
+def make_fused_solver_ssy(model: SSY,
+                          disc: SSYDiscretization,
+                          interpret: bool = False) -> Callable:
+    """Whole-solve kernel for the discrete SSY operator."""
+    n_l, n_k, n_i, n_j = disc.shapes
+    M1, M2T, log_kap = kron_operands_ssy(model, disc, jnp.float32)
+    return make_fused_solver_from_operands(
+        M1, M2T, log_kap, model.theta, model.beta, disc.shapes,
+        n_l * n_k, n_i * n_j, interpret=interpret)
+
+
+def make_fused_solver_ssy_continuous(model: SSY, grids, degree: int = 5,
+                                     interpret: bool = False) -> Callable:
+    """Whole-solve kernel for the continuous SSY operator (quadrature,
+    pre-power interpolation)."""
+    shapes = tuple(len(g) for g in grids)
+    n_l, n_k, n_i, n_j = shapes
+    M1, M2T, log_kap = kron_operands_ssy_continuous(model, grids, degree,
+                                                    jnp.float32)
+    return make_fused_solver_from_operands(
+        M1, M2T, log_kap, model.theta, model.beta, shapes,
+        n_l * n_k, n_i * n_j, interpret=interpret)

@@ -22,7 +22,6 @@ Two operator spaces are provided:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

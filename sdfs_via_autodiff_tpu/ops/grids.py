@@ -14,7 +14,6 @@ import math
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.gcy import GCY
 from ..models.ssy import SSY

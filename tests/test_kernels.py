@@ -119,3 +119,40 @@ def test_vmem_guard():
         make_fused_T_log_ssy(model, disc)
     with pytest.raises(ValueError):
         make_fused_solver_ssy(model, disc)
+
+
+def test_fused_continuous_T_matches_xla(rng):
+    from sdfs_via_autodiff_tpu import build_grid_ssy
+    from sdfs_via_autodiff_tpu.kernels.fused_discrete import (
+        make_fused_T_log_ssy_continuous)
+    from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+        T_ssy_continuous_factory)
+    model = SSY()
+    grids = build_grid_ssy(model, 6, 6, 6, 8)
+    T64 = T_ssy_continuous_factory(model, grids, interp="pre", space="log",
+                                   quad_degree=5)
+    T_fused = make_fused_T_log_ssy_continuous(model, grids, degree=5,
+                                              interpret=True)
+    ell = jnp.asarray(np.log(700) + 0.05 * rng.standard_normal((6, 6, 6, 8)))
+    a = np.asarray(T64(ell))
+    b = np.asarray(T_fused(ell.astype(jnp.float32))).astype(np.float64)
+    assert np.max(np.abs(a - b)) < 5e-6
+
+
+def test_fused_continuous_solver(rng):
+    from sdfs_via_autodiff_tpu import build_grid_ssy, solve
+    from sdfs_via_autodiff_tpu.kernels.solver_kernel import (
+        make_fused_solver_ssy_continuous)
+    from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+        T_ssy_continuous_factory)
+    model = SSY()
+    grids = build_grid_ssy(model, 6, 6, 6, 8)
+    fsolve = make_fused_solver_ssy_continuous(model, grids, interpret=True)
+    ell0 = jnp.full((6, 6, 6, 8), jnp.log(800.0))
+    ell, iters, err = fsolve(ell0, 1e-6, 100_000)
+    assert float(err) <= 1e-6
+    T64 = T_ssy_continuous_factory(model, grids, interp="pre", space="log")
+    ref = solve(T64, ell0, method="newton", tol=1e-11)
+    w_diff = np.max(np.abs(np.exp(np.asarray(ell, np.float64))
+                           - np.exp(np.asarray(ref.x))))
+    assert w_diff < 2.0
