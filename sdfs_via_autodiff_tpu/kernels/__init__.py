@@ -1,10 +1,17 @@
 from .fused_discrete import (make_fused_T_log_ssy, kron_operands_ssy,
                              kron_operands_ssy_continuous,
                              make_fused_T_from_operands,
-                             make_fused_T_log_ssy_continuous)
-from .solver_kernel import make_fused_solver_ssy
+                             make_fused_T_log_ssy_continuous,
+                             kron_operands_gcy, make_fused_T_log_gcy,
+                             make_xla_T_from_operands)
+from .solver_kernel import (make_fused_solver_ssy,
+                            make_fused_solver_from_operands,
+                            make_fused_solver_ssy_continuous,
+                            make_fused_solver_gcy)
 
 __all__ = ["make_fused_T_log_ssy", "kron_operands_ssy",
            "kron_operands_ssy_continuous", "make_fused_T_from_operands",
            "make_fused_T_log_ssy_continuous", "make_fused_solver_ssy",
-           "make_fused_solver_from_operands"]
+           "make_fused_solver_from_operands", "make_fused_solver_ssy_continuous",
+           "kron_operands_gcy", "make_fused_T_log_gcy",
+           "make_fused_solver_gcy", "make_xla_T_from_operands"]

@@ -207,3 +207,61 @@ def make_fused_T_log_ssy_continuous(model: SSY, grids, degree: int = 5,
     return make_fused_T_from_operands(
         M1, M2T, log_kap, model.theta, model.beta, shapes,
         n_l * n_k, n_i * n_j, dtype=dtype, interpret=interpret)
+
+
+def make_xla_T_from_operands(M1, M2T, log_kap, theta, beta, shapes,
+                             rows, cols, dtype=jnp.float32) -> Callable:
+    """Two-matmul log-space T in plain XLA (no Pallas, no VMEM cap).
+
+    Same math as the fused kernel — two dense contractions with per-step
+    LSE shifts — but lowered through ordinary jnp ops, so it runs at any
+    size, shards under GSPMD, and differentiates natively.  Also a
+    workaround for backends where the *batched* per-axis einsum's JVP is
+    fragile: this form contains only plain matmuls.
+    """
+    theta_c = jnp.asarray(theta, dtype)
+
+    def T(ell):
+        p = theta_c * ell.reshape(rows, cols).astype(dtype)
+        sh1 = jnp.max(p, axis=0, keepdims=True)
+        u = M1 @ jnp.exp(p - sh1)
+        log_u = sh1 + jnp.log(u)
+        sh2 = jnp.max(log_u, axis=1, keepdims=True)
+        u = jnp.exp(log_u - sh2) @ M2T
+        log_hwt = sh2 + jnp.log(u) + log_kap
+        return jnp.log1p(beta * jnp.exp(log_hwt / theta_c)).reshape(shapes)
+
+    return T
+
+
+def kron_operands_gcy(model, disc, dtype=jnp.float32):
+    """(M1, M2T, log_kappa) for the discrete GCY operator in two-matmul
+    form: rows group (z, z_pi, h_z), columns group (h_c, h_zpi, h_lam).
+
+    All conditional chains share their transition matrices (see
+    ``operators/discrete_gcy.py``), so both groups are pure Kronecker
+    products:  M1 = zP (x) zpiP (x) Qhz,  M2 = Qc (x) Qhzpi (x) B_lam.
+    """
+    from ..operators.discrete_gcy import _gcy_factors
+
+    B_lam, A2, A3 = _gcy_factors(model, disc)
+    n_a, n_b, n_c, n_d, n_e, n_l = disc.shapes
+    M1 = jnp.kron(disc.z_P, jnp.kron(disc.z_pi_P, disc.h_z_Q))
+    M2 = jnp.kron(disc.h_c_Q, jnp.kron(disc.h_zpi_Q, B_lam))
+    # log kappa over (a,b,c,d,e,l): A2 over d, A3 over (a,b,c,e).
+    log_kap = (jnp.log(A2)[None, None, None, :, None, None]
+               + jnp.log(A3)[:, :, :, None, :, None]
+               + jnp.zeros((1, 1, 1, 1, 1, n_l)))
+    log_kap = jnp.broadcast_to(log_kap, disc.shapes)
+    log_kap = log_kap.reshape(n_a * n_b * n_c, n_d * n_e * n_l)
+    return (M1.astype(dtype), M2.T.astype(dtype), log_kap.astype(dtype))
+
+
+def make_fused_T_log_gcy(model, disc, dtype=jnp.float32,
+                         interpret: bool = False) -> Callable:
+    """Fused log-space T for the discrete GCY operator."""
+    n_a, n_b, n_c, n_d, n_e, n_l = disc.shapes
+    M1, M2T, log_kap = kron_operands_gcy(model, disc, dtype)
+    return make_fused_T_from_operands(
+        M1, M2T, log_kap, model.theta, model.beta, disc.shapes,
+        n_a * n_b * n_c, n_d * n_e * n_l, dtype=dtype, interpret=interpret)

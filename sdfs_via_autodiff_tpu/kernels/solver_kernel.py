@@ -26,11 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ssy import SSY
 from ..operators.discrete_ssy import SSYDiscretization
-from .fused_discrete import (kron_operands_ssy, kron_operands_ssy_continuous,
+from .fused_discrete import (kron_operands_gcy, kron_operands_ssy,
+                             kron_operands_ssy_continuous,
                              _VMEM_BUDGET_BYTES)
 
 __all__ = ["make_fused_solver_ssy", "make_fused_solver_from_operands",
-           "make_fused_solver_ssy_continuous"]
+           "make_fused_solver_ssy_continuous", "make_fused_solver_gcy"]
 
 
 def _solver_kernel(theta, beta, ell_ref, tol_ref, maxit_ref,
@@ -141,3 +142,12 @@ def make_fused_solver_ssy_continuous(model: SSY, grids, degree: int = 5,
     return make_fused_solver_from_operands(
         M1, M2T, log_kap, model.theta, model.beta, shapes,
         n_l * n_k, n_i * n_j, interpret=interpret)
+
+
+def make_fused_solver_gcy(model, disc, interpret: bool = False) -> Callable:
+    """Whole-solve kernel for the discrete GCY operator."""
+    n_a, n_b, n_c, n_d, n_e, n_l = disc.shapes
+    M1, M2T, log_kap = kron_operands_gcy(model, disc, jnp.float32)
+    return make_fused_solver_from_operands(
+        M1, M2T, log_kap, model.theta, model.beta, disc.shapes,
+        n_a * n_b * n_c, n_d * n_e * n_l, interpret=interpret)

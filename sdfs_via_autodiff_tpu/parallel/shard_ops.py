@@ -1,0 +1,104 @@
+"""Explicit shard_map operators with hand-placed ICI collectives.
+
+The default multi-device path lets GSPMD partition the einsum chains
+(``parallel/mesh.py``).  This module is the explicit counterpart for the
+discrete SSY log-space operator: w is sharded over its leading (h_lam)
+grid axis, and the one contraction that crosses shards — over next-h_lam —
+is written as
+
+    local partial matmul  ->  psum_scatter over the mesh axis
+
+i.e. a reduce-scatter riding ICI, with the per-axis log-sum-exp shift's
+max computed by ``lax.pmax``.  The remaining three contractions are
+shard-local.  This is the communication shape SURVEY.md §5 describes for
+sharded-axis contractions (a ring-reduce identical in structure to ring
+attention's KV pass); XLA lowers psum_scatter to exactly that on a ring.
+
+Used for: pinning down the collective pattern (tested bit-for-bit against
+the GSPMD path on virtual meshes) and as the template for multi-slice
+(DCN) layouts later.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.experimental.shard_map import shard_map
+
+from ..models.ssy import SSY
+from ..operators.discrete_ssy import SSYDiscretization, _ssy_factors
+
+__all__ = ["T_ssy_shard_map_factory"]
+
+
+def T_ssy_shard_map_factory(model: SSY,
+                            disc: SSYDiscretization,
+                            mesh: Mesh,
+                            axis_name: str = "dp",
+                            dtype=None) -> Callable:
+    """Log-space discrete SSY operator as an explicit shard_map program.
+
+    The iterate is sharded over grid axis 0 (h_lam) on ``axis_name``;
+    returns a jitted T preserving that sharding.  Requires
+    n_h_lam % mesh.shape[axis_name] == 0.
+    """
+    beta, theta = model.beta, model.theta
+    n_l = disc.shapes[0]
+    n_dev = mesh.shape[axis_name]
+    if n_l % n_dev:
+        raise ValueError(f"h_lam axis {n_l} not divisible by mesh axis "
+                         f"{axis_name}={n_dev}")
+
+    B_lam, A2, A3 = _ssy_factors(model, disc)
+    log_A2, log_A3 = jnp.log(A2), jnp.log(A3)
+    Qc, Qhz, zP = disc.h_c_Q, disc.h_z_Q, disc.z_P
+    if dtype is not None:
+        (B_lam, log_A2, log_A3, Qc, Qhz, zP) = (
+            a.astype(dtype) for a in (B_lam, log_A2, log_A3, Qc, Qhz, zP))
+
+    spec = PartitionSpec(axis_name, None, None, None)
+    # B_lam's columns (next-h_lam) are sharded to match the local rows of
+    # the iterate; its rows (current-h_lam) stay full for the partial
+    # matmul, and psum_scatter distributes the summed rows back out.
+    colspec = PartitionSpec(None, axis_name)
+
+    def local_T(ell_local, B_cols, lA2, lA3, Qc_, Qhz_, zP_):
+        p = theta * ell_local
+        # LSE shift for the cross-shard contraction: global max over the
+        # sharded next-h_lam axis per (k, i, j) column.  The shift cancels
+        # exactly in the result, so it carries no tangent — computed on a
+        # stop_gradient'd value (also required because pmax has no
+        # differentiation rule).
+        m_local = jnp.max(lax.stop_gradient(p), axis=0, keepdims=True)
+        m = lax.pmax(m_local, axis_name)
+        v = jnp.exp(p - m)
+        partial_u = jnp.einsum("lm,mkij->lkij", B_cols, v)
+        u = lax.psum_scatter(partial_u, axis_name, scatter_dimension=0,
+                             tiled=True)
+        a = m + jnp.log(u)
+        # Remaining contractions are shard-local (k, i, j unsharded).
+        from ..ops.contract import lse_matmul
+        a = lse_matmul(Qc_, a, "km,lmij->lkij", 1)
+        a = lse_matmul(Qhz_, a, "im,lkmj->lkij", 2)
+        a = lse_matmul(zP_, a, "jm,lkim->lkij", 3)
+        log_hwt = (a + lA2[None, :, None, None] + lA3[None, None, :, :])
+        return jnp.log1p(beta * jnp.exp(log_hwt / theta))
+
+    mapped = shard_map(
+        local_T, mesh=mesh,
+        in_specs=(spec, colspec, PartitionSpec(None), PartitionSpec(None, None),
+                  PartitionSpec(None, None), PartitionSpec(None, None),
+                  PartitionSpec(None, None)),
+        out_specs=spec)
+
+    @jax.jit
+    def T(ell):
+        return mapped(ell, B_lam, log_A2, log_A3, Qc, Qhz, zP)
+
+    T.input_sharding = NamedSharding(mesh, spec)
+    return T

@@ -79,15 +79,21 @@ def anderson_solver(T: Callable,
     def flat_T(xf):
         return T(xf.reshape(shape)).reshape(-1)
 
+    # The Gram matrix squares the residual magnitudes; in a float32 solve
+    # the normal equations lose all signal once residuals shrink below
+    # ~sqrt(eps).  Accumulate the m x m system in float64 (tiny cost: m^2
+    # dot products) and solve there.
+    gram_dtype = jnp.float64 if dtype == jnp.float32 else dtype
+
     def aa_combination(X, F, fx):
         """Solve the ridge normal equations over the m stored pairs."""
-        G = F - X                                   # residuals g_i, (m, n)
+        G = (F - X).astype(gram_dtype)              # residuals g_i, (m, n)
         A = G @ G.T                                 # (m, m) Gram
         scale = jnp.maximum(jnp.trace(A) / m, 1e-30)
-        A = A + ridge * scale * jnp.eye(m, dtype=dtype)
-        ones = jnp.ones((m,), dtype=dtype)
+        A = A + ridge * scale * jnp.eye(m, dtype=gram_dtype)
+        ones = jnp.ones((m,), dtype=gram_dtype)
         c = _solve_small_spd(A, ones)
-        alpha = c / jnp.sum(c)
+        alpha = (c / jnp.sum(c)).astype(dtype)
         x_plus = (1.0 - beta) * (alpha @ X) + beta * (alpha @ F)
         # Guard: fall back to a plain step if the solve went non-finite.
         bad = ~jnp.all(jnp.isfinite(x_plus))

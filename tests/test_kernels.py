@@ -156,3 +156,36 @@ def test_fused_continuous_solver(rng):
     w_diff = np.max(np.abs(np.exp(np.asarray(ell, np.float64))
                            - np.exp(np.asarray(ref.x))))
     assert w_diff < 2.0
+
+
+def test_fused_gcy_T_matches_xla(rng):
+    from sdfs_via_autodiff_tpu import GCY, T_gcy_factory, discretize_gcy
+    from sdfs_via_autodiff_tpu.kernels.fused_discrete import (
+        make_fused_T_log_gcy)
+    model = GCY()
+    shapes = (4, 3, 3, 3, 3, 3)
+    disc = discretize_gcy(model, shapes)
+    T64 = T_gcy_factory(model, disc, space="log")
+    T_fused = make_fused_T_log_gcy(model, disc, interpret=True)
+    ell = jnp.asarray(np.log(500) + 0.05 * rng.standard_normal(shapes))
+    a = np.asarray(T64(ell))
+    b = np.asarray(T_fused(ell.astype(jnp.float32))).astype(np.float64)
+    assert np.max(np.abs(a - b)) < 5e-6
+
+
+def test_fused_gcy_solver(rng):
+    from sdfs_via_autodiff_tpu import GCY, T_gcy_factory, discretize_gcy
+    from sdfs_via_autodiff_tpu.kernels.solver_kernel import (
+        make_fused_solver_gcy)
+    model = GCY()
+    shapes = (4, 3, 3, 3, 3, 3)
+    disc = discretize_gcy(model, shapes)
+    fsolve = make_fused_solver_gcy(model, disc, interpret=True)
+    ell0 = jnp.full(shapes, jnp.log(500.0))
+    ell, iters, err = fsolve(ell0, 1e-6, 100_000)
+    assert float(err) <= 1e-6
+    T64 = T_gcy_factory(model, disc, space="log")
+    ref = solve(T64, ell0, method="newton", tol=1e-11)
+    w_diff = np.max(np.abs(np.exp(np.asarray(ell, np.float64))
+                           - np.exp(np.asarray(ref.x))))
+    assert w_diff < 2.0

@@ -111,3 +111,46 @@ def test_anderson_on_sharded_iterate():
     res_single = solve(T, ell0, method="anderson", tol=1e-9)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_single.x),
                                atol=1e-10)
+
+
+@needs_devices
+def test_shard_map_explicit_matches_gspmd(rng):
+    # Hand-placed collectives (pmax + psum_scatter) against the GSPMD
+    # auto-partitioned operator, bit-for-bit-ish.
+    from jax.sharding import PartitionSpec, NamedSharding
+    from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+        T_ssy_shard_map_factory)
+    model = SSY()
+    shapes = (8, 6, 6, 6)
+    disc = discretize_ssy(model, shapes)
+    T_auto = T_ssy_factory(model, disc, space="log")
+
+    mesh = make_mesh(8, shape=(8, 1))
+    T_manual = T_ssy_shard_map_factory(model, disc, mesh)
+    ell = jnp.asarray(np.log(800) + 0.05 * rng.standard_normal(shapes))
+    ref = np.asarray(T_auto(ell))
+    ell_sharded = jax.device_put(ell, T_manual.input_sharding)
+    out = T_manual(ell_sharded)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-12)
+    # Output keeps the sharding.
+    assert not out.sharding.is_fully_replicated
+
+
+@needs_devices
+def test_shard_map_solve(rng):
+    from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+        T_ssy_shard_map_factory)
+    model = SSY()
+    shapes = (8, 6, 4, 4)
+    disc = discretize_ssy(model, shapes)
+    mesh = make_mesh(8, shape=(8, 1))
+    T_manual = T_ssy_shard_map_factory(model, disc, mesh)
+    ell0 = jax.device_put(jnp.full(shapes, jnp.log(800.0)),
+                          T_manual.input_sharding)
+    res = solve(T_manual, ell0, method="newton", tol=1e-10)
+    assert bool(res.converged)
+    T_ref = T_ssy_factory(model, disc, space="log")
+    ref = solve(T_ref, jnp.full(shapes, jnp.log(800.0)), method="newton",
+                tol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-10)
