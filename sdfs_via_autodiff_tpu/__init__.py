@@ -19,7 +19,8 @@ from .operators import (
     next_state_gcy, T_gcy_continuous_factory,
 )
 from .ops import build_grid_ssy, build_grid_gcy
-from .drivers import WCSolution, wc_ratio_discrete, wc_ratio_continuous
+from .drivers import (WCSolution, wc_ratio_discrete, wc_ratio_continuous,
+                      wc_ratio_continuation, prolong_w)
 from .sdf import (construct_wstar_callable, simulate_states,
                   simulated_w_moments, one_step_w_moments, sdf_factory_ssy)
 from .utils import save_solution, load_solution

@@ -28,7 +28,8 @@ from .operators.discrete_ssy import T_ssy_factory, discretize_ssy
 from .solvers import SolveResult, solve
 from .utils.checkpoint import save_solution
 
-__all__ = ["WCSolution", "wc_ratio_discrete", "wc_ratio_continuous"]
+__all__ = ["WCSolution", "wc_ratio_discrete", "wc_ratio_continuous",
+           "wc_ratio_continuation", "prolong_w"]
 
 DEFAULT_INIT_W = 800.0   # reference w_init, ssy_wc_ratio.py:233
 
@@ -165,4 +166,57 @@ def wc_ratio_continuous(model,
                                 algorithm=algorithm, tol=tol, space=space,
                                 iterations=int(sol.result.iterations),
                                 residual=float(sol.result.residual)))
+    return sol
+
+
+def prolong_w(w_coarse, grids_coarse, grids_fine):
+    """Prolongate a solved w field from coarse grids to finer grids by
+    multilinear interpolation (in log space, preserving positivity).
+
+    The workhorse of grid continuation: beta ~ 1 makes cold starts pay
+    thousands of contraction-rate iterations to move the *level*; a
+    coarse solve captures the level for the cost of a tiny grid, and the
+    fine solve then runs a few Newton steps on the shape.
+    """
+    from .ops.grids import flatten_mesh
+    from .ops.interp import lin_interp
+
+    x_fine = flatten_mesh(grids_fine).T                 # (dim, N_fine)
+    ell_c = jnp.log(jnp.asarray(w_coarse))
+    ell_f = lin_interp(x_fine, ell_c, grids_coarse)
+    shape = tuple(len(g) for g in grids_fine)
+    return jnp.exp(ell_f).reshape(shape)
+
+
+def wc_ratio_continuation(model,
+                          grid_schedule: Sequence[Sequence[int]],
+                          *,
+                          algorithm: str = "newton",
+                          tol: float = 1e-7,
+                          coarse_tol: Optional[float] = None,
+                          **kwargs) -> WCSolution:
+    """Continuation solve over a schedule of grid sizes.
+
+    Solves the continuous model on ``grid_schedule[0]``, prolongates each
+    solution as the next level's warm start, and returns the finest-level
+    :class:`WCSolution`.  ``coarse_tol`` (default 100x looser than tol)
+    applies to every level but the last.
+    """
+    if not grid_schedule:
+        raise ValueError("empty grid schedule")
+    coarse_tol = coarse_tol if coarse_tol is not None else min(1e-4, tol * 100)
+    sol = None
+    for level, sizes in enumerate(grid_schedule):
+        last = level == len(grid_schedule) - 1
+        w_init = None
+        if sol is not None:
+            from .ops.grids import (build_grid_gcy, build_grid_ssy)
+            builder = build_grid_ssy if isinstance(model, SSY) else build_grid_gcy
+            grids_fine = builder(model, *sizes,
+                                 num_std_devs=kwargs.get("num_std_devs", 3.2),
+                                 dtype=kwargs.get("dtype") or jnp.float64)
+            w_init = prolong_w(sol.w_star, sol.grids, grids_fine)
+        sol = wc_ratio_continuous(
+            model, sizes, algorithm=algorithm,
+            tol=tol if last else coarse_tol, w_init=w_init, **kwargs)
     return sol

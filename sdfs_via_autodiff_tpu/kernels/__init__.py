@@ -15,3 +15,8 @@ __all__ = ["make_fused_T_log_ssy", "kron_operands_ssy",
            "make_fused_solver_from_operands", "make_fused_solver_ssy_continuous",
            "kron_operands_gcy", "make_fused_T_log_gcy",
            "make_fused_solver_gcy", "make_xla_T_from_operands"]
+from .anderson_kernel import (make_fused_anderson_from_operands,
+                              make_fused_anderson_ssy,
+                              make_fused_anderson_ssy_continuous)
+__all__ += ["make_fused_anderson_from_operands", "make_fused_anderson_ssy",
+            "make_fused_anderson_ssy_continuous"]

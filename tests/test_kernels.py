@@ -189,3 +189,19 @@ def test_fused_gcy_solver(rng):
     w_diff = np.max(np.abs(np.exp(np.asarray(ell, np.float64))
                            - np.exp(np.asarray(ref.x))))
     assert w_diff < 2.0
+
+
+def test_fused_anderson_kernel(setup):
+    from sdfs_via_autodiff_tpu.kernels.anderson_kernel import (
+        make_fused_anderson_ssy)
+    model, disc = setup
+    fsolve = make_fused_anderson_ssy(model, disc, interpret=True)
+    ell0 = jnp.full(SHAPES, jnp.log(800.0))
+    ell, iters, err = fsolve(ell0, 1e-6, 5000)
+    assert float(err) <= 1e-6
+    assert int(iters) < 1500
+    T64 = T_ssy_factory(model, disc, space="log")
+    ref = solve(T64, ell0, method="newton", tol=1e-11)
+    w_diff = np.max(np.abs(np.exp(np.asarray(ell, np.float64))
+                           - np.exp(np.asarray(ref.x))))
+    assert w_diff < 1.0

@@ -112,3 +112,34 @@ def test_loglinear_vs_solved_wc():
     w_num = float(sol.w_star[7, 7, 7, 10])
     assert 0.5 < w_ll / w_num < 2.0
     assert 600 < w_num < 760
+
+
+def test_grid_continuation_matches_cold_solve():
+    from sdfs_via_autodiff_tpu import wc_ratio_continuation
+    model = SSY()
+    cold = wc_ratio_continuous(model, (10, 10, 10, 12), algorithm="newton",
+                               tol=1e-9, interp="pre")
+    cont = wc_ratio_continuation(model, [(5, 5, 5, 6), (10, 10, 10, 12)],
+                                 algorithm="newton", tol=1e-9, interp="pre")
+    assert cont.converged
+    # Same fixed point, and the warm-started final level needs fewer
+    # Newton iterations than the cold solve.
+    np.testing.assert_allclose(np.asarray(cont.w_star),
+                               np.asarray(cold.w_star), atol=1e-7)
+    assert int(cont.result.iterations) <= int(cold.result.iterations)
+
+
+def test_prolong_w_exact_on_nested_grids():
+    from sdfs_via_autodiff_tpu import build_grid_ssy
+    from sdfs_via_autodiff_tpu.drivers import prolong_w
+    import jax.numpy as jnp
+    model = SSY()
+    coarse = build_grid_ssy(model, 5, 5, 5, 5)
+    fine = build_grid_ssy(model, 9, 9, 9, 9)   # nodes nest (2n-1)
+    w = jnp.exp(jnp.arange(5 ** 4, dtype=jnp.float64).reshape(5, 5, 5, 5)
+                * 1e-4 + 6.0)
+    wf = prolong_w(w, coarse, fine)
+    # Every coarse node appears at even fine indices with the same value
+    # (log-space interpolation is exact at nodes).
+    np.testing.assert_allclose(np.asarray(wf)[::2, ::2, ::2, ::2],
+                               np.asarray(w), rtol=1e-12)
