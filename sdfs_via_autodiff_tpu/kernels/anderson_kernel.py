@@ -6,8 +6,10 @@ amplifies.  This kernel runs Type-II Anderson acceleration entirely
 on-chip: iterate and history ring buffers live in VMEM scratch, the m x m
 ridge normal equations are solved by an unrolled Gauss–Jordan on
 registers, and the fixed-point map is the same two-matmul LSE form.
-Converges in O(100) iterations instead of O(10^4), which also sidesteps
-most of the SA noise-floor accumulation.
+Converges in O(100-1000) iterations instead of O(10^4).  Note the f32
+iteration noise floor (~2e-4 on the log iterate at 20^4 grids on TPU)
+binds AA and SA alike: use the kernels for speed to the floor, and the
+f64 XLA Newton path when more accuracy is needed.
 """
 
 from __future__ import annotations
@@ -47,49 +49,87 @@ def _aa_kernel(theta, beta_op, m, mix, beta_aa, ridge,
                     preferred_element_type=jnp.float32)
         return jnp.log1p(beta_op * jnp.exp((sh2 + jnp.log(u) + kap) / theta))
 
+    # Mosaic-friendly small-matrix algebra: the m x (m+1) Gauss-Jordan
+    # runs entirely through masked whole-array ops — no slicing (Mosaic:
+    # "Not implemented: Offset change" on unaligned tiny slices), no 0-d
+    # reductions (unsupported scalar squeeze), no scatter.
+    rid = lax.broadcasted_iota(jnp.int32, (m, m + 1), 0)
+    cid = lax.broadcasted_iota(jnp.int32, (m, m + 1), 1)
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+
     def aa_step(fx):
-        # Ridge normal equations over the m stored (X, F) pairs; the m x m
-        # system solves on registers via unrolled Gauss-Jordan.
-        A = jnp.zeros((m, m), jnp.float32)
+        G = [F_ref[p_i] - X_ref[p_i] for p_i in range(m)]
+        # Ridge normal equations: M = [A + ridge*scale*I | 1].
+        M = jnp.where(cid == m, one, zero)
+        tr = zero.reshape(1, 1)
+        vals = {}
         for p_i in range(m):
-            gp = F_ref[p_i] - X_ref[p_i]
             for q_i in range(p_i + 1):
-                val = jnp.sum(gp * (F_ref[q_i] - X_ref[q_i]))
-                A = A.at[p_i, q_i].set(val).at[q_i, p_i].set(val)
-        A = A + ridge * jnp.maximum(jnp.trace(A) / m, 1e-30) * jnp.eye(m)
-        M = jnp.concatenate([A, jnp.ones((m, 1), jnp.float32)], axis=1)
+                v = jnp.sum(G[p_i] * G[q_i], axis=(0, 1), keepdims=True)
+                vals[(p_i, q_i)] = v
+                if p_i == q_i:
+                    tr = tr + v
+        for (p_i, q_i), v in vals.items():
+            mask = ((rid == p_i) & (cid == q_i)) | ((rid == q_i) & (cid == p_i))
+            M = M + v * mask.astype(jnp.float32)
+        ridge_term = jnp.float32(ridge) * jnp.maximum(
+            tr / jnp.float32(m), jnp.float32(1e-30))
+        M = M + ridge_term * ((rid == cid) & (cid < m)).astype(jnp.float32)
+        # Masked Gauss-Jordan.
         for i in range(m):
-            M = M / jnp.where(jnp.arange(m) == i, M[i, i], 1.0)[:, None]
-            row = M[i]
-            elim = jnp.where(jnp.arange(m)[:, None] == i, 0.0, M[:, i:i + 1])
-            M = M - elim * row[None, :]
-        alpha = M[:, m] / jnp.sum(M[:, m])
+            piv = jnp.sum(jnp.where((rid == i) & (cid == i), M, zero),
+                          axis=(0, 1), keepdims=True)
+            M = jnp.where(rid == i, M / piv, M)
+            row_i = jnp.sum(jnp.where(rid == i, M, zero), axis=0,
+                            keepdims=True)
+            col_i = jnp.sum(jnp.where(cid == i, M, zero), axis=1,
+                            keepdims=True)
+            col_i = jnp.where(rid[:, :1] == i, zero, col_i)
+            M = M - col_i * row_i
+        sol = jnp.where(cid == m, M, zero)
+        alpha_sum = jnp.sum(sol, axis=(0, 1), keepdims=True)       # (1, 1)
+        w_x = jnp.float32(1.0 - beta_aa)
+        w_f = jnp.float32(beta_aa)
         x_new = jnp.zeros_like(fx)
         for p_i in range(m):
-            x_new = x_new + alpha[p_i] * ((1.0 - beta_aa) * X_ref[p_i]
-                                          + beta_aa * F_ref[p_i])
-        ok = jnp.all(jnp.isfinite(x_new))
-        return jnp.where(ok, x_new, fx)
+            a_p = jnp.sum(jnp.where((rid == p_i) & (cid == m), M, zero),
+                          axis=(0, 1), keepdims=True) / alpha_sum   # (1, 1)
+            x_new = x_new + a_p * (w_x * X_ref[p_i] + w_f * F_ref[p_i])
+        bad = jnp.max((~jnp.isfinite(x_new)).astype(jnp.float32),
+                      axis=(0, 1), keepdims=True)
+        return jnp.where(bad > 0.5, fx, x_new)
 
     def cond(state):
-        _, err, it = state
+        _, err, it, _, _ = state
         return (err > tol) & (it < max_iter) & ~jnp.isnan(err)
 
     def body(state):
-        ell, _, it = state
+        ell, _, it, slot, mix_ctr = state
         fx = T(ell)
         err = jnp.max(jnp.abs(fx - ell))
-        slot = it % m
         X_ref[pl.ds(slot, 1)] = ell[None]
         F_ref[pl.ds(slot, 1)] = fx[None]
-        use_aa = (it >= m) & (it % mix == 0)
-        ell_new = lax.cond(use_aa,
-                           lambda: aa_step(fx).astype(jnp.float32),
-                           lambda: fx.astype(jnp.float32))
-        return ell_new, err, it + 1
+        use_aa = (it >= jnp.int32(m)) & (mix_ctr == jnp.int32(0))
+        # Branchless blend (the AA combination is cheap relative to T);
+        # slot/mix counters carried explicitly — Mosaic's lowering of
+        # weakly-typed modulo feeding a dynamic store recursed infinitely —
+        # and the gate kept (1, 1)-shaped (0-d squeezes are unsupported).
+        gate = jnp.where(use_aa, jnp.float32(1.0),
+                         jnp.float32(0.0)).reshape(1, 1)
+        ell_new = (gate * aa_step(fx) + (jnp.float32(1.0) - gate) * fx
+                   ).astype(jnp.float32)
+        one_i = jnp.int32(1)
+        zero_i = jnp.int32(0)
+        slot_new = jnp.where(slot + one_i >= jnp.int32(m), zero_i,
+                             slot + one_i)
+        mix_new = jnp.where(mix_ctr + one_i >= jnp.int32(mix), zero_i,
+                            mix_ctr + one_i)
+        return ell_new, err, it + one_i, slot_new, mix_new
 
-    init = (ell_ref[:], jnp.float32(jnp.inf), jnp.int32(0))
-    ell, err, it = lax.while_loop(cond, body, init)
+    init = (ell_ref[:], jnp.float32(jnp.inf), jnp.int32(0), jnp.int32(0),
+            jnp.int32(0))
+    ell, err, it, _, _ = lax.while_loop(cond, body, init)
     out_ref[:] = ell
     iters_ref[0] = it
     err_ref[0] = err
@@ -97,8 +137,8 @@ def _aa_kernel(theta, beta_op, m, mix, beta_aa, ridge,
 
 def make_fused_anderson_from_operands(M1, M2T, log_kap, theta, beta, shapes,
                                       rows, cols, *,
-                                      history: int = 8,
-                                      mixing_frequency: int = 1,
+                                      history: int = 5,
+                                      mixing_frequency: int = 2,
                                       beta_aa: float = 1.0,
                                       ridge: float = 1e-6,
                                       interpret: bool = False) -> Callable:
