@@ -105,7 +105,8 @@ def main(argv=None) -> int:
     ps.add_argument("--shapes", required=True,
                     help="comma-separated grid sizes, e.g. 10,10,10,10")
     ps.add_argument("--algorithm", default="newton",
-                    choices=["newton", "anderson", "successive_approx", "gd"])
+                    choices=["newton", "anderson", "successive_approx", "gd",
+                             "fused_anderson", "fused_sa"])
     ps.add_argument("--tol", type=float, default=1e-7)
     ps.add_argument("--space", choices=["w", "log"], default=None)
     ps.add_argument("--method", choices=["quadrature", "monte_carlo"],

@@ -136,6 +136,12 @@ def wc_ratio_continuous(model,
     """
     space = space or _auto_space()
     gdtype = dtype or jnp.float64
+    if algorithm in ("fused_anderson", "fused_sa"):
+        return _wc_ratio_continuous_fused(
+            model, grid_sizes, algorithm=algorithm, tol=tol,
+            num_std_devs=num_std_devs, method=method, interp=interp,
+            quad_degree=quad_degree, w_init=w_init,
+            checkpoint_path=checkpoint_path, **solver_opts)
     if isinstance(model, SSY):
         grids = build_grid_ssy(model, *grid_sizes, num_std_devs=num_std_devs,
                                dtype=gdtype)
@@ -219,4 +225,52 @@ def wc_ratio_continuation(model,
         sol = wc_ratio_continuous(
             model, sizes, algorithm=algorithm,
             tol=tol if last else coarse_tol, w_init=w_init, **kwargs)
+    return sol
+
+
+def _wc_ratio_continuous_fused(model, grid_sizes, *, algorithm, tol,
+                               num_std_devs, method, interp, quad_degree,
+                               w_init, checkpoint_path,
+                               max_iter: int = 100_000,
+                               **solver_opts) -> WCSolution:
+    """Whole-solve Pallas kernel path (f32, SSY, quadrature + pre-interp).
+
+    algorithm="fused_anderson" runs the in-kernel Anderson solver;
+    "fused_sa" the in-kernel successive-approximation loop.  The entire
+    solve executes in one kernel launch with the iterate in VMEM.
+    """
+    from .kernels.anderson_kernel import make_fused_anderson_ssy_continuous
+    from .kernels.solver_kernel import make_fused_solver_ssy_continuous
+    from .solvers.result import SolveResult
+
+    if not isinstance(model, SSY):
+        raise NotImplementedError(
+            "fused kernel drivers currently cover the SSY continuous model")
+    if method != "quadrature" or interp != "pre":
+        raise ValueError(
+            "fused kernels implement the quadrature + pre-interp operator")
+    grids = build_grid_ssy(model, *grid_sizes, num_std_devs=num_std_devs,
+                           dtype=jnp.float32)
+    if algorithm == "fused_anderson":
+        fsolve = make_fused_anderson_ssy_continuous(
+            model, grids, degree=quad_degree, **solver_opts)
+    else:
+        fsolve = make_fused_solver_ssy_continuous(
+            model, grids, degree=quad_degree, **solver_opts)
+    shape = tuple(len(g) for g in grids)
+    w0 = (jnp.ones(shape, dtype=jnp.float32) if w_init is None
+          else jnp.asarray(w_init, dtype=jnp.float32))
+    ell, iters, err = fsolve(jnp.log(w0), tol, max_iter)
+    result = SolveResult(x=ell, iterations=iters, residual=err,
+                         converged=(err <= tol) & ~jnp.isnan(err))
+    sol = WCSolution(w_star=jnp.exp(ell), grids=tuple(grids), result=result,
+                     space="log")
+    if checkpoint_path:
+        save_solution(checkpoint_path, model, grids, sol.w_star,
+                      meta=dict(kind="continuous", method=method,
+                                interp=interp, quad_degree=quad_degree,
+                                num_std_devs=num_std_devs,
+                                algorithm=algorithm, tol=tol, space="log",
+                                iterations=int(iters),
+                                residual=float(err)))
     return sol

@@ -147,3 +147,21 @@ def test_interp_variants_converge_with_grid_refinement():
     fine = gap((10, 10, 10, 14))
     assert fine < coarse
     assert fine < 0.01
+
+
+def test_fused_driver_algorithms():
+    # Whole-solve Pallas kernels exposed through the driver API
+    # (interpret-mode execution on CPU; `interpret` forwards through
+    # solver_opts to the kernel builders).
+    from sdfs_via_autodiff_tpu import wc_ratio_continuous
+    model = SSY()
+    sol = wc_ratio_continuous(model, (5, 5, 5, 6),
+                              algorithm="fused_anderson", tol=2e-6,
+                              interpret=True)
+    assert sol.converged, sol.result
+    assert float(sol.w_star.min()) > 1
+    sol2 = wc_ratio_continuous(model, (5, 5, 5, 6), algorithm="fused_sa",
+                               tol=2e-6, interpret=True)
+    assert sol2.converged, sol2.result
+    np.testing.assert_allclose(np.asarray(sol.w_star),
+                               np.asarray(sol2.w_star), rtol=1e-3)
