@@ -35,7 +35,36 @@ import jax.numpy as jnp
 from ..ops.grids import flatten_mesh
 from ..ops.interp import lin_interp
 
-__all__ = ["hat_basis", "expectation_matrix", "make_gather_T"]
+__all__ = ["hat_basis", "expectation_matrix", "make_gather_T",
+           "warn_if_f32_range_unsafe"]
+
+
+def warn_if_f32_range_unsafe(model, grids, loglinear_factory, dtype) -> None:
+    """Warn when theta * (log-linear w range over the grid) exceeds what
+    float32 exponentials can represent (~80): the log-space operator will
+    overflow at such state-space spans (the GCY continuous z grid spans
+    stationary scale via its 1/(1-rho) factor, unlike SSY's).  Baseline
+    normalization of the continuous operators is the planned fix."""
+    import warnings
+
+    import numpy as np
+
+    from ..ops.grids import flatten_mesh
+
+    if dtype != jnp.float32:
+        return
+    try:
+        ll = loglinear_factory(model)
+        vals = ll(np.asarray(flatten_mesh(grids)).T)
+        span = abs(model.theta) * float(np.max(vals) - np.min(vals))
+    except Exception:
+        return
+    if span > 80.0:
+        warnings.warn(
+            f"theta * log-w range over this grid is ~{span:.0f}, beyond "
+            "float32's exponential range (~80): the f32 log-space operator "
+            "will overflow at the state-space corners. Use float64 (CPU) "
+            "or a smaller num_std_devs.", stacklevel=3)
 
 
 def hat_basis(grid: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:

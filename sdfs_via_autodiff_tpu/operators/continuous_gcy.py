@@ -149,6 +149,11 @@ def T_gcy_continuous_factory(model: GCY,
     method/interp/space semantics)."""
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
+    if space == "log":
+        from ..models.gcy import gcy_loglinear_factory
+        from .continuous_common import warn_if_f32_range_unsafe
+        warn_if_f32_range_unsafe(model, grids, gcy_loglinear_factory,
+                                 dtype or jnp.float64)
     if method == "quadrature" and interp == "pre":
         T = _factored_T(model, grids, quad_degree, space, dtype)
     elif method in ("quadrature", "monte_carlo"):

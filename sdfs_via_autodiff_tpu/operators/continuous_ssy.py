@@ -146,6 +146,11 @@ def T_ssy_continuous_factory(model: SSY,
     """
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
+    if space == "log":
+        from ..models.ssy import ssy_loglinear_factory
+        from .continuous_common import warn_if_f32_range_unsafe
+        warn_if_f32_range_unsafe(model, grids, ssy_loglinear_factory,
+                                 dtype or jnp.float64)
     if method == "quadrature" and interp == "pre":
         T = _factored_T(model, grids, quad_degree, space, dtype)
     elif method in ("quadrature", "monte_carlo"):
