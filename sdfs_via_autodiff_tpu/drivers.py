@@ -123,6 +123,7 @@ def wc_ratio_continuous(model,
                         space: Optional[str] = None,
                         w_init=None,
                         batch_size: Optional[int] = None,
+                        baseline: Optional[str] = None,
                         dtype=None,
                         checkpoint_path: Optional[str] = None,
                         **solver_opts) -> WCSolution:
@@ -133,9 +134,21 @@ def wc_ratio_continuous(model,
     ``num_std_devs`` stationary standard deviations, Gauss-Hermite degree
     ``quad_degree`` per dimension or ``mc_draw_size`` Monte Carlo draws,
     initial guess all-ones (reference :243-245) unless ``w_init`` given.
+
+    ``baseline="coarse"`` (the float32 production recipe, and required
+    for GCY in f32 where theta*(log-w range) exceeds the f32 exponential
+    range): solves a small float64 model first, fits an additive
+    (ANOVA main-effects) baseline from it, folds it into the operator,
+    and warm-starts from it.  ``baseline="loglinear"`` folds the closed
+    form instead (adequate for SSY).
     """
     space = space or _auto_space()
     gdtype = dtype or jnp.float64
+    baseline_spec = baseline
+    if baseline == "coarse":
+        baseline_spec = _coarse_additive_baseline(
+            model, grid_sizes, num_std_devs=num_std_devs,
+            quad_degree=quad_degree, dtype=gdtype)
     if algorithm in ("fused_anderson", "fused_sa"):
         return _wc_ratio_continuous_fused(
             model, grid_sizes, algorithm=algorithm, tol=tol,
@@ -148,20 +161,24 @@ def wc_ratio_continuous(model,
         T = T_ssy_continuous_factory(
             model, grids, method=method, interp=interp, space=space,
             quad_degree=quad_degree, mc_draw_size=mc_draw_size, seed=seed,
-            batch_size=batch_size, dtype=dtype)
+            batch_size=batch_size, baseline=baseline_spec, dtype=dtype)
     elif isinstance(model, GCY):
         grids = build_grid_gcy(model, *grid_sizes, num_std_devs=num_std_devs,
                                dtype=gdtype)
         T = T_gcy_continuous_factory(
             model, grids, method=method, interp=interp, space=space,
             quad_degree=quad_degree, mc_draw_size=mc_draw_size, seed=seed,
-            batch_size=batch_size, dtype=dtype)
+            batch_size=batch_size, baseline=baseline_spec, dtype=dtype)
     else:
         raise TypeError(f"unsupported model {type(model).__name__}")
 
     shape = tuple(len(g) for g in grids)
-    w0 = (jnp.ones(shape, dtype=gdtype) if w_init is None
-          else jnp.asarray(w_init))
+    if w_init is None:
+        w0 = (jnp.exp(T.baseline_log_w)
+              if hasattr(T, "baseline_log_w")
+              else jnp.ones(shape, dtype=gdtype))
+    else:
+        w0 = jnp.asarray(w_init)
     sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
     sol = dataclasses.replace(sol, grids=tuple(grids))
     if checkpoint_path:
@@ -274,3 +291,28 @@ def _wc_ratio_continuous_fused(model, grid_sizes, *, algorithm, tol,
                                 iterations=int(iters),
                                 residual=float(err)))
     return sol
+
+
+def _coarse_additive_baseline(model, grid_sizes, *, num_std_devs,
+                              quad_degree, dtype, coarse_size: int = 5,
+                              coarse_tol: float = 1e-9):
+    """Solve a small float64 model and fit an additive baseline on the
+    target grids (profiles interpolated axis-by-axis)."""
+    import numpy as np
+
+    from .operators.continuous_common import additive_profiles
+    from .ops.grids import build_grid_gcy, build_grid_ssy
+
+    builder = build_grid_ssy if isinstance(model, SSY) else build_grid_gcy
+    coarse_sizes = tuple(min(int(s), coarse_size) for s in grid_sizes)
+    sol = wc_ratio_continuous(model, coarse_sizes, algorithm="newton",
+                              tol=coarse_tol, interp="pre", space="log",
+                              quad_degree=quad_degree,
+                              num_std_devs=num_std_devs)
+    const, profiles = additive_profiles(jnp.log(sol.w_star))
+    fine_grids = builder(model, *grid_sizes, num_std_devs=num_std_devs,
+                         dtype=dtype)
+    profs = [np.interp(np.asarray(fg, np.float64),
+                       np.asarray(cg, np.float64), p)
+             for fg, cg, p in zip(fine_grids, sol.grids, profiles)]
+    return const, profs

@@ -36,7 +36,52 @@ from ..ops.grids import flatten_mesh
 from ..ops.interp import lin_interp
 
 __all__ = ["hat_basis", "expectation_matrix", "make_gather_T",
-           "warn_if_f32_range_unsafe"]
+           "warn_if_f32_range_unsafe", "normalize_expectation_matrix",
+           "additive_profiles"]
+
+
+def additive_profiles(ell_field):
+    """Fit an additive (ANOVA main-effects) model to a log-solution field.
+
+    Returns ``(const, [profile_0, ..., profile_{d-1}])`` with
+    ell ~ const + sum_d profile_d[i_d]; the profiles are mean-centered
+    axis averages.  Fitted on a coarse float64 solve, these are the ideal
+    separable baselines for normalizing the continuous operators: unlike
+    the log-linear closed form (a local approximation around the mean,
+    measured up to ~4.4 log units off at grid corners for GCY), the
+    residual is just the solution's interaction structure, typically well
+    inside float32's exponential range.
+    """
+    import numpy as np
+
+    ell = np.asarray(ell_field, np.float64)
+    const = float(ell.mean())
+    profiles = []
+    for d in range(ell.ndim):
+        axes = tuple(a for a in range(ell.ndim) if a != d)
+        profiles.append(ell.mean(axis=axes) - const)
+    return const, profiles
+
+
+def normalize_expectation_matrix(P, phi_next, phi_cur, theta):
+    """Fold a separable baseline component into an expectation matrix.
+
+    Returns P~[..., x, y] = P[..., x, y] * exp(theta*(phi_next[y] -
+    phi_cur[..., x])), assembled in host float64 (full exponent range) so
+    the result is f32-castable wherever it is representable; entries whose
+    true magnitude underflows f32 go to zero (negligible by construction).
+    Continuous grids are plain tensor products, so unlike the discrete
+    Rouwenhorst case every baseline component is a 1-D per-axis profile
+    and the telescoping is trivial.
+    """
+    import numpy as np
+
+    P64 = np.asarray(P, np.float64)
+    with np.errstate(divide="ignore"):
+        logP = np.log(P64)
+    nxt = np.asarray(phi_next, np.float64)
+    cur = np.asarray(phi_cur, np.float64)
+    return np.exp(logP + theta * (nxt - cur[..., None]))
 
 
 def warn_if_f32_range_unsafe(model, grids, loglinear_factory, dtype) -> None:

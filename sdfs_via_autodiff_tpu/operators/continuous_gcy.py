@@ -57,7 +57,7 @@ def _log_kappa_gcy(model: GCY, h_c, z):
             + 0.5 * (1 - model.gamma) ** 2 * sigma_c ** 2)
 
 
-def _factored_T(model, grids, degree, space, dtype):
+def _factored_T(model, grids, degree, space, dtype, baseline=None):
     """Factored contraction operator (quadrature + interp="pre").
 
     Axis labels: l=h_lam, k=h_c, i=h_z, y=h_zpi, j=z, b=z_pi; capitals are
@@ -94,10 +94,67 @@ def _factored_T(model, grids, degree, space, dtype):
                              eta, omega)
     log_kappa = _log_kappa_gcy(m, h_c_grid[:, None], z_grid[None, :])  # (k, j)
 
+    ell0 = None
+    if baseline is not None:
+        # Fold a separable baseline into the expectation matrices (the
+        # batched P_z/P_zpi rescale over their last two axes).  Required
+        # for f32: theta*(log-w range) ~ 200 on the reference's z-grid
+        # bounds.  baseline is "loglinear" or (const, [profiles]) from
+        # additive_profiles() on a coarse solve — the latter strongly
+        # preferred for GCY (the closed form is ~4 log units off at
+        # corners, still beyond f32 after folding).
+        import numpy as np
+        from .continuous_common import normalize_expectation_matrix
+        if baseline == "loglinear":
+            from ..models.gcy import gcy_loglinear_factory
+            co = gcy_loglinear_factory(m).coefficients
+            hl = np.asarray(h_lam_grid, np.float64)
+            hc = np.asarray(h_c_grid, np.float64)
+            hz = np.asarray(h_z_grid, np.float64)
+            hy = np.asarray(h_zpi_grid, np.float64)
+            zg = np.asarray(z_grid, np.float64)
+            bg = np.asarray(z_pi_grid, np.float64)
+            const0 = co["A0"]
+            phi_l = co["A_hlam"] * hl
+            phi_k = co["A_hc"] * (hc * 2 * m.phi_c**2 + m.phi_c**2)
+            phi_i = co["A_hz"] * (hz * 2 * m.phi_z**2 + m.phi_z**2)
+            phi_y = co["A_hzpi"] * (hy * 2 * m.phi_zpi**2 + m.phi_zpi**2)
+            phi_j = co["A_z"] * zg
+            phi_b = co["A_zpi"] * bg
+        else:
+            const0, profs = baseline
+            (phi_l, phi_k, phi_i, phi_y, phi_j, phi_b) = (
+                np.asarray(p_, np.float64) for p_ in profs)
+        P_lam = jnp.asarray(normalize_expectation_matrix(
+            P_lam, phi_l, phi_l, theta))
+        P_c = jnp.asarray(normalize_expectation_matrix(
+            P_c, phi_k, phi_k, theta))
+        P_hz = jnp.asarray(normalize_expectation_matrix(
+            P_hz, phi_i, phi_i, theta))
+        P_hzpi = jnp.asarray(normalize_expectation_matrix(
+            P_hzpi, phi_y, phi_y, theta))
+        # P_zpi[y, b, B]: current index is b (axis -2).
+        P_zpi = jnp.asarray(normalize_expectation_matrix(
+            P_zpi, phi_b, np.broadcast_to(phi_b, P_zpi.shape[:-1]), theta))
+        # P_z[i, j, b, J]: current index is j (axis 1 of the batch).
+        cur_j = np.broadcast_to(phi_j[None, :, None], P_z.shape[:-1])
+        P_z = jnp.asarray(normalize_expectation_matrix(
+            P_z, phi_j, cur_j, theta))
+        ell0 = jnp.asarray(
+            const0
+            + phi_l[:, None, None, None, None, None]
+            + phi_k[None, :, None, None, None, None]
+            + phi_i[None, None, :, None, None, None]
+            + phi_y[None, None, None, :, None, None]
+            + phi_j[None, None, None, None, :, None]
+            + phi_b[None, None, None, None, None, :])
+
     if dtype is not None:
         (P_lam, P_c, P_hz, P_hzpi, P_zpi, P_z, log_kappa) = (
             a.astype(dtype) for a in
             (P_lam, P_c, P_hz, P_hzpi, P_zpi, P_z, log_kappa))
+        if ell0 is not None:
+            ell0 = ell0.astype(dtype)
 
     def apply_K(g):
         u = jnp.einsum("lL,LKIYJB->lKIYJB", P_lam, g)
@@ -118,17 +175,23 @@ def _factored_T(model, grids, degree, space, dtype):
             return 1.0 + beta * kg ** (1.0 / theta)
     else:
         from ..ops.contract import lse_matmul
+        theta_c = jnp.asarray(theta, dtype or jnp.float64)
 
         def T(ell):
-            a = theta * ell
+            a = theta_c * (ell if ell0 is None else ell - ell0)
             a = lse_matmul(P_lam, a, "lL,LKIYJB->lKIYJB", 0)
             a = lse_matmul(P_c, a, "kK,lKIYJB->lkIYJB", 1)
             a = lse_matmul(P_hz, a, "iI,lkIYJB->lkiYJB", 2)
             a = lse_matmul(P_hzpi, a, "yY,lkiYJB->lkiyJB", 3)
             a = lse_matmul(P_zpi, a, "ybB,lkiyJB->lkiyJb", 5)
             a = lse_matmul(P_z, a, "ijbJ,lkiyJb->lkiyjb", 4)
+            if ell0 is not None:
+                a = a + theta_c * ell0
             log_kg = a + log_kappa[expand]
-            return jnp.log1p(beta * jnp.exp(log_kg / theta))
+            return jnp.log1p(beta * jnp.exp(log_kg / theta_c))
+
+        if ell0 is not None:
+            T.baseline_log_w = ell0
 
     return T
 
@@ -143,19 +206,28 @@ def T_gcy_continuous_factory(model: GCY,
                              mc_draw_size: int = 2000,
                              seed: int = 1234,
                              batch_size: Optional[int] = None,
+                             baseline: Optional[str] = None,
                              dtype=None,
                              jit: bool = True) -> Callable:
     """Build the continuous-state GCY operator T (see the SSY twin for the
-    method/interp/space semantics)."""
+    method/interp/space semantics; baseline='loglinear' is effectively
+    required for float32 — theta*(log-w range) ~ 200 on these grids)."""
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
-    if space == "log":
+    if space == "log" and baseline is None:
         from ..models.gcy import gcy_loglinear_factory
         from .continuous_common import warn_if_f32_range_unsafe
         warn_if_f32_range_unsafe(model, grids, gcy_loglinear_factory,
                                  dtype or jnp.float64)
+    if baseline is not None and baseline != "loglinear" \
+            and not (isinstance(baseline, tuple) and len(baseline) == 2):
+        raise ValueError(f"unknown baseline {baseline!r}")
+    if baseline and not (method == "quadrature" and interp == "pre"
+                         and space == "log"):
+        raise ValueError("baseline normalization requires quadrature + "
+                         "interp='pre' + space='log'")
     if method == "quadrature" and interp == "pre":
-        T = _factored_T(model, grids, quad_degree, space, dtype)
+        T = _factored_T(model, grids, quad_degree, space, dtype, baseline)
     elif method in ("quadrature", "monte_carlo"):
         if method == "quadrature":
             nodes, weights = tensor_quadrature_normal([quad_degree] * 6)
@@ -172,4 +244,7 @@ def T_gcy_continuous_factory(model: GCY,
             model.beta, model.theta)
     else:
         raise ValueError(f"unknown method {method!r}")
-    return jax.jit(T) if jit else T
+    out = jax.jit(T) if jit else T
+    if hasattr(T, "baseline_log_w"):
+        out.baseline_log_w = T.baseline_log_w
+    return out

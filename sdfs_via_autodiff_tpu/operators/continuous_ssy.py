@@ -63,7 +63,7 @@ def _log_kappa_ssy(model: SSY, h_c, z):
             + 0.5 * (1 - model.gamma) ** 2 * sigma_c ** 2)
 
 
-def _factored_T(model, grids, degree, space, dtype):
+def _factored_T(model, grids, degree, space, dtype, baseline=None):
     """Factored per-axis contraction operator (quadrature + interp="pre").
 
     Per-dimension expectation matrices from 1-D Gauss-Hermite rules —
@@ -88,6 +88,44 @@ def _factored_T(model, grids, degree, space, dtype):
                              sigma_z[:, None], eta, omega)
     log_kappa = _log_kappa_ssy(m, h_c_grid[:, None], z_grid[None, :])  # (k, j)
 
+    ell0 = None
+    if baseline is not None:
+        # Fold a separable baseline into the expectation matrices: the
+        # chain then works on theta*(ell - ell0), keeping wide-range grids
+        # inside f32.  baseline is "loglinear" (closed form) or
+        # (const, [per-axis profiles]) from e.g. additive_profiles() on a
+        # coarse solve.  Exact telescoping; see continuous_common.
+        import numpy as np
+        from .continuous_common import normalize_expectation_matrix
+        if baseline == "loglinear":
+            from ..models.ssy import ssy_loglinear_factory
+            co = ssy_loglinear_factory(m).coefficients
+            hl = np.asarray(h_lam_grid, np.float64)
+            hc = np.asarray(h_c_grid, np.float64)
+            hz = np.asarray(h_z_grid, np.float64)
+            zg = np.asarray(z_grid, np.float64)
+            const0 = co["A0"]
+            phi_l = co["A_hlam"] * hl
+            phi_k = co["A_hc"] * (hc * 2 * m.phi_c**2 + m.phi_c**2)
+            phi_i = co["A_hz"] * (hz * 2 * m.phi_z**2 + m.phi_z**2)
+            phi_j = co["A_z"] * zg
+        else:
+            const0, (phi_l, phi_k, phi_i, phi_j) = baseline
+            phi_l, phi_k, phi_i, phi_j = (np.asarray(p_, np.float64)
+                                          for p_ in (phi_l, phi_k, phi_i,
+                                                     phi_j))
+        P_lam = jnp.asarray(normalize_expectation_matrix(
+            P_lam, phi_l, phi_l, theta))
+        P_c = jnp.asarray(normalize_expectation_matrix(
+            P_c, phi_k, phi_k, theta))
+        P_hz = jnp.asarray(normalize_expectation_matrix(
+            P_hz, phi_i, phi_i, theta))
+        P_z = jnp.asarray(normalize_expectation_matrix(
+            P_z, phi_j, np.broadcast_to(phi_j, P_z.shape[:-1]), theta))
+        ell0 = jnp.asarray(
+            const0 + phi_l[:, None, None, None] + phi_k[None, :, None, None]
+            + phi_i[None, None, :, None] + phi_j[None, None, None, :])
+
     if dtype is not None:
         P_lam, P_c, P_hz, P_z, log_kappa = (
             a.astype(dtype) for a in (P_lam, P_c, P_hz, P_z, log_kappa))
@@ -107,15 +145,21 @@ def _factored_T(model, grids, degree, space, dtype):
             return 1.0 + beta * kg ** (1.0 / theta)
     else:
         from ..ops.contract import lse_matmul
+        theta_c = jnp.asarray(theta, dtype or jnp.float64)
 
         def T(ell):
-            a = theta * ell
+            a = theta_c * (ell if ell0 is None else ell - ell0)
             a = lse_matmul(P_lam, a, "lL,LKIJ->lKIJ", 0)
             a = lse_matmul(P_c, a, "kK,lKIJ->lkIJ", 1)
             a = lse_matmul(P_hz, a, "iI,lkIJ->lkiJ", 2)
             a = lse_matmul(P_z, a, "ijJ,lkiJ->lkij", 3)
+            if ell0 is not None:
+                a = a + theta_c * ell0
             log_kg = a + log_kappa[None, :, None, :]
-            return jnp.log1p(beta * jnp.exp(log_kg / theta))
+            return jnp.log1p(beta * jnp.exp(log_kg / theta_c))
+
+        if ell0 is not None:
+            T.baseline_log_w = ell0
 
     return T
 
@@ -130,6 +174,7 @@ def T_ssy_continuous_factory(model: SSY,
                              mc_draw_size: int = 2000,
                              seed: int = 1234,
                              batch_size: Optional[int] = None,
+                             baseline: Optional[str] = None,
                              dtype=None,
                              jit: bool = True) -> Callable:
     """Build the continuous-state SSY operator T.
@@ -146,13 +191,20 @@ def T_ssy_continuous_factory(model: SSY,
     """
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
-    if space == "log":
+    if space == "log" and baseline is None:
         from ..models.ssy import ssy_loglinear_factory
         from .continuous_common import warn_if_f32_range_unsafe
         warn_if_f32_range_unsafe(model, grids, ssy_loglinear_factory,
                                  dtype or jnp.float64)
+    if baseline is not None and baseline != "loglinear" \
+            and not (isinstance(baseline, tuple) and len(baseline) == 2):
+        raise ValueError(f"unknown baseline {baseline!r}")
+    if baseline and not (method == "quadrature" and interp == "pre"
+                         and space == "log"):
+        raise ValueError("baseline normalization requires quadrature + "
+                         "interp='pre' + space='log'")
     if method == "quadrature" and interp == "pre":
-        T = _factored_T(model, grids, quad_degree, space, dtype)
+        T = _factored_T(model, grids, quad_degree, space, dtype, baseline)
     elif method in ("quadrature", "monte_carlo"):
         if method == "quadrature":
             nodes, weights = tensor_quadrature_normal([quad_degree] * 4)
@@ -169,4 +221,7 @@ def T_ssy_continuous_factory(model: SSY,
             model.beta, model.theta)
     else:
         raise ValueError(f"unknown method {method!r}")
-    return jax.jit(T) if jit else T
+    out = jax.jit(T) if jit else T
+    if hasattr(T, "baseline_log_w"):
+        out.baseline_log_w = T.baseline_log_w
+    return out

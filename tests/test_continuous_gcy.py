@@ -97,3 +97,21 @@ def test_newton_safeguard_rescues_w_space(setup):
 
     res_unsafe = newton_solver(T, w0, tol=1e-9, safeguard=False)
     assert not bool(res_unsafe.converged)
+
+
+def test_f32_coarse_baseline_driver():
+    # The float32 production recipe: coarse f64 solve -> additive
+    # baseline -> normalized f32 operator + warm start.  The plain f32
+    # log-space operator overflows on these grids (theta*range ~ 200).
+    from sdfs_via_autodiff_tpu import wc_ratio_continuous
+    model = GCY()
+    sol = wc_ratio_continuous(model, (8,) * 6, algorithm="anderson",
+                              tol=5e-6, baseline="coarse",
+                              dtype=jnp.float32, quad_degree=3)
+    assert sol.converged, sol.result
+    ref = wc_ratio_continuous(model, (8,) * 6, algorithm="newton",
+                              tol=1e-10, quad_degree=3)
+    rel = np.max(np.abs(np.asarray(sol.w_star, np.float64)
+                        - np.asarray(ref.w_star))
+                 / np.asarray(ref.w_star))
+    assert rel < 1e-3
