@@ -1,6 +1,8 @@
 from .wstar import construct_wstar_callable
+from .pricing import expected_sdf_ssy, risk_free_rate_ssy
 from .simulate import (simulate_states, simulated_w_moments,
                        one_step_w_moments, sdf_factory_ssy)
 
 __all__ = ["construct_wstar_callable", "simulate_states",
-           "simulated_w_moments", "one_step_w_moments", "sdf_factory_ssy"]
+           "simulated_w_moments", "one_step_w_moments", "sdf_factory_ssy",
+           "expected_sdf_ssy", "risk_free_rate_ssy"]

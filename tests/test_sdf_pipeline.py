@@ -143,3 +143,41 @@ def test_prolong_w_exact_on_nested_grids():
     # (log-space interpolation is exact at nodes).
     np.testing.assert_allclose(np.asarray(wf)[::2, ::2, ::2, ::2],
                                np.asarray(w), rtol=1e-12)
+
+
+def test_risk_free_rate():
+    # r_f(x) = -log E_x[M'] should be a small positive monthly rate at the
+    # state-space center for the SSY calibration, and the sdf expectation
+    # must be close to the Euler-equation restriction's scale.
+    from sdfs_via_autodiff_tpu import (expected_sdf_ssy, risk_free_rate_ssy,
+                                       wc_ratio_continuous,
+                                       construct_wstar_callable)
+    model = SSY()
+    sol = wc_ratio_continuous(model, (10, 10, 10, 12), algorithm="newton",
+                              tol=1e-9, interp="pre")
+    f = construct_wstar_callable(sol.w_star, sol.grids)
+    e_m = expected_sdf_ssy(model, f)(jnp.zeros(4))
+    assert 0.9 < float(e_m) < 1.05      # monthly discount factor scale
+    r = risk_free_rate_ssy(model, f)(jnp.zeros(4))
+    assert -0.05 < float(r) < 0.05
+    # Higher long-run growth state -> higher risk-free rate.
+    x_hi = jnp.asarray([0.0, 0.0, 0.0, float(sol.grids[3][-2])])
+    x_lo = jnp.asarray([0.0, 0.0, 0.0, float(sol.grids[3][1])])
+    assert float(risk_free_rate_ssy(model, f)(x_hi)) > \
+        float(risk_free_rate_ssy(model, f)(x_lo))
+
+
+def test_checkpoint_warm_resume(tmp_path):
+    # Warm-resume workflow: load a checkpoint's w* as the next solve's
+    # initial guess (the reference supports this implicitly via w_init,
+    # ssy_wc_ratio_continuous.py:232).
+    model = SSY()
+    path = str(tmp_path / "warm.npz")
+    sol1 = wc_ratio_continuous(model, (5, 5, 5, 6), algorithm="newton",
+                               tol=1e-6, interp="pre", checkpoint_path=path)
+    ckpt = load_solution(path)
+    sol2 = wc_ratio_continuous(model, (5, 5, 5, 6), algorithm="newton",
+                               tol=1e-10, interp="pre",
+                               w_init=ckpt.w_star)
+    assert sol2.converged
+    assert int(sol2.result.iterations) <= int(sol1.result.iterations) + 2
