@@ -18,12 +18,15 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from ..models.gcy import GCY
 from ..models.ssy import SSY
+from ..operators.continuous_gcy import next_state_gcy
 from ..operators.continuous_ssy import next_state_ssy
 from ..ops.quadrature import tensor_quadrature_normal
-from .simulate import sdf_factory_ssy
+from .simulate import sdf_factory_gcy, sdf_factory_ssy
 
-__all__ = ["expected_sdf_ssy", "risk_free_rate_ssy"]
+__all__ = ["expected_sdf_ssy", "risk_free_rate_ssy",
+           "expected_sdf_gcy", "risk_free_rate_gcy"]
 
 
 def expected_sdf_ssy(model: SSY, w_star_func: Callable,
@@ -54,6 +57,36 @@ def risk_free_rate_ssy(model: SSY, w_star_func: Callable,
                        degree: int = 5) -> Callable:
     """``x -> r_f(x) = -log E_x[M']`` (per model period)."""
     e_sdf = expected_sdf_ssy(model, w_star_func, degree)
+
+    @jax.jit
+    def r_f(x):
+        return -jnp.log(e_sdf(x))
+
+    return r_f
+
+
+def expected_sdf_gcy(model: GCY, w_star_func: Callable,
+                     degree: int = 3) -> Callable:
+    """``x -> E_x[M']`` for GCY (six state shocks + xi: a degree^7 rule)."""
+    nodes, weights = tensor_quadrature_normal([degree] * 7)
+    nodes = jnp.asarray(nodes)
+    weights = jnp.asarray(weights)
+    sdf = sdf_factory_gcy(model, w_star_func)
+
+    @jax.jit
+    def e_sdf(x):
+        x = jnp.asarray(x)
+        x_next = next_state_gcy(model, x[:, None], nodes[:6])
+        m_vals = sdf(x[:, None], x_next, nodes[6])
+        return jnp.dot(m_vals, weights)
+
+    return e_sdf
+
+
+def risk_free_rate_gcy(model: GCY, w_star_func: Callable,
+                       degree: int = 3) -> Callable:
+    """``x -> r_f(x) = -log E_x[M']`` for GCY."""
+    e_sdf = expected_sdf_gcy(model, w_star_func, degree)
 
     @jax.jit
     def r_f(x):

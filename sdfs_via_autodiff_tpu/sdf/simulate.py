@@ -22,7 +22,7 @@ from ..operators.continuous_gcy import next_state_gcy
 from ..operators.continuous_ssy import next_state_ssy
 
 __all__ = ["simulate_states", "simulated_w_moments", "one_step_w_moments",
-           "sdf_factory_ssy"]
+           "sdf_factory_ssy", "sdf_factory_gcy"]
 
 
 def _next_state_for(model):
@@ -101,6 +101,34 @@ def sdf_factory_ssy(model: SSY, w_star_func: Callable) -> Callable:
 
     def sdf(x, x_next, xi):
         z = x[3]
+        sigma_c = model.phi_c * jnp.exp(x[1])
+        g_c = jnp.exp(model.mu_c + z + sigma_c * xi)
+        w_now = w_star_func(x)
+        w_next = w_star_func(x_next)
+        return (beta ** theta * jnp.exp(theta * x_next[0])
+                * g_c ** (-gamma)
+                * (w_next / (w_now - 1.0)) ** (theta - 1.0))
+
+    return sdf
+
+
+def sdf_factory_gcy(model: GCY, w_star_func: Callable) -> Callable:
+    """Epstein-Zin SDF for the GCY model.
+
+    Same Euler-equation structure as SSY (preference-shock ratio
+    exp(theta*h_lam'), consumption growth g_c = mu_c + z + sigma_c*xi
+    with sigma_c = phi_c*exp(h_c), matching the kappa the operators use —
+    reference ``gcy_wc_ratio_continuous.py:135-136``):
+
+        M' = beta^theta * exp(theta*h_lam') * g_c^(-gamma)
+             * ( w(x') / (w(x) - 1) )^(theta - 1)
+
+    State layout is the continuous order (h_lam, h_c, h_z, h_zpi, z, z_pi).
+    """
+    theta, beta, gamma = model.theta, model.beta, model.gamma
+
+    def sdf(x, x_next, xi):
+        z = x[4]
         sigma_c = model.phi_c * jnp.exp(x[1])
         g_c = jnp.exp(model.mu_c + z + sigma_c * xi)
         w_now = w_star_func(x)

@@ -181,3 +181,20 @@ def test_checkpoint_warm_resume(tmp_path):
                                w_init=ckpt.w_star)
     assert sol2.converged
     assert int(sol2.result.iterations) <= int(sol1.result.iterations) + 2
+
+
+def test_gcy_risk_free_rate():
+    from sdfs_via_autodiff_tpu import (construct_wstar_callable,
+                                       expected_sdf_gcy, risk_free_rate_gcy,
+                                       wc_ratio_continuous)
+    model = GCY()
+    # The (w'/(w-1))^(theta-1) term with theta-1 = -37 amplifies any
+    # level bias in w; a moderately fine grid is needed for a meaningful
+    # E[M] scale.
+    sol = wc_ratio_continuous(model, (6, 6, 6, 6, 12, 6), algorithm="newton",
+                              tol=1e-8, interp="pre", quad_degree=3)
+    f = construct_wstar_callable(sol.w_star, sol.grids)
+    e_m = expected_sdf_gcy(model, f)(jnp.zeros(6))
+    assert 0.5 < float(e_m) < 1.05
+    r = risk_free_rate_gcy(model, f)(jnp.zeros(6))
+    assert np.isfinite(float(r)) and float(r) > 0
