@@ -115,3 +115,21 @@ def test_f32_coarse_baseline_driver():
                         - np.asarray(ref.w_star))
                  / np.asarray(ref.w_star))
     assert rel < 1e-3
+
+
+def test_f32_range_warning(setup):
+    import warnings
+    model, _ = setup
+    grids32 = build_grid_gcy(model, *SIZES, dtype=jnp.float32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        T_gcy_continuous_factory(model, grids32, interp="pre", space="log",
+                                 quad_degree=3, dtype=jnp.float32)
+    assert any("float32's exponential range" in str(w.message) for w in rec)
+    # Normalized build does not warn.
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        T_gcy_continuous_factory(model, grids32, interp="pre", space="log",
+                                 quad_degree=3, dtype=jnp.float32,
+                                 baseline="loglinear")
+    assert not any("exponential range" in str(w.message) for w in rec2)
