@@ -248,7 +248,7 @@ def wc_ratio_continuation(model,
 def _wc_ratio_continuous_fused(model, grid_sizes, *, algorithm, tol,
                                num_std_devs, method, interp, quad_degree,
                                w_init, checkpoint_path,
-                               max_iter: int = 100_000,
+                               max_iter: int = 20_000,
                                **solver_opts) -> WCSolution:
     """Whole-solve Pallas kernel path (f32, SSY, quadrature + pre-interp).
 
@@ -256,9 +256,18 @@ def _wc_ratio_continuous_fused(model, grid_sizes, *, algorithm, tol,
     "fused_sa" the in-kernel successive-approximation loop.  The entire
     solve executes in one kernel launch with the iterate in VMEM.
     """
+    import warnings
+
     from .kernels.anderson_kernel import make_fused_anderson_ssy_continuous
     from .kernels.solver_kernel import make_fused_solver_ssy_continuous
     from .solvers.result import SolveResult
+
+    if tol < 1e-5:
+        warnings.warn(
+            f"tol={tol:g} is below the fused kernels' float32 iteration "
+            "floor (~1e-4..1e-5 on the log iterate depending on grid size); "
+            "the solve will stop at max_iter with the floor residual. Use "
+            "the f64 XLA Newton path for tighter tolerances.", stacklevel=3)
 
     if not isinstance(model, SSY):
         raise NotImplementedError(
