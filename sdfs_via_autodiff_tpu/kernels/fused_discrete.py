@@ -1,19 +1,21 @@
-"""Fused Pallas kernel for the discrete SSY log-space Koopmans operator.
+"""Fused Pallas kernels for log-space Koopmans operators (two-matmul form).
 
-The factored operator is a chain of four skinny per-axis matmuls with
-elementwise exp/log around them (``operators/discrete_ssy.py``).  XLA runs
-that as several HBM round-trips, and 10-wide matmuls pad poorly onto the
-128x128 MXU.  This kernel re-associates the chain into two Kronecker-
-product contractions
+The factored operators are chains of skinny per-axis matmuls with
+elementwise exp/log around them.  XLA runs those as several HBM
+round-trips, and ~10-wide matmuls pad poorly onto the 128x128 MXU.  The
+kernels here re-associate each chain into two grouped contractions
 
-    u = M1 @ v @ M2^T,   M1 = kron(B_lam, Q_c),  M2 = kron(Q_hz, z_P)
+    u = M1 @ v @ M2^T
 
-with v = exp(theta*ell - m) viewed as an (n_l*n_k, n_i*n_j) matrix, and
-fuses shift, exponentials, both matmuls, and the final log into a single
-VMEM-resident Pallas program: one HBM read of ell, one HBM write of T(ell).
-The kron matrices cost O(N*(n_l*n_k + n_i*n_j)) FLOPs instead of
-O(N*sum n_i) — more arithmetic, but on MXU-shaped (>=128-wide) operands,
-and with zero intermediate HBM traffic.
+(discrete SSY: M1 = kron(B_lam, Q_c), M2 = kron(Q_hz, z_P); continuous
+SSY: M2 composes the h_z and conditional-z expectation matrices; discrete
+GCY: triple Kronecker products per group) and fuse shifts, exponentials,
+both matmuls, and the final log into a single VMEM-resident Pallas
+program: one HBM read of ell, one HBM write of T(ell).  The grouped
+matrices cost O(N*(rows+cols)) FLOPs instead of O(N*sum n_i) — more
+arithmetic, but on MXU-shaped operands with zero intermediate HBM
+traffic; the tradeoff favors this form exactly at VMEM-resident sizes
+(docs/design.md), which is the kernels' domain.
 
 Mosaic supports f32/bf16, not the f64 double-float emulation, so this is
 the float32 fast path (log-space f32 holds ~1e-7 *relative* accuracy on w;

@@ -8,10 +8,11 @@ just two kron matmuls plus VPU elementwise — microseconds.  This kernel
 runs the *entire solve* on-chip: HBM is touched once to read the initial
 guess and once to write the fixed point.
 
-Scope: discrete SSY log-space operator in f32 (Mosaic has no f64), grids
-up to ~10^5 points (VMEM-bounded); returns (ell*, iterations, residual)
-exactly like the XLA solver.  The convergence check (sup-norm of the
-log-iterate update) and the NaN divergence guard run in-kernel.
+Scope: any two-matmul-form operator (discrete SSY/GCY, continuous SSY)
+in f32 (Mosaic has no f64), grids up to ~10^5 points (VMEM-bounded);
+returns (ell*, iterations, residual) exactly like the XLA solver.  The
+convergence check (sup-norm of the log-iterate update) and the NaN
+divergence guard run in-kernel.
 """
 
 from __future__ import annotations
