@@ -119,3 +119,35 @@ def test_jvp_through_operator():
     _, jv = jax.jvp(g, (jnp.zeros(2),), (v,))
     np.testing.assert_allclose(np.asarray(jv), np.asarray((A - jnp.eye(2)) @ v),
                                atol=1e-12)
+
+
+def test_timed_solve_utility():
+    from sdfs_via_autodiff_tpu.solvers import successive_approx
+    from sdfs_via_autodiff_tpu.utils.profiling import timed_solve
+    ts = timed_solve(successive_approx, affine, jnp.zeros(2), tol=1e-10)
+    assert bool(ts.result.converged)
+    assert ts.wall_seconds > 0
+    assert ts.points_per_second > 0
+    assert "point-updates/s" in str(ts)
+
+
+def test_checkpoint_version_guard(tmp_path):
+    import numpy as onp
+    from sdfs_via_autodiff_tpu import SSY
+    from sdfs_via_autodiff_tpu.utils.checkpoint import (
+        load_solution, save_solution)
+    path = str(tmp_path / "v.npz")
+    save_solution(path, SSY(), (jnp.linspace(0, 1, 3),), jnp.ones(3))
+    # Corrupt the version upward: loader must refuse.
+    data = dict(onp.load(path, allow_pickle=False))
+    data["version"] = onp.int64(99)
+    onp.savez_compressed(path, **data)
+    with pytest.raises(ValueError):
+        load_solution(path)
+
+
+def test_mesh_validation_errors():
+    from sdfs_via_autodiff_tpu.parallel.mesh import make_mesh
+    import jax
+    with pytest.raises(ValueError):
+        make_mesh(jax.device_count() + 1)
