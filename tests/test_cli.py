@@ -41,3 +41,17 @@ def test_solve_discrete_small(capsys):
 def test_bad_model():
     with pytest.raises(SystemExit):
         main(["solve", "bad", "--shapes", "2,2"])
+
+
+def test_gcy_continuous_cli_and_simulate(tmp_path, capsys):
+    ckpt = str(tmp_path / "gcy.npz")
+    rc = main(["solve", "gcy", "--kind", "continuous",
+               "--shapes", "3,3,3,3,4,3", "--algorithm", "newton",
+               "--tol", "1e-7", "--quad-degree", "3",
+               "--checkpoint", ckpt])
+    assert rc == 0
+    json.loads(capsys.readouterr().out)
+    rc = main(["simulate", "gcy", "--checkpoint", ckpt, "--steps", "3000"])
+    assert rc == 0
+    sim = json.loads(capsys.readouterr().out)
+    assert sim["model"] == "GCY" and sim["w_std"] >= 0

@@ -133,3 +133,17 @@ def test_f32_range_warning(setup):
                                  quad_degree=3, dtype=jnp.float32,
                                  baseline="loglinear")
     assert not any("exponential range" in str(w.message) for w in rec2)
+
+
+def test_monte_carlo_log_space(setup, rng):
+    # MC expectations on the gather path, log space (untested combo).
+    model, grids = setup
+    T_mc = T_gcy_continuous_factory(model, grids, method="monte_carlo",
+                                    interp="post", mc_draw_size=500)
+    T_mc_log = T_gcy_continuous_factory(model, grids, method="monte_carlo",
+                                        interp="post", mc_draw_size=500,
+                                        space="log")
+    w = rand_w(rng, spread=0.02)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(T_mc_log(jnp.log(w)))), np.asarray(T_mc(w)),
+        rtol=1e-10)
