@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.ssy import SSY
 from ..operators.discrete_ssy import SSYDiscretization, _ssy_factors
