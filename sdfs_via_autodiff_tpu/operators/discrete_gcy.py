@@ -30,6 +30,7 @@ import numpy as np
 
 from ..models.gcy import GCY
 from ..ops.rouwenhorst import rouwenhorst, rouwenhorst_P, rouwenhorst_ladder
+from ..ops.tauchen import tauchen, tauchen_P, tauchen_ladder
 
 __all__ = ["GCYDiscretization", "discretize_gcy", "T_gcy_factory",
            "dense_H_gcy"]
@@ -80,34 +81,42 @@ class GCYDiscretization:
 
 
 def discretize_gcy(model: GCY, shapes: Tuple[int, ...],
-                   dtype=jnp.float64) -> GCYDiscretization:
-    """Rouwenhorst discretization of the six GCY states (parity with
-    reference ``discretize_gcy``, ``gcy_wc_ratio.py:31-131``)."""
+                   dtype=jnp.float64,
+                   method: str = "rouwenhorst") -> GCYDiscretization:
+    """Discretization of the six GCY states (method="rouwenhorst" is
+    parity with reference ``discretize_gcy``, ``gcy_wc_ratio.py:31-131``;
+    "tauchen" swaps the construction, same shared-matrix structure)."""
     n_z, n_z_pi, n_h_z, n_h_c, n_h_zpi, n_h_lam = shapes
     m = model
+    if method == "rouwenhorst":
+        chain, chain_P, chain_ladder = rouwenhorst, rouwenhorst_P, rouwenhorst_ladder
+    elif method == "tauchen":
+        chain, chain_P, chain_ladder = tauchen, tauchen_P, tauchen_ladder
+    else:
+        raise ValueError(f"unknown discretization method {method!r}")
 
-    h_z_states, h_z_Q = rouwenhorst(n_h_z, m.rho_z, m.s_z)
-    h_c_states, h_c_Q = rouwenhorst(n_h_c, m.rho_c, m.s_c)
-    h_zpi_states, h_zpi_Q = rouwenhorst(n_h_zpi, m.rho_zpi, m.s_zpi)
-    h_lam_states, h_lam_Q = rouwenhorst(n_h_lam, m.rho_lam, m.s_lam)
+    h_z_states, h_z_Q = chain(n_h_z, m.rho_z, m.s_z)
+    h_c_states, h_c_Q = chain(n_h_c, m.rho_c, m.s_c)
+    h_zpi_states, h_zpi_Q = chain(n_h_zpi, m.rho_zpi, m.s_zpi)
+    h_lam_states, h_lam_Q = chain(n_h_lam, m.rho_lam, m.s_lam)
 
     sigma_z_states = m.phi_z * np.exp(h_z_states)
     sigma_c_states = m.phi_c * np.exp(h_c_states)
     sigma_zpi_states = m.phi_zpi * np.exp(h_zpi_states)
 
     # z_pi' = rho_pipi*z_pi + sigma_zpi*eta: ladder scaled per h_zpi state.
-    zpi_ladder = rouwenhorst_ladder(n_z_pi, m.rho_pipi)
+    zpi_ladder = chain_ladder(n_z_pi, m.rho_pipi)
     z_pi_states = sigma_zpi_states[:, None] * zpi_ladder[None, :]
-    z_pi_P = rouwenhorst_P(n_z_pi, m.rho_pipi)
+    z_pi_P = chain_P(n_z_pi, m.rho_pipi)
 
     # z' = rho*z + rho_pi*z_pi + sigma_z*eta: ladder scaled by sigma_z[i_h_z]
     # and mean-shifted by rho_pi*z_pi/(1-rho) per (i_h_zpi, i_z_pi).
-    z_ladder = rouwenhorst_ladder(n_z, m.rho)
+    z_ladder = chain_ladder(n_z, m.rho)
     centers = (m.rho_pi / (1.0 - m.rho)) * z_pi_states      # (n_h_zpi, n_z_pi)
     spread = sigma_z_states[:, None] * z_ladder[None, :]    # (n_h_z, n_z)
     # target layout: (i_z_pi, i_h_z, i_h_zpi, i_z)
     z_states = (centers.T[:, None, :, None] + spread[None, :, None, :])
-    z_P = rouwenhorst_P(n_z, m.rho)
+    z_P = chain_P(n_z, m.rho)
 
     cast = lambda a: jnp.asarray(a, dtype=dtype)
     return GCYDiscretization(

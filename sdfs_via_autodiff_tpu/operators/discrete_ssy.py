@@ -30,6 +30,7 @@ import numpy as np
 
 from ..models.ssy import SSY
 from ..ops.rouwenhorst import rouwenhorst, rouwenhorst_P, rouwenhorst_ladder
+from ..ops.tauchen import tauchen, tauchen_P, tauchen_ladder
 
 __all__ = ["SSYDiscretization", "discretize_ssy", "T_ssy_factory",
            "dense_H_ssy"]
@@ -80,27 +81,36 @@ class SSYDiscretization:
 
 
 def discretize_ssy(model: SSY, shapes: Tuple[int, int, int, int],
-                   dtype=jnp.float64) -> SSYDiscretization:
-    """Rouwenhorst discretization of the four SSY states.
+                   dtype=jnp.float64,
+                   method: str = "rouwenhorst") -> SSYDiscretization:
+    """Discretization of the four SSY states.
 
-    Matches reference ``discretize_ssy`` (``ssy_wc_ratio.py:23-79``): one
-    chain per h process; for z, a volatility-dependent family of chains
-    z_states[i, :] = sigma_z[i] * ladder(rho) sharing one transition matrix.
-    Host-side float64 construction, cast to ``dtype`` on device.
+    method="rouwenhorst" matches reference ``discretize_ssy``
+    (``ssy_wc_ratio.py:23-79``): one chain per h process; for z, a
+    volatility-dependent family of chains z_states[i, :] =
+    sigma_z[i] * ladder(rho) sharing one transition matrix.
+    method="tauchen" swaps in the Tauchen (1986) construction (same
+    shared-matrix structure).  Host-side float64, cast to ``dtype``.
     """
     n_h_lam, n_h_c, n_h_z, n_z = shapes
     m = model
+    if method == "rouwenhorst":
+        chain, chain_P, chain_ladder = rouwenhorst, rouwenhorst_P, rouwenhorst_ladder
+    elif method == "tauchen":
+        chain, chain_P, chain_ladder = tauchen, tauchen_P, tauchen_ladder
+    else:
+        raise ValueError(f"unknown discretization method {method!r}")
 
-    h_lam_states, h_lam_Q = rouwenhorst(n_h_lam, m.rho_lam, m.s_lam)
-    h_c_states, h_c_Q = rouwenhorst(n_h_c, m.rho_c, m.s_c)
-    h_z_states, h_z_Q = rouwenhorst(n_h_z, m.rho_z, m.s_z)
+    h_lam_states, h_lam_Q = chain(n_h_lam, m.rho_lam, m.s_lam)
+    h_c_states, h_c_Q = chain(n_h_c, m.rho_c, m.s_c)
+    h_z_states, h_z_Q = chain(n_h_z, m.rho_z, m.s_z)
 
     sigma_z_states = m.phi_z * np.exp(h_z_states)
     sigma_c_states = m.phi_c * np.exp(h_c_states)
 
-    z_ladder = rouwenhorst_ladder(n_z, m.rho)
+    z_ladder = chain_ladder(n_z, m.rho)
     z_states = sigma_z_states[:, None] * z_ladder[None, :]
-    z_P = rouwenhorst_P(n_z, m.rho)
+    z_P = chain_P(n_z, m.rho)
 
     cast = lambda a: jnp.asarray(a, dtype=dtype)
     return SSYDiscretization(

@@ -1,3 +1,5 @@
 from .checkpoint import save_solution, load_solution, SolutionCheckpoint
+from .spectral import power_iteration, existence_check
 
-__all__ = ["save_solution", "load_solution", "SolutionCheckpoint"]
+__all__ = ["save_solution", "load_solution", "SolutionCheckpoint",
+           "power_iteration", "existence_check"]

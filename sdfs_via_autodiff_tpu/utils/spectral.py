@@ -1,0 +1,128 @@
+"""Matrix-free spectral checks for existence/uniqueness.
+
+The fixed point exists and is unique iff beta * r(H)^(1/theta) < 1
+(Stachurski-Zhang 2022; reference ``paper/autosdfs.tex:447-450``).  The
+reference can only check this by materializing dense H on tiny grids
+(``temp_ssy.py``); here r(H) comes from power iteration through the
+*factored* operator — H is nonnegative and irreducible, so the Perron
+root is reached from a positive start — making the condition checkable at
+any grid size on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["power_iteration", "existence_check"]
+
+
+def power_iteration(apply_H: Callable, shape, *, tol: float = 1e-10,
+                    max_iter: int = 5000, dtype=jnp.float64):
+    """Dominant eigenvalue of a nonnegative linear operator.
+
+    ``apply_H`` maps an array of ``shape`` to the same shape.  Returns
+    (eigenvalue, iterations).  Sup-norm normalization keeps the iterate
+    O(1); the Rayleigh-style estimate is the normalization factor.
+    """
+    v0 = jnp.ones(shape, dtype=dtype)
+
+    def cond(state):
+        _, lam, lam_prev, it = state
+        return (jnp.abs(lam - lam_prev) > tol * jnp.abs(lam)) & (it < max_iter)
+
+    def body(state):
+        v, lam, _, it = state
+        w = apply_H(v)
+        lam_new = jnp.max(jnp.abs(w))
+        return w / lam_new, lam_new, lam, it + 1
+
+    one = jnp.asarray(1.0, dtype)
+    _, lam, _, it = lax.while_loop(
+        cond, body, (v0, one, jnp.asarray(0.0, dtype), 0))
+    return lam, it
+
+
+@dataclasses.dataclass
+class ExistenceReport:
+    spectral_radius: float
+    theta: float
+    beta: float
+    stability_exponent: float     # beta * r(H)^(1/theta)
+    exists_unique: bool
+    iterations: int
+
+    def __repr__(self):
+        return (f"ExistenceReport(r(H)={self.spectral_radius:.6g}, "
+                f"beta*r^(1/theta)={self.stability_exponent:.6f}, "
+                f"exists_unique={self.exists_unique})")
+
+
+def existence_check(model, disc=None, grids=None, *, tol=1e-10,
+                    quad_degree: int = 5) -> ExistenceReport:
+    """Check beta * r(H)^(1/theta) < 1 for a discretized or continuous
+    (factored, pre-interp) SSY/GCY model."""
+    from ..models.gcy import GCY
+    from ..models.ssy import SSY
+
+    if (disc is None) == (grids is None):
+        raise ValueError("pass exactly one of disc or grids")
+
+    if disc is not None:
+        if isinstance(model, SSY):
+            from ..operators.discrete_ssy import _hw_theta_factored, _ssy_factors
+            B_lam, A2, A3 = _ssy_factors(model, disc)
+            apply_H = lambda v: _hw_theta_factored(
+                v, B_lam, disc.h_c_Q, disc.h_z_Q, disc.z_P, A2, A3)
+            shape = disc.shapes
+        elif isinstance(model, GCY):
+            from ..operators.discrete_gcy import _gcy_factors
+            B_lam, A2, A3 = _gcy_factors(model, disc)
+
+            def apply_H(v):
+                u = jnp.einsum("lL,ABCDEL->ABCDEl", B_lam, v)
+                u = jnp.einsum("dD,ABCDEl->ABCdEl", disc.h_c_Q, u)
+                u = jnp.einsum("cC,ABCdEl->ABcdEl", disc.h_z_Q, u)
+                u = jnp.einsum("eE,ABcdEl->ABcdel", disc.h_zpi_Q, u)
+                u = jnp.einsum("bB,ABcdel->Abcdel", disc.z_pi_P, u)
+                u = jnp.einsum("aA,Abcdel->abcdel", disc.z_P, u)
+                return (A2[None, None, None, :, None, None]
+                        * A3[:, :, :, None, :, None] * u)
+            shape = disc.shapes
+        else:
+            raise TypeError(f"unsupported model {type(model).__name__}")
+    else:
+        # Continuous: the linear part of the factored pre-interp operator.
+        if isinstance(model, SSY):
+            from ..operators.continuous_ssy import T_ssy_continuous_factory
+            T = T_ssy_continuous_factory(model, grids, interp="pre",
+                                         space="w", quad_degree=quad_degree,
+                                         jit=False)
+        elif isinstance(model, GCY):
+            from ..operators.continuous_gcy import T_gcy_continuous_factory
+            T = T_gcy_continuous_factory(model, grids, interp="pre",
+                                         space="w", quad_degree=quad_degree,
+                                         jit=False)
+        else:
+            raise TypeError(f"unsupported model {type(model).__name__}")
+        theta, beta = model.theta, model.beta
+
+        def apply_H(v):
+            # T(w) = 1 + beta*(H w^theta)^(1/theta) => H v recoverable by
+            # feeding w = v^(1/theta):
+            w = v ** (1.0 / theta)
+            return (((T(w) - 1.0) / beta)) ** theta
+        shape = tuple(len(g) for g in grids)
+
+    lam, it = jax.jit(
+        lambda: power_iteration(apply_H, shape, tol=tol))()
+    lam = float(lam)
+    expo = model.beta * lam ** (1.0 / model.theta)
+    return ExistenceReport(spectral_radius=lam, theta=model.theta,
+                           beta=model.beta, stability_exponent=expo,
+                           exists_unique=bool(expo < 1.0),
+                           iterations=int(it))

@@ -165,3 +165,13 @@ def test_fused_driver_algorithms():
     assert sol2.converged, sol2.result
     np.testing.assert_allclose(np.asarray(sol.w_star),
                                np.asarray(sol2.w_star), rtol=1e-3)
+
+
+def test_existence_check_continuous(setup):
+    from sdfs_via_autodiff_tpu.utils.spectral import existence_check
+    model, grids = setup
+    rep = existence_check(model, grids=grids)
+    assert rep.exists_unique
+    assert 0 < rep.spectral_radius
+    # theta < 0: r(H)^(1/theta) < 1 requires r(H) > 1 here.
+    assert rep.stability_exponent < 1

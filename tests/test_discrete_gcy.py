@@ -110,3 +110,13 @@ def test_normalized_f32_wide_grid_stays_finite():
     for _ in range(25):
         ell = T(ell)
     assert bool(jnp.all(jnp.isfinite(ell)))
+
+
+def test_existence_check_gcy(setup):
+    from sdfs_via_autodiff_tpu.utils.spectral import existence_check
+    model, disc = setup
+    rep = existence_check(model, disc)
+    H = np.asarray(dense_H_gcy(model, disc))
+    r_dense = float(np.max(np.abs(np.linalg.eigvals(H))))
+    np.testing.assert_allclose(rep.spectral_radius, r_dense, rtol=1e-7)
+    assert rep.exists_unique

@@ -154,3 +154,15 @@ def test_normalized_f32_wide_grid_stays_finite():
                         - np.exp(np.asarray(ref.x)))
                  / np.exp(np.asarray(ref.x)))
     assert rel < 1e-3
+
+
+def test_existence_check_matches_dense_eig(setup):
+    # Matrix-free power iteration vs dense eigenvalues on a small grid.
+    from sdfs_via_autodiff_tpu.utils.spectral import existence_check
+    model, disc = setup
+    rep = existence_check(model, disc)
+    H = np.asarray(dense_H_ssy(model, disc))
+    r_dense = float(np.max(np.abs(np.linalg.eigvals(H))))
+    np.testing.assert_allclose(rep.spectral_radius, r_dense, rtol=1e-7)
+    assert rep.exists_unique           # default calibration satisfies it
+    assert "exists_unique=True" in repr(rep)
