@@ -79,6 +79,32 @@ def cmd_simulate(args):
     return 0
 
 
+def cmd_check(args):
+    from .operators.discrete_gcy import discretize_gcy
+    from .operators.discrete_ssy import discretize_ssy
+    from .ops.grids import build_grid_gcy, build_grid_ssy
+    from .utils.spectral import existence_check
+
+    model = _model(args.model)
+    shapes = _parse_shapes(args.shapes)
+    if args.kind == "discrete":
+        disc = (discretize_ssy if args.model == "ssy" else discretize_gcy)(
+            model, shapes)
+        rep = existence_check(model, disc)
+    else:
+        grids = (build_grid_ssy if args.model == "ssy" else build_grid_gcy)(
+            model, *shapes, num_std_devs=args.num_std_devs)
+        rep = existence_check(model, grids=grids,
+                              quad_degree=args.quad_degree)
+    print(json.dumps(dict(
+        model=args.model, kind=args.kind, shapes=list(shapes),
+        spectral_radius=rep.spectral_radius,
+        stability_exponent=rep.stability_exponent,
+        exists_unique=rep.exists_unique,
+        power_iterations=rep.iterations)))
+    return 0 if rep.exists_unique else 3
+
+
 def cmd_info(_args):
     import jax
 
@@ -125,6 +151,16 @@ def main(argv=None) -> int:
     pm.add_argument("--steps", type=int, default=1_000_000)
     pm.add_argument("--seed", type=int, default=1234)
     pm.set_defaults(fn=cmd_simulate)
+
+    pc = sub.add_parser(
+        "check", help="existence/uniqueness check: beta*r(H)^(1/theta) < 1")
+    pc.add_argument("model", choices=["ssy", "gcy"])
+    pc.add_argument("--kind", choices=["discrete", "continuous"],
+                    default="discrete")
+    pc.add_argument("--shapes", required=True)
+    pc.add_argument("--quad-degree", type=int, default=5)
+    pc.add_argument("--num-std-devs", type=float, default=3.2)
+    pc.set_defaults(fn=cmd_check)
 
     pi = sub.add_parser("info", help="backend / version info")
     pi.set_defaults(fn=cmd_info)

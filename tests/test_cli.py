@@ -55,3 +55,11 @@ def test_gcy_continuous_cli_and_simulate(tmp_path, capsys):
     assert rc == 0
     sim = json.loads(capsys.readouterr().out)
     assert sim["model"] == "GCY" and sim["w_std"] >= 0
+
+
+def test_check_command(capsys):
+    rc = main(["check", "ssy", "--kind", "discrete", "--shapes", "3,3,3,3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["exists_unique"] is True
+    assert out["stability_exponent"] < 1
