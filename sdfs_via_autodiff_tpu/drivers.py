@@ -125,6 +125,7 @@ def wc_ratio_continuous(model,
                         batch_size: Optional[int] = None,
                         baseline: Optional[str] = None,
                         dtype=None,
+                        polish: bool = False,
                         checkpoint_path: Optional[str] = None,
                         **solver_opts) -> WCSolution:
     """Solve the continuous-state model on interpolation grids.
@@ -141,9 +142,29 @@ def wc_ratio_continuous(model,
     (ANOVA main-effects) baseline from it, folds it into the operator,
     and warm-starts from it.  ``baseline="loglinear"`` folds the closed
     form instead (adequate for SSY).
+
+    ``polish=True`` (meaningful for float32 / fused solves): after the
+    fast solve, refine with float64 Newton warm-started from it — the
+    f32 tier's speed with the f64 tier's accuracy (the warm start leaves
+    only a couple of Newton steps).
     """
     space = space or _auto_space()
     gdtype = dtype or jnp.float64
+    if polish:
+        fast = wc_ratio_continuous(
+            model, grid_sizes, num_std_devs=num_std_devs, method=method,
+            interp=interp, quad_degree=quad_degree,
+            mc_draw_size=mc_draw_size, seed=seed, algorithm=algorithm,
+            tol=max(tol, 1e-4), space=space, w_init=w_init,
+            batch_size=batch_size, baseline=baseline, dtype=dtype,
+            **solver_opts)
+        return wc_ratio_continuous(
+            model, grid_sizes, num_std_devs=num_std_devs, method=method,
+            interp=interp, quad_degree=quad_degree,
+            mc_draw_size=mc_draw_size, seed=seed, algorithm="newton",
+            tol=tol, space="log",
+            w_init=jnp.asarray(fast.w_star, jnp.float64),
+            checkpoint_path=checkpoint_path)
     baseline_spec = baseline
     if baseline == "coarse":
         baseline_spec = _coarse_additive_baseline(

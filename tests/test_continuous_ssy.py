@@ -175,3 +175,18 @@ def test_existence_check_continuous(setup):
     assert 0 < rep.spectral_radius
     # theta < 0: r(H)^(1/theta) < 1 requires r(H) > 1 here.
     assert rep.stability_exponent < 1
+
+
+def test_polish_refines_f32_solve():
+    # f32 fast solve -> f64 Newton polish: full accuracy with a warm
+    # start that leaves only a few Newton steps.
+    from sdfs_via_autodiff_tpu import wc_ratio_continuous
+    model = SSY()
+    sol = wc_ratio_continuous(model, (8, 8, 8, 10), algorithm="anderson",
+                              tol=1e-9, dtype=jnp.float32, polish=True)
+    assert sol.converged
+    assert int(sol.result.iterations) <= 6
+    ref = wc_ratio_continuous(model, (8, 8, 8, 10), algorithm="newton",
+                              tol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol.w_star),
+                               np.asarray(ref.w_star), atol=1e-6)
