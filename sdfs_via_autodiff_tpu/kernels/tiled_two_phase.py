@@ -1,0 +1,425 @@
+"""Tiled HBM-resident Pallas kernels for the two-phase log-space operators.
+
+The VMEM-resident fused kernels (``fused_discrete.py``) cap out where the
+whole field + kron operands fit in ~16 MB of VMEM (~10^5 points).  These
+kernels lift that cap: the field streams through VMEM in strips while the
+small per-axis operands stay resident, so one operator application costs
+exactly four HBM passes of the field —
+
+    pass 1 (column phase): read ell strip-by-strip over rows, LSE-contract
+        the two column axes (next-h_z, next-z) in VMEM, write the midway
+        field;
+    pass 2 (row phase): read the midway field strip-by-strip over columns,
+        LSE-contract the two row axes (next-h_lam, next-h_c), apply the
+        separable epilogue, write log T(w).
+
+against the ~10 read/write passes of the unfused XLA einsum chain.  All
+matmuls are skinny per-axis contractions (O(N * sum n_i) FLOPs) on the
+MXU; exp/log/max run on the VPU over resident strips.  Operand math and
+grouping live in :mod:`..operators.two_phase`; the plain-XLA twin there is
+bit-identical math and provides the transposable tangent for the custom
+JVP here (reverse-mode therefore also works).
+
+Mosaic supports f32/bf16 (not the f64 double-float emulation), so this is
+the float32 fast tier; combine with ``baseline="loglinear"`` operands on
+wide grids and a float64 polish for full accuracy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..operators.two_phase import TwoPhaseOperands, make_xla_two_phase_T
+
+
+def _i32(v):
+    # Mosaic requires int32 index-map results; under the package's x64
+    # config the program index and literal zeros trace as int64.
+    return jnp.asarray(v, jnp.int32)
+
+__all__ = ["make_tiled_T_log", "make_tiled_T_log_ssy",
+           "make_tiled_T_log_ssy_continuous"]
+
+# Per-buffer padded-footprint target; Pallas double-buffers input and
+# output strips, so the working set is ~4x this plus operands.
+_STRIP_BYTES = 3 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_strip(n: int, unit_bytes: int, budget: int = _STRIP_BYTES) -> int:
+    """Largest divisor of n whose strip footprint stays under budget."""
+    cap = max(1, budget // max(unit_bytes, 1))
+    best = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and d <= cap:
+            best = d
+    return best
+
+
+def _contract_c1(e, W, batched, prec):
+    """Contract the c1 (middle) axis of e (TB, n1, n2) with W (n1, n1), or
+    with W (n2, n1, n1) batched over the *next* c2 index.
+
+    The batched form unrolls into per-slice 2-D matmuls: Mosaic's 3-D
+    ``tpu.matmul`` with batch dimensions miscompiles (layout check
+    failure), so batched einsums must not reach it.
+    """
+    if not batched:
+        return jnp.einsum("im,tmj->tij", W, e,
+                          preferred_element_type=jnp.float32, precision=prec)
+    n2 = e.shape[2]
+    et = jnp.swapaxes(e, 1, 2)                       # (TB, n2, n1)
+    rows = [_dot_p(et[:, j, :], W[j].T, prec)
+            for j in range(n2)]                      # each (TB, n1)
+    return jnp.swapaxes(jnp.stack(rows, axis=1), 1, 2)
+
+
+def _contract_c2(e, W, batched, prec, out_ref=None, epilogue=None):
+    """Contract the c2 (last) axis of e (TB, n1, n2) with W (n2, n2), or
+    with W (n1, n2, n2) batched over the *current* c1 index (unrolled —
+    see :func:`_contract_c1`).
+
+    When ``out_ref`` is given, the batched form streams each per-slice
+    matmul (optionally through ``epilogue(u_slice, i)``) straight into
+    ``out_ref[:, i, :]`` — no stacked intermediate, roughly halving the
+    kernel's scoped-VMEM footprint.
+    """
+    if not batched:
+        u = jnp.einsum("jm,tim->tij", W, e,
+                       preferred_element_type=jnp.float32, precision=prec)
+        if out_ref is None:
+            return u
+        out_ref[:] = epilogue(u, None) if epilogue else u
+        return None
+    n1 = e.shape[1]
+    rows = []
+    for i in range(n1):
+        u = _dot_p(e[:, i, :], W[i].T, prec)             # (TB, n2)
+        if out_ref is not None:
+            out_ref[:, i, :] = epilogue(u, i) if epilogue else u
+        else:
+            rows.append(u)
+    return None if out_ref is not None else jnp.stack(rows, axis=1)
+
+
+_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
+              "default": jax.lax.Precision.DEFAULT}
+
+
+def _dot_p(a, b, prec):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
+
+
+def _col_phase_kernel(theta, c1_batched, c2_batched, has_sub, prec, *refs):
+    if has_sub:
+        ell_ref, wc1_ref, wc2_ref, subr_ref, subc_ref, out_ref = refs
+    else:
+        ell_ref, wc1_ref, wc2_ref, out_ref = refs
+    a = theta * ell_ref[:]                     # (TB, n_c1, n_c2)
+    if has_sub:
+        a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
+    m = jnp.max(a, axis=1, keepdims=True)
+    e = jnp.exp(a - m)
+    u = _contract_c1(e, wc1_ref[:], c1_batched, prec)
+    a = m + jnp.log(u)
+    m = jnp.max(a, axis=2, keepdims=True)
+    e = jnp.exp(a - m)
+    _contract_c2(e, wc2_ref[:], c2_batched, prec, out_ref=out_ref,
+                 epilogue=lambda u, i: (m if i is None else m[:, i, :])
+                 + jnp.log(u))
+
+
+def _row_phase_kernel(theta, beta, prec, mid_ref, wr1_ref, wr2_ref,
+                      addr_ref, addc_ref, out_ref):
+    """Row phase (LSE).  The two row contractions unroll into per-slice
+    2-D dots (Mosaic rejects leading-axis einsums at HIGHEST precision and
+    miscompiles 3-D batched matmuls), streaming through a scoped scratch
+    and straight into ``out_ref`` to keep the live set minimal."""
+    n_r1, n_r2, _ = mid_ref.shape
+
+    def body(scratch):
+        a = mid_ref[:]                         # (n_r1, n_r2, TC)
+        m = jnp.max(a, axis=0, keepdims=True)
+        e = jnp.exp(a - m)
+        W1 = wr1_ref[:]
+        for k in range(n_r2):
+            scratch[:, k, :] = m[0, k, :][None, :] + jnp.log(
+                _dot_p(W1, e[:, k, :], prec))
+        a2 = scratch[:]
+        m2 = jnp.max(a2, axis=1, keepdims=True)
+        e2 = jnp.exp(a2 - m2)
+        W2 = wr2_ref[:]
+        addr = addr_ref[:]
+        addc = addc_ref[:]
+        for l in range(n_r1):
+            lh = (m2[l] + jnp.log(_dot_p(W2, e2[l], prec))
+                  + addr[l][:, None] + addc)
+            out_ref[l] = jnp.log1p(beta * jnp.exp(lh / theta))
+
+    pl.run_scoped(body, pltpu.VMEM(mid_ref.shape, jnp.float32))
+
+
+def _col_phase_fast_kernel(theta, c1_batched, c2_batched, has_sub, prec, *refs):
+    """Column phase, single per-row shift (``mode="fast"``).
+
+    One exp per element; the two column contractions run as plain matmul
+    chains in the exp domain.  The per-row shift s[t] = max over the
+    (c1, c2) block is emitted as a second output and folded back exactly
+    in the row phase — same function as the LSE kernel, ~2.5x fewer
+    transcendentals (the VPU bound at scale).  Requires the iterate's
+    theta-range *within a row block* to fit exp's f32 range (~85 log
+    units): guaranteed under baseline normalization, and true for the
+    plain SSY operators on standard grids (theta * range(log w) ~ 13).
+    """
+    if has_sub:
+        ell_ref, wc1_ref, wc2_ref, subr_ref, subc_ref, u_ref, s_ref = refs
+    else:
+        ell_ref, wc1_ref, wc2_ref, u_ref, s_ref = refs
+    a = theta * ell_ref[:]                     # (TB, n_c1, n_c2)
+    if has_sub:
+        a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
+    # Single-axis reductions keep Mosaic's layout inference happy.
+    s = jnp.max(jnp.max(a, axis=2, keepdims=True), axis=1, keepdims=True)
+    e = jnp.exp(a - s)
+    u = _contract_c1(e, wc1_ref[:], c1_batched, prec)
+    _contract_c2(u, wc2_ref[:], c2_batched, prec, out_ref=u_ref)
+    s_ref[:] = s[:, :, 0]                      # (TB, 1)
+
+
+def _row_phase_fast_kernel(theta, beta, prec, u_ref, s_ref, wr1_ref,
+                           wr2_ref, addr_ref, addc_ref, out_ref):
+    """Row phase for ``mode="fast"``: rescale by exp(s - max s), contract,
+    single log in the epilogue."""
+    n_r1, n_r2, _ = u_ref.shape
+    s = s_ref[:]                               # (n_r1, n_r2)
+    m2 = jnp.max(jnp.max(s, axis=1, keepdims=True), axis=0, keepdims=True)
+    scale = jnp.exp(s - m2)
+
+    def body(scratch):
+        e = u_ref[:] * scale[:, :, None]       # (n_r1, n_r2, TC)
+        W1 = wr1_ref[:]
+        for k in range(n_r2):
+            scratch[:, k, :] = _dot_p(W1, e[:, k, :], prec)
+        e2 = scratch[:]
+        W2 = wr2_ref[:]
+        addr = addr_ref[:]
+        addc = addc_ref[:]
+        m2s = m2[0, 0]
+        for l in range(n_r1):
+            lh = (m2s + jnp.log(_dot_p(W2, e2[l], prec))
+                  + addr[l][:, None] + addc)
+            out_ref[l] = jnp.log1p(beta * jnp.exp(lh / theta))
+
+    pl.run_scoped(body, pltpu.VMEM(u_ref.shape, jnp.float32))
+
+
+def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
+                     mode: str = "auto", precision: str = "highest",
+                     interpret: bool = False) -> Callable:
+    """Tiled two-pass Pallas operator from a two-phase operand set.
+
+    Maps ell (4-D grid field) -> log T(w); differentiable via a custom JVP
+    whose tangent runs through the XLA twin (transposable, so reverse-mode
+    works; under ``jax.linearize`` the twin's primal intermediates are
+    computed once per linearization point and shared by all matvecs).
+    Exposes the twin as ``T.xla_twin``.
+
+    mode: "lse" interleaves a log-sum-exp shift into every contraction
+    (safe at any dynamic range); "fast" uses one shift per row block and
+    plain matmul chains in the exp domain — fewer transcendental passes,
+    exact whenever (a) the iterate's theta-range within a row block and
+    (b) the running products of the factor matrices fit exp's f32 range.
+    (a) holds on standard SSY grids (theta * range(log w) ~ 13); (b)
+    *fails* for baseline-normalized operands, whose folded factors carry
+    e^(theta*delta-phi) weights that the LSE steps renormalize away —
+    "auto" therefore picks "fast" only for plain operands.
+    """
+    if dtype != jnp.float32:
+        raise ValueError("tiled kernels are the float32 tier; use the XLA "
+                         "operators for float64")
+    if mode == "auto":
+        mode = "lse" if ops.has_sub else "fast"
+    if mode not in ("lse", "fast"):
+        raise ValueError(f"unknown mode {mode!r}")
+    # precision="highest" keeps f32 operands in true f32 on the MXU (~6x
+    # better one-application accuracy, measured 1.1e-4 vs 8e-4 sup);
+    # "default" lets the MXU demote to one-pass bf16 (~2x faster kernel).
+    prec = _PRECISION[precision]
+    n_r1, n_r2, n_c1, n_c2 = ops.shapes
+    R, C = n_r1 * n_r2, n_c1 * n_c2
+    itemsize = np.dtype(np.float32).itemsize
+
+    # Strip sizes: divisors of R / C with padded VMEM footprints in budget.
+    # The column phase keeps several tile-sized values live (exp/log
+    # temporaries, per-slice unrolled matmuls, HIGHEST-precision matmul
+    # scratch) and the whole working set must fit Mosaic's 16 MB
+    # scoped-vmem limit, so it gets half the nominal strip budget.
+    row_unit = _round_up(n_c1, 8) * _round_up(n_c2, 128) * itemsize
+    TB = _pick_strip(R, row_unit, _STRIP_BYTES // 2)
+    lane_block = n_r1 * _round_up(n_r2, 8) * 128 * itemsize  # per 128 lanes
+    if C % 128 == 0:
+        TC = 128 * _pick_strip(C // 128, lane_block)
+    else:
+        TC = _pick_strip(C, -(-lane_block // 128))
+    if (TB * row_unit > _STRIP_BYTES * 2
+            or _round_up(TC, 128) // 128 * lane_block > _STRIP_BYTES * 2):
+        raise ValueError(
+            f"state space {ops.shapes} has no strip decomposition inside "
+            "the VMEM budget; use the XLA two-phase operator")
+
+    cast = lambda a: jnp.asarray(a, dtype)
+    W_r1, W_r2, W_c1, W_c2 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1,
+                                        ops.W_c2))
+    add_row = cast(ops.add_row)
+    add_col = cast(ops.add_col.reshape(1, C))
+    theta_f = float(ops.theta)
+    beta_f = float(ops.beta)
+
+    has_sub = ops.has_sub
+    if has_sub:
+        sub_row = cast(ops.sub_row.reshape(R, 1))
+        sub_col = cast(ops.sub_col)
+
+    def full(a):
+        # Whole-array operand, resident across grid steps.  The explicit
+        # index map keeps Mosaic's index types int32 (see _i32).
+        nd = a.ndim
+        return pl.BlockSpec(a.shape,
+                            lambda g, _n=nd: tuple(_i32(0) for _ in range(_n)),
+                            memory_space=pltpu.VMEM)
+    col_in_specs = [
+        pl.BlockSpec((TB, n_c1, n_c2), lambda t: (_i32(t), _i32(0), _i32(0)),
+                     memory_space=pltpu.VMEM),
+        full(W_c1), full(W_c2),
+    ]
+    col_args = [W_c1, W_c2]
+    if has_sub:
+        col_in_specs += [
+            pl.BlockSpec((TB, 1), lambda t: (_i32(t), _i32(0)),
+                         memory_space=pltpu.VMEM),
+            full(sub_col),
+        ]
+        col_args += [sub_row, sub_col]
+
+    col_strip = pl.BlockSpec((TB, n_c1, n_c2),
+                             lambda t: (_i32(t), _i32(0), _i32(0)),
+                             memory_space=pltpu.VMEM)
+    row_strip = pl.BlockSpec((n_r1, n_r2, TC),
+                             lambda c: (_i32(0), _i32(0), _i32(c)),
+                             memory_space=pltpu.VMEM)
+    addc_strip = pl.BlockSpec((1, TC), lambda c: (_i32(0), _i32(c)),
+                              memory_space=pltpu.VMEM)
+
+    if mode == "lse":
+        col_call = pl.pallas_call(
+            partial(_col_phase_kernel, theta_f, ops.c1_batched,
+                    ops.c2_batched, has_sub, prec),
+            grid=(R // TB,),
+            out_shape=jax.ShapeDtypeStruct((R, n_c1, n_c2), dtype),
+            in_specs=col_in_specs,
+            out_specs=col_strip,
+            interpret=interpret,
+        )
+        row_call = pl.pallas_call(
+            partial(_row_phase_kernel, theta_f, beta_f, prec),
+            grid=(C // TC,),
+            out_shape=jax.ShapeDtypeStruct((n_r1, n_r2, C), dtype),
+            in_specs=[row_strip, full(W_r1), full(W_r2), full(add_row),
+                      addc_strip],
+            out_specs=row_strip,
+            interpret=interpret,
+        )
+
+        def _primal(ell):
+            mid = col_call(ell.astype(dtype).reshape(R, n_c1, n_c2),
+                           *col_args)
+            out = row_call(mid.reshape(n_r1, n_r2, C), W_r1, W_r2, add_row,
+                           add_col)
+            return out.reshape(ops.shapes)
+    else:
+        col_call = pl.pallas_call(
+            partial(_col_phase_fast_kernel, theta_f, ops.c1_batched,
+                    ops.c2_batched, has_sub, prec),
+            grid=(R // TB,),
+            out_shape=(jax.ShapeDtypeStruct((R, n_c1, n_c2), dtype),
+                       jax.ShapeDtypeStruct((R, 1), dtype)),
+            in_specs=col_in_specs,
+            out_specs=(col_strip,
+                       pl.BlockSpec((TB, 1), lambda t: (_i32(t), _i32(0)),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )
+        row_call = pl.pallas_call(
+            partial(_row_phase_fast_kernel, theta_f, beta_f, prec),
+            grid=(C // TC,),
+            out_shape=jax.ShapeDtypeStruct((n_r1, n_r2, C), dtype),
+            in_specs=[row_strip, full(jnp.zeros((n_r1, n_r2), dtype)),
+                      full(W_r1), full(W_r2), full(add_row), addc_strip],
+            out_specs=row_strip,
+            interpret=interpret,
+        )
+
+        def _primal(ell):
+            u, s = col_call(ell.astype(dtype).reshape(R, n_c1, n_c2),
+                            *col_args)
+            out = row_call(u.reshape(n_r1, n_r2, C),
+                           s.reshape(n_r1, n_r2), W_r1, W_r2, add_row,
+                           add_col)
+            return out.reshape(ops.shapes)
+
+    xla_twin = make_xla_two_phase_T(ops, dtype)
+
+    @jax.custom_jvp
+    def T(ell):
+        return _primal(ell)
+
+    @T.defjvp
+    def _jvp(primals, tangents):
+        (ell,), (dell,) = primals, tangents
+        # Tangent through the XLA twin: identical math, transposable, and
+        # its primal intermediates become linearization residuals.
+        dout = jax.jvp(xla_twin, (ell,), (dell.astype(dtype),))[1]
+        return _primal(ell), dout
+
+    T.xla_twin = xla_twin
+    T.strip_sizes = (TB, TC)
+    T.mode = mode
+    if ops.baseline_log_w is not None:
+        T.baseline_log_w = cast(ops.baseline_log_w)
+    return T
+
+
+def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
+                         mode: str = "auto", precision: str = "highest",
+                         interpret: bool = False) -> Callable:
+    """Tiled two-pass log-space T for the *discrete* SSY operator
+    (reference ``ssy_wc_ratio.py:82-151``); ``baseline="loglinear"`` folds
+    the normalized factors (required beyond ~40-point axes in f32)."""
+    from ..operators.two_phase import two_phase_operands_ssy
+    return make_tiled_T_log(two_phase_operands_ssy(model, disc, baseline),
+                            dtype=dtype, mode=mode, precision=precision,
+                            interpret=interpret)
+
+
+def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
+                                    baseline=None, dtype=jnp.float32,
+                                    mode: str = "auto",
+                                    precision: str = "highest",
+                                    interpret: bool = False) -> Callable:
+    """Tiled two-pass log-space T for the *continuous* factored-quadrature
+    SSY operator (reference ``ssy_wc_ratio_continuous.py:125-153``,
+    interp="pre")."""
+    from ..operators.two_phase import two_phase_operands_ssy_continuous
+    return make_tiled_T_log(
+        two_phase_operands_ssy_continuous(model, grids, degree, baseline),
+        dtype=dtype, mode=mode, precision=precision, interpret=interpret)

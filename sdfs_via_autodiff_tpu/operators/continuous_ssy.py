@@ -63,14 +63,16 @@ def _log_kappa_ssy(model: SSY, h_c, z):
             + 0.5 * (1 - model.gamma) ** 2 * sigma_c ** 2)
 
 
-def _factored_T(model, grids, degree, space, dtype, baseline=None):
-    """Factored per-axis contraction operator (quadrature + interp="pre").
+def _factored_arrays_ssy(model, grids, degree, baseline=None) -> dict:
+    """Expectation matrices + baseline components of the factored operator.
 
-    Per-dimension expectation matrices from 1-D Gauss-Hermite rules —
-    exactly equivalent to the tensor-product rule by separability of the
-    multilinear basis.  Axis labels: l=h_lam, k=h_c, i=h_z, j=z.
+    Shared by :func:`_factored_T` and the tiled Pallas kernel path
+    (``operators/two_phase.py``).  Returns P_lam (l), P_c (k), P_hz (i),
+    P_z (i, j, j'), the split kappa terms log_A2 (k) / log_A3 (j) with
+    log kappa(h_c, z) = log_A2[k] + log_A3[j], and — when a baseline is
+    folded — the separable components (A0, phi_l, phi_k, phi_i, phi_j).
     """
-    beta, theta = model.beta, model.theta
+    theta = model.theta
     m = model
     h_lam_grid, h_c_grid, h_z_grid, z_grid = grids
     eta, omega = map(jnp.asarray, gauss_hermite_normal(degree))
@@ -86,9 +88,12 @@ def _factored_T(model, grids, degree, space, dtype, baseline=None):
                              jnp.broadcast_to(m.rho * z_grid,
                                               (len(h_z_grid), len(z_grid))),
                              sigma_z[:, None], eta, omega)
-    log_kappa = _log_kappa_ssy(m, h_c_grid[:, None], z_grid[None, :])  # (k, j)
+    # log kappa(h_c, z) splits into a row (h_c) and a column (z) part.
+    sigma_c = m.phi_c * jnp.exp(h_c_grid)
+    log_A2 = 0.5 * (1 - m.gamma) ** 2 * sigma_c ** 2               # (k,)
+    log_A3 = (1 - m.gamma) * (m.mu_c + z_grid)                     # (j,)
 
-    ell0 = None
+    ell0_parts = None
     if baseline is not None:
         # Fold a separable baseline into the expectation matrices: the
         # chain then works on theta*(ell - ell0), keeping wide-range grids
@@ -122,6 +127,27 @@ def _factored_T(model, grids, degree, space, dtype, baseline=None):
             P_hz, phi_i, phi_i, theta))
         P_z = jnp.asarray(normalize_expectation_matrix(
             P_z, phi_j, np.broadcast_to(phi_j, P_z.shape[:-1]), theta))
+        ell0_parts = (const0, phi_l, phi_k, phi_i, phi_j)
+
+    return dict(P_lam=P_lam, P_c=P_c, P_hz=P_hz, P_z=P_z,
+                log_A2=log_A2, log_A3=log_A3, ell0_parts=ell0_parts)
+
+
+def _factored_T(model, grids, degree, space, dtype, baseline=None):
+    """Factored per-axis contraction operator (quadrature + interp="pre").
+
+    Per-dimension expectation matrices from 1-D Gauss-Hermite rules —
+    exactly equivalent to the tensor-product rule by separability of the
+    multilinear basis.  Axis labels: l=h_lam, k=h_c, i=h_z, j=z.
+    """
+    beta, theta = model.beta, model.theta
+    arrs = _factored_arrays_ssy(model, grids, degree, baseline)
+    P_lam, P_c, P_hz, P_z = (arrs["P_lam"], arrs["P_c"], arrs["P_hz"],
+                             arrs["P_z"])
+    log_kappa = arrs["log_A2"][:, None] + arrs["log_A3"][None, :]  # (k, j)
+    ell0 = None
+    if arrs["ell0_parts"] is not None:
+        const0, phi_l, phi_k, phi_i, phi_j = arrs["ell0_parts"]
         ell0 = jnp.asarray(
             const0 + phi_l[:, None, None, None] + phi_k[None, :, None, None]
             + phi_i[None, None, :, None] + phi_j[None, None, None, :])

@@ -229,26 +229,20 @@ def dense_H_ssy(model: SSY, disc: SSYDiscretization) -> jnp.ndarray:
     return H8.reshape(n, n)
 
 
-def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
-                      jit: bool = True):
-    """Log-space operator with the log-linear baseline folded in.
+def _ssy_normalized_arrays(model: SSY, disc: SSYDiscretization) -> dict:
+    """Host-float64 assembly of the baseline-normalized operator factors.
 
-    With ell0 the (separable) log-linear approximation of log w*, the
-    folded kernel H~(x, x') = H(x, x') * exp(theta*(ell0(x') - ell0(x)))
-    satisfies  sum_x' H~(x,x') e^{theta*delta(x')} = e^{-theta*ell0(x)} *
-    (H w^theta)(x)  for delta = ell - ell0.  ell0's per-axis components
-    distribute into the per-axis factors (the z-component, coupled in
-    (i, j), rides the z contraction exactly like the state-dependent z_Q),
-    telescoping exactly — no approximation, only reconditioning: every
-    intermediate is O(e^{theta*delta}), so wide grids stay inside f32
-    range.  Matrices are assembled in host float64 (full exponent range)
-    and cast.
+    Shared by the XLA normalized operator (:func:`_T_ssy_normalized`) and
+    the tiled Pallas kernel path (``operators/two_phase.py``).  Returns a
+    dict of numpy arrays: folded transition factors M1 (l), M2 (k),
+    M3 (j', i, i'), M4 (i, j, j'), the kappa terms log_A2 (k) and
+    log_A3 (i, j), and the separable baseline components
+    (A0, phi_l, phi_k, phi_i, psi_ij) with
+    ell0 = A0 + phi_l ⊕ phi_k ⊕ (phi_i + psi_ij).
     """
     from ..models.ssy import ssy_loglinear_factory
-    from ..ops.contract import lse_matmul
 
-    theta, beta, gamma = model.theta, model.beta, model.gamma
-    work_dtype = dtype or jnp.float32
+    theta, gamma = model.theta, model.gamma
 
     ll = ssy_loglinear_factory(model)
     co = ll.coefficients
@@ -262,10 +256,6 @@ def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
     phi_k = co["A_hc"] * (h_c * 2 * model.phi_c**2 + model.phi_c**2)
     phi_i = co["A_hz"] * (h_z * 2 * model.phi_z**2 + model.phi_z**2)
     psi_ij = co["A_z"] * z_states                       # (i, j)
-    ell0 = (co["A0"] + phi_l[:, None, None, None]
-            + phi_k[None, :, None, None]
-            + phi_i[None, None, :, None]
-            + psi_ij[None, None, :, :])
 
     # Folded factors, assembled in log space on host (full f64 range).
     def fold(logP, dnext, dcur):
@@ -296,6 +286,40 @@ def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
     A2 = np.exp(0.5 * ((1 - gamma) * np.asarray(disc.sigma_c_states)) ** 2)
     log_A2 = np.log(A2)
     log_A3 = (1 - gamma) * (model.mu_c + z_states)
+
+    return dict(M1=M1, M2=M2, M3=M3, M4=M4, log_A2=log_A2, log_A3=log_A3,
+                A0=float(co["A0"]), phi_l=phi_l, phi_k=phi_k, phi_i=phi_i,
+                psi_ij=psi_ij)
+
+
+def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
+                      jit: bool = True):
+    """Log-space operator with the log-linear baseline folded in.
+
+    With ell0 the (separable) log-linear approximation of log w*, the
+    folded kernel H~(x, x') = H(x, x') * exp(theta*(ell0(x') - ell0(x)))
+    satisfies  sum_x' H~(x,x') e^{theta*delta(x')} = e^{-theta*ell0(x)} *
+    (H w^theta)(x)  for delta = ell - ell0.  ell0's per-axis components
+    distribute into the per-axis factors (the z-component, coupled in
+    (i, j), rides the z contraction exactly like the state-dependent z_Q),
+    telescoping exactly — no approximation, only reconditioning: every
+    intermediate is O(e^{theta*delta}), so wide grids stay inside f32
+    range.  Matrices are assembled in host float64 (full exponent range)
+    and cast.
+    """
+    from ..ops.contract import lse_matmul
+
+    theta, beta = model.theta, model.beta
+    work_dtype = dtype or jnp.float32
+
+    arrs = _ssy_normalized_arrays(model, disc)
+    M1, M2, M3, M4 = arrs["M1"], arrs["M2"], arrs["M3"], arrs["M4"]
+    log_A2, log_A3 = arrs["log_A2"], arrs["log_A3"]
+    phi_l, phi_k = arrs["phi_l"], arrs["phi_k"]
+    ell0 = (arrs["A0"] + phi_l[:, None, None, None]
+            + phi_k[None, :, None, None]
+            + arrs["phi_i"][None, None, :, None]
+            + arrs["psi_ij"][None, None, :, :])
 
     cast = lambda a: jnp.asarray(a, dtype=work_dtype)
     M1, M2, M3, M4 = map(cast, (M1, M2, M3, M4))

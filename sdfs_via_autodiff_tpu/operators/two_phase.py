@@ -1,0 +1,214 @@
+"""Two-phase (column-group / row-group) form of the 4-D log-space operators.
+
+Every 4-D Koopmans operator in this package — discrete SSY (plain and
+baseline-normalized) and continuous-SSY factored-quadrature (plain and
+normalized) — is a chain of four per-axis log-sum-exp contractions plus a
+separable epilogue.  Grouping the four state axes as rows (h_lam, h_c) and
+columns (h_z, z) of a matrix view splits the chain into
+
+    column phase:  contract next-h_z, then next-z      (touches only columns)
+    row phase:     contract next-h_lam, then next-h_c  (touches only rows)
+
+with the epilogue's additive terms separable into a row part and a column
+part.  This module holds the grouping (:class:`TwoPhaseOperands`), builders
+that assemble it for each operator instance, and a plain-XLA evaluator
+(:func:`make_xla_two_phase_T`).  The point of the grouping is the *tiled
+Pallas kernel* in ``kernels/tiled_discrete.py``: each phase needs only a
+strip of the field (all columns of a few rows, or all rows of a few
+columns), so the whole operator runs in two HBM-minimal passes — one read
+and one write of the field per phase — instead of the ~10 passes of the
+unfused per-axis einsum chain.
+
+Reference semantics covered: discrete ``T_ssy`` (``/root/reference/code/
+ssy/discrete/ssy_wc_ratio.py:82-151``) and the quadrature continuous
+operator (``.../ssy_wc_ratio_continuous.py:125-153``), both in the exact
+factored reformulation documented in ``operators/discrete_ssy.py`` /
+``operators/continuous_common.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TwoPhaseOperands", "two_phase_operands_ssy",
+           "two_phase_operands_ssy_continuous", "make_xla_two_phase_T"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TwoPhaseOperands:
+    """Operands of a two-phase 4-D log-space operator.
+
+    Field layout: ell[r1, r2, c1, c2] with rows (r1, r2) and columns
+    (c1, c2).  The operator is
+
+        a   = theta*ell - sub_row ⊕ sub_col                (sub_* optional)
+        a   = LSE-contract axis c1 with W_c1               (column phase)
+        a   = LSE-contract axis c2 with W_c2
+        a   = LSE-contract axis r1 with W_r1               (row phase)
+        a   = LSE-contract axis r2 with W_r2
+        out = log1p(beta * exp((a + add_row ⊕ add_col) / theta))
+
+    ``W_c1`` is (n_c1, n_c1), or (n_c2, n_c1, n_c1) batched over the *next*
+    c2 index (it applies before c2 is contracted); ``W_c2`` is
+    (n_c2, n_c2), or (n_c1, n_c2, n_c2) batched over the *current* c1
+    index.  All arrays are host float64 (full exponent range); the kernel
+    builders cast.
+    """
+
+    shapes: Tuple[int, int, int, int]
+    W_r1: np.ndarray
+    W_r2: np.ndarray
+    W_c1: np.ndarray
+    W_c2: np.ndarray
+    add_row: np.ndarray                 # (n_r1, n_r2)
+    add_col: np.ndarray                 # (n_c1, n_c2)
+    theta: float
+    beta: float
+    sub_row: Optional[np.ndarray] = None   # (n_r1, n_r2), theta*ell0 row part
+    sub_col: Optional[np.ndarray] = None   # (n_c1, n_c2), theta*ell0 col part
+    baseline_log_w: Optional[np.ndarray] = None  # full 4-D ell0
+
+    @property
+    def c1_batched(self) -> bool:
+        return self.W_c1.ndim == 3
+
+    @property
+    def c2_batched(self) -> bool:
+        return self.W_c2.ndim == 3
+
+    @property
+    def has_sub(self) -> bool:
+        return self.sub_row is not None
+
+
+def two_phase_operands_ssy(model, disc, baseline: Optional[str] = None
+                           ) -> TwoPhaseOperands:
+    """Two-phase operands for the discrete SSY operator.
+
+    ``baseline=None`` groups the plain factors (B_lam, Q_c | Q_hz, z_P);
+    ``baseline="loglinear"`` groups the folded factors M1..M4 of the
+    normalized operator (``discrete_ssy._ssy_normalized_arrays``).
+    """
+    from .discrete_ssy import _ssy_factors, _ssy_normalized_arrays
+
+    n_l, n_k, n_i, n_j = disc.shapes
+    theta, beta = model.theta, model.beta
+    if baseline is None:
+        B_lam, A2, A3 = _ssy_factors(model, disc)
+        add_row = np.broadcast_to(
+            np.log(np.asarray(A2, np.float64))[None, :], (n_l, n_k)).copy()
+        add_col = np.log(np.asarray(A3, np.float64))
+        return TwoPhaseOperands(
+            shapes=disc.shapes,
+            W_r1=np.asarray(B_lam, np.float64),
+            W_r2=np.asarray(disc.h_c_Q, np.float64),
+            W_c1=np.asarray(disc.h_z_Q, np.float64),
+            W_c2=np.asarray(disc.z_P, np.float64),
+            add_row=add_row, add_col=add_col, theta=theta, beta=beta)
+    if baseline != "loglinear":
+        raise ValueError(f"unknown baseline {baseline!r}")
+    arrs = _ssy_normalized_arrays(model, disc)
+    sub_row = theta * (arrs["phi_l"][:, None] + arrs["phi_k"][None, :])
+    sub_col = theta * (arrs["A0"] + arrs["phi_i"][:, None] + arrs["psi_ij"])
+    ell0 = (arrs["A0"] + arrs["phi_l"][:, None, None, None]
+            + arrs["phi_k"][None, :, None, None]
+            + arrs["phi_i"][None, None, :, None]
+            + arrs["psi_ij"][None, None, :, :])
+    return TwoPhaseOperands(
+        shapes=disc.shapes,
+        W_r1=arrs["M1"], W_r2=arrs["M2"], W_c1=arrs["M3"], W_c2=arrs["M4"],
+        add_row=sub_row + arrs["log_A2"][None, :],
+        add_col=sub_col + arrs["log_A3"],
+        theta=theta, beta=beta,
+        sub_row=sub_row, sub_col=sub_col, baseline_log_w=ell0)
+
+
+def two_phase_operands_ssy_continuous(model, grids, degree: int = 5,
+                                      baseline=None) -> TwoPhaseOperands:
+    """Two-phase operands for the continuous factored-quadrature SSY
+    operator (interp="pre"); optional separable baseline (see
+    ``continuous_ssy._factored_arrays_ssy``)."""
+    from .continuous_ssy import _factored_arrays_ssy
+
+    shapes = tuple(len(g) for g in grids)
+    n_l, n_k, n_i, n_j = shapes
+    theta, beta = model.theta, model.beta
+    arrs = _factored_arrays_ssy(model, grids, degree, baseline)
+    log_A2 = np.asarray(arrs["log_A2"], np.float64)           # (k,)
+    log_A3 = np.asarray(arrs["log_A3"], np.float64)           # (j,)
+    add_row = np.broadcast_to(log_A2[None, :], (n_l, n_k)).copy()
+    add_col = np.broadcast_to(log_A3[None, :], (n_i, n_j)).copy()
+    sub_row = sub_col = ell0 = None
+    if arrs["ell0_parts"] is not None:
+        const0, phi_l, phi_k, phi_i, phi_j = arrs["ell0_parts"]
+        sub_row = theta * (phi_l[:, None] + phi_k[None, :])
+        sub_col = theta * (const0 + phi_i[:, None] + phi_j[None, :])
+        add_row = add_row + sub_row
+        add_col = add_col + sub_col
+        ell0 = (const0 + phi_l[:, None, None, None]
+                + phi_k[None, :, None, None]
+                + phi_i[None, None, :, None] + phi_j[None, None, None, :])
+    return TwoPhaseOperands(
+        shapes=shapes,
+        W_r1=np.asarray(arrs["P_lam"], np.float64),
+        W_r2=np.asarray(arrs["P_c"], np.float64),
+        W_c1=np.asarray(arrs["P_hz"], np.float64),
+        W_c2=np.asarray(arrs["P_z"], np.float64),     # (i, j, j') batched
+        add_row=add_row, add_col=add_col, theta=theta, beta=beta,
+        sub_row=sub_row, sub_col=sub_col, baseline_log_w=ell0)
+
+
+def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
+                         ) -> Callable:
+    """Plain-XLA evaluator of a two-phase operand set.
+
+    Bit-for-bit the same math as the tiled Pallas kernels (same contraction
+    order, same per-step shifts): the agreement oracle in the tests, the
+    tangent body for the kernels' custom JVP, and the GSPMD-shardable
+    fallback at sizes/backends the kernels don't cover.
+    """
+    n_r1, n_r2, n_c1, n_c2 = ops.shapes
+    R, C = n_r1 * n_r2, n_c1 * n_c2
+    cast = lambda a: jnp.asarray(a, dtype)
+    W_r1, W_r2, W_c1, W_c2 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1,
+                                        ops.W_c2))
+    add = cast(ops.add_row[:, :, None]
+               + ops.add_col.reshape(-1)[None, None, :])     # (r1, r2, C)
+    sub = None
+    if ops.has_sub:
+        sub = cast(ops.sub_row.reshape(-1)[:, None, None]
+                   + ops.sub_col[None, :, :])                # (R, c1, c2)
+    theta = jnp.asarray(ops.theta, dtype)
+    beta = jnp.asarray(ops.beta, dtype)
+    c1_sub = "jim,tmj->tij" if ops.c1_batched else "im,tmj->tij"
+    c2_sub = "ijm,tim->tij" if ops.c2_batched else "jm,tim->tij"
+    # True-f32 MXU passes (the TPU default demotes f32 operands to bf16,
+    # a measured ~6x loss on one-application accuracy).
+    hi = jax.lax.Precision.HIGHEST
+
+    def T(ell):
+        a = theta * ell.astype(dtype).reshape(R, n_c1, n_c2)
+        if sub is not None:
+            a = a - sub
+        m = jnp.max(a, axis=1, keepdims=True)
+        a = m + jnp.log(jnp.einsum(c1_sub, W_c1, jnp.exp(a - m),
+                                   precision=hi))
+        m = jnp.max(a, axis=2, keepdims=True)
+        a = m + jnp.log(jnp.einsum(c2_sub, W_c2, jnp.exp(a - m),
+                                   precision=hi))
+        b = a.reshape(n_r1, n_r2, C)
+        m = jnp.max(b, axis=0, keepdims=True)
+        b = m + jnp.log(jnp.einsum("lm,mkt->lkt", W_r1, jnp.exp(b - m),
+                                   precision=hi))
+        m = jnp.max(b, axis=1, keepdims=True)
+        b = m + jnp.log(jnp.einsum("km,lmt->lkt", W_r2, jnp.exp(b - m),
+                                   precision=hi))
+        log_hwt = b + add
+        return jnp.log1p(beta * jnp.exp(log_hwt / theta)).reshape(ops.shapes)
+
+    return T

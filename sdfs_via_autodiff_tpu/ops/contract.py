@@ -15,6 +15,7 @@ contraction step.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["lse_matmul"]
@@ -34,5 +35,10 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     All entries of ``M`` must be non-negative.
     """
     m = jnp.max(log_v, axis=axis, keepdims=True)
-    u = jnp.einsum(subscripts, M, jnp.exp(log_v - m))
+    # HIGHEST keeps f32 operands in true f32 on the MXU (the TPU default
+    # demotes them to one-pass bf16, a measured ~6x loss on the operator's
+    # one-application error); these contractions are bandwidth-bound, so
+    # the extra multiplier passes are ~free.  No-op for float64.
+    u = jnp.einsum(subscripts, M, jnp.exp(log_v - m),
+                   precision=jax.lax.Precision.HIGHEST)
     return m + jnp.log(u)

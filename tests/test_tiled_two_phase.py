@@ -1,0 +1,170 @@
+"""Tiled two-phase operator: agreement with the XLA operators + autodiff.
+
+The Pallas kernels run in interpret mode on the CPU test backend; the
+hardware lowering is exercised by the TPU benchmarks.  Oracle: the f64
+per-axis operators (``T_ssy_factory`` / ``T_ssy_continuous_factory``),
+which are themselves validated against loop oracles and dense H.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import SSY, discretize_ssy, T_ssy_factory, solve
+from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+    make_tiled_T_log, make_tiled_T_log_ssy, make_tiled_T_log_ssy_continuous)
+from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+    T_ssy_continuous_factory, build_grid_ssy)
+from sdfs_via_autodiff_tpu.operators.two_phase import (
+    make_xla_two_phase_T, two_phase_operands_ssy,
+    two_phase_operands_ssy_continuous)
+
+SHAPES = (4, 5, 6, 7)
+
+
+def _rand_ell(shapes, seed=0, scale=0.05):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(np.log(800.0) + scale * rng.standard_normal(shapes))
+
+
+@pytest.fixture(scope="module")
+def ssy_disc():
+    model = SSY()
+    return model, discretize_ssy(model, SHAPES)
+
+
+class TestDiscreteSSY:
+    def test_xla_twin_matches_reference_operator(self, ssy_disc):
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc)
+        T_ref = T_ssy_factory(model, disc, space="log")
+        T_two = make_xla_two_phase_T(ops, dtype=jnp.float64)
+        ell = _rand_ell(SHAPES)
+        np.testing.assert_allclose(T_two(ell), T_ref(ell), rtol=1e-12)
+
+    def test_xla_twin_normalized_matches(self, ssy_disc):
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc, baseline="loglinear")
+        T_ref = T_ssy_factory(model, disc, space="log",
+                              baseline="loglinear", dtype=jnp.float64)
+        T_two = make_xla_two_phase_T(ops, dtype=jnp.float64)
+        ell = _rand_ell(SHAPES)
+        np.testing.assert_allclose(T_two(ell), T_ref(ell), rtol=1e-11)
+
+    @pytest.mark.parametrize("baseline", [None, "loglinear"])
+    @pytest.mark.parametrize("mode", ["lse", "fast"])
+    def test_tiled_kernel_matches_twin(self, ssy_disc, baseline, mode):
+        model, disc = ssy_disc
+        T = make_tiled_T_log_ssy(model, disc, baseline=baseline, mode=mode,
+                                 interpret=True)
+        assert T.mode == mode
+        ell = _rand_ell(SHAPES).astype(jnp.float32)
+        got = T(ell)
+        want = T.xla_twin(ell)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+    def test_auto_mode_selection(self, ssy_disc):
+        # Plain operands: small certified range -> fast single-shift path.
+        # Normalized operands: folded factors carry exp(theta*delta-phi)
+        # weights whose running products overflow without the interleaved
+        # LSE renormalization -> lse.
+        model, disc = ssy_disc
+        assert make_tiled_T_log_ssy(model, disc, interpret=True).mode == "fast"
+        assert make_tiled_T_log_ssy(model, disc, baseline="loglinear",
+                                    interpret=True).mode == "lse"
+
+    def test_tiled_matches_f64_operator(self, ssy_disc):
+        model, disc = ssy_disc
+        T = make_tiled_T_log_ssy(model, disc, interpret=True)
+        T_ref = T_ssy_factory(model, disc, space="log")
+        ell = _rand_ell(SHAPES)
+        got = T(ell.astype(jnp.float32))
+        np.testing.assert_allclose(got, T_ref(ell), rtol=5e-5, atol=5e-5)
+
+    def test_jvp_matches_f64_twin_jvp(self, ssy_disc):
+        model, disc = ssy_disc
+        T = make_tiled_T_log_ssy(model, disc, interpret=True)
+        T64 = make_xla_two_phase_T(two_phase_operands_ssy(model, disc),
+                                   dtype=jnp.float64)
+        ell = _rand_ell(SHAPES)
+        v = _rand_ell(SHAPES, seed=7, scale=1.0) - jnp.log(800.0)
+        _, dout = jax.jvp(T, (ell.astype(jnp.float32),),
+                          (v.astype(jnp.float32),))
+        _, want = jax.jvp(T64, (ell,), (v,))
+        np.testing.assert_allclose(dout, want, rtol=2e-4, atol=2e-5)
+
+    def test_linearize_and_vjp_work(self, ssy_disc):
+        model, disc = ssy_disc
+        T = make_tiled_T_log_ssy(model, disc, interpret=True)
+        ell = _rand_ell(SHAPES).astype(jnp.float32)
+        y, lin = jax.linearize(T, ell)
+        v = 0.01 * jnp.ones(SHAPES, jnp.float32)
+        dv = lin(v)
+        assert dv.shape == SHAPES and bool(jnp.all(jnp.isfinite(dv)))
+        # reverse mode through the custom JVP
+        grad = jax.grad(lambda e: jnp.sum(T(e)))(ell)
+        assert grad.shape == SHAPES and bool(jnp.all(jnp.isfinite(grad)))
+
+    def test_newton_through_tiled_matches_reference_solution(self, ssy_disc):
+        model, disc = ssy_disc
+        T = make_tiled_T_log_ssy(model, disc, interpret=True)
+        T_ref = T_ssy_factory(model, disc, space="log")
+        ell0 = jnp.full(SHAPES, jnp.log(800.0))
+        ref = solve(T_ref, ell0, method="newton", tol=1e-10)
+        got = solve(T, ell0.astype(jnp.float32), method="newton", tol=2e-5)
+        assert got.converged
+        np.testing.assert_allclose(got.x, ref.x, rtol=0, atol=5e-4)
+
+
+class TestContinuousSSY:
+    @pytest.fixture(scope="class")
+    def grids(self):
+        return build_grid_ssy(SSY(), 4, 5, 6, 7, num_std_devs=3.2)
+
+    def test_xla_twin_matches_factored_operator(self, grids):
+        model = SSY()
+        ops = two_phase_operands_ssy_continuous(model, grids, degree=5)
+        T_ref = T_ssy_continuous_factory(model, grids, method="quadrature",
+                                         interp="pre", space="log")
+        T_two = make_xla_two_phase_T(ops, dtype=jnp.float64)
+        ell = _rand_ell(SHAPES)
+        np.testing.assert_allclose(T_two(ell), T_ref(ell), rtol=1e-12)
+
+    @pytest.mark.parametrize("baseline", [None, "loglinear"])
+    @pytest.mark.parametrize("mode", ["lse", "fast"])
+    def test_tiled_kernel_matches_twin(self, grids, baseline, mode):
+        model = SSY()
+        T = make_tiled_T_log_ssy_continuous(model, grids, degree=5,
+                                            baseline=baseline, mode=mode,
+                                            interpret=True)
+        ell = _rand_ell(SHAPES).astype(jnp.float32)
+        np.testing.assert_allclose(T(ell), T.xla_twin(ell),
+                                   rtol=2e-6, atol=2e-6)
+
+    def test_baseline_warm_start_exposed(self, grids):
+        model = SSY()
+        T = make_tiled_T_log_ssy_continuous(model, grids, baseline="loglinear",
+                                            interpret=True)
+        assert T.baseline_log_w.shape == SHAPES
+
+
+class TestStripSelection:
+    def test_lane_aligned_sizes(self):
+        # 8^4: R = C = 64, C % 128 != 0 -> fallback strip path.
+        model = SSY()
+        disc = discretize_ssy(model, (8, 8, 8, 8))
+        T = make_tiled_T_log_ssy(model, disc, interpret=True)
+        TB, TC = T.strip_sizes
+        assert 64 % TB == 0 and 64 % TC == 0
+        ell = _rand_ell((8, 8, 8, 8)).astype(jnp.float32)
+        T_ref = T_ssy_factory(model, disc, space="log")
+        np.testing.assert_allclose(T(ell), T_ref(ell.astype(jnp.float64)),
+                                   rtol=5e-5, atol=5e-5)
+
+    def test_rejects_f64(self):
+        model = SSY()
+        disc = discretize_ssy(model, SHAPES)
+        ops = two_phase_operands_ssy(model, disc)
+        with pytest.raises(ValueError):
+            make_tiled_T_log(ops, dtype=jnp.float64)
