@@ -98,7 +98,7 @@ def newton_solver(T: Callable,
                   *,
                   inner: str = "bicgstab",
                   inner_tol: float = 1e-4,
-                  inner_maxiter: Optional[int] = None,
+                  inner_maxiter: Optional[int] = 50,
                   safeguard: bool = True,
                   verbose: bool = False,
                   trace_len: int = 0,
@@ -122,6 +122,14 @@ def newton_solver(T: Callable,
     ||g(x)|| < atol makes the zero vector an acceptable Krylov solution, the
     Newton step collapses to zero, and the outer loop reports convergence at
     a spurious point.
+
+    ``inner_maxiter`` defaults to 50 (well above the ~10-30 Krylov steps
+    these operators need) rather than jax.scipy's default of ``10 * N``:
+    at multi-million-point grids that default lowers to a ~10^8-trip
+    device while_loop, which reproducibly faults the TPU runtime — the
+    root cause of every "Newton at scale kills the worker" failure in
+    round 1.  Pass ``inner_maxiter=None`` explicitly to restore the
+    unbounded behavior.
 
     ``safeguard=True`` (default) globalizes the iteration: a Newton
     candidate whose residual is non-finite is rejected in favour of a plain
@@ -148,8 +156,12 @@ def newton_solver(T: Callable,
         kw = {} if inner_maxiter is None else {"maxiter": inner_maxiter}
 
         def q(x):
-            jac_prod = lambda v: jax.jvp(g, (x,), (v,))[1]
-            gx = g(x)
+            # linearize, not per-matvec jvp: the reference re-runs the
+            # primal inside every Krylov matvec (``jax.jvp(g, (x,), (v,))``,
+            # reference solvers.py:87); linearize evaluates the primal
+            # chain once per Newton step and stores its intermediates as
+            # residuals, so each matvec is the pure tangent-linear chain.
+            gx, jac_prod = jax.linearize(g, x)
             atol = inner_tol * jnp.linalg.norm(gx.reshape(-1))
             b, _ = krylov(jac_prod, gx, atol=atol, **kw)
             x_new = x - b
