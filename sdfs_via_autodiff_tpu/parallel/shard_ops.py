@@ -33,7 +33,103 @@ from jax import shard_map
 from ..models.ssy import SSY
 from ..operators.discrete_ssy import SSYDiscretization, _ssy_factors
 
-__all__ = ["T_ssy_shard_map_factory"]
+__all__ = ["T_ssy_shard_map_factory", "two_phase_shard_map_factory"]
+
+
+def two_phase_shard_map_factory(ops, mesh: Mesh,
+                                dp_axis: str = "dp",
+                                tp_axis: str = "tp",
+                                dtype=None) -> Callable:
+    """Two-phase operator (``operators/two_phase.py``) as an explicit
+    shard_map program over a 2-D (dp, tp) mesh.
+
+    The iterate ell[r1, r2, c1, c2] is sharded (dp, tp, -, -).  The two
+    column contractions are shard-local; each row contraction crosses a
+    mesh axis and is written as
+
+        pmax (LSE shift)  ->  local partial matmul against the factor's
+        column block      ->  psum_scatter over that mesh axis
+
+    — two reduce-scatters riding ICI per application, one per sharded
+    grid axis.  Covers every TwoPhaseOperands instance (discrete SSY
+    plain/normalized, continuous factored-quadrature SSY), so the same
+    hand-placed collective pattern runs the continuous production path.
+    Differentiable (the pmax shifts ride stop_gradient; psum_scatter has
+    a transpose rule), so Newton-through-shard_map works.
+    """
+    n_r1, n_r2, n_c1, n_c2 = ops.shapes
+    n_dp, n_tp = mesh.shape[dp_axis], mesh.shape[tp_axis]
+    if n_r1 % n_dp or n_r2 % n_tp:
+        raise ValueError(
+            f"row axes {(n_r1, n_r2)} not divisible by mesh {(n_dp, n_tp)}")
+
+    work = dtype or jnp.float32
+    cast = lambda a: jnp.asarray(a, work)
+    W_r1, W_r2, W_c1, W_c2 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1,
+                                        ops.W_c2))
+    add = cast(ops.add_row[:, :, None, None]
+               + ops.add_col[None, None, :, :])
+    sub = cast(ops.sub_row[:, :, None, None]
+               + ops.sub_col[None, None, :, :]) if ops.has_sub else None
+    theta = float(ops.theta)
+    beta = float(ops.beta)
+    c1_sub = "jim,lkmj->lkij" if ops.c1_batched else "im,lkmj->lkij"
+    c2_sub = "ijm,lkim->lkij" if ops.c2_batched else "jm,lkim->lkij"
+    hi = jax.lax.Precision.HIGHEST
+
+    spec = PartitionSpec(dp_axis, tp_axis, None, None)
+    rep2 = PartitionSpec(None, None)
+    rep3 = PartitionSpec(None, None, None)
+
+    def cross_shard_lse(a, W_cols, axis, mesh_axis):
+        """LSE-contract sharded grid ``axis`` (0 or 1): pmax shift, local
+        partial matmul against the factor's column block, reduce-scatter."""
+        m = lax.pmax(jnp.max(lax.stop_gradient(a), axis=axis, keepdims=True),
+                     mesh_axis)
+        e = jnp.exp(a - m)
+        subs = "lm,mkij->lkij" if axis == 0 else "km,lmij->lkij"
+        partial_u = jnp.einsum(subs, W_cols, e, precision=hi)
+        u = lax.psum_scatter(partial_u, mesh_axis, scatter_dimension=axis,
+                             tiled=True)
+        return m + jnp.log(u)
+
+    def local_T(ell_loc, Wr1_cols, Wr2_cols, Wc1_, Wc2_, add_loc,
+                *maybe_sub):
+        a = theta * ell_loc
+        if maybe_sub:
+            a = a - maybe_sub[0]
+        # Column phase: shard-local.
+        m = jnp.max(a, axis=2, keepdims=True)
+        a = m + jnp.log(jnp.einsum(c1_sub, Wc1_, jnp.exp(a - m),
+                                   precision=hi))
+        m = jnp.max(a, axis=3, keepdims=True)
+        a = m + jnp.log(jnp.einsum(c2_sub, Wc2_, jnp.exp(a - m),
+                                   precision=hi))
+        # Row phase: one reduce-scatter per sharded axis.
+        a = cross_shard_lse(a, Wr1_cols, 0, dp_axis)
+        a = cross_shard_lse(a, Wr2_cols, 1, tp_axis)
+        log_hwt = a + add_loc
+        return jnp.log1p(beta * jnp.exp(log_hwt / theta))
+
+    wc1_spec = rep3 if ops.c1_batched else rep2
+    wc2_spec = rep3 if ops.c2_batched else rep2
+    in_specs = (spec, PartitionSpec(None, dp_axis),
+                PartitionSpec(None, tp_axis), wc1_spec, wc2_spec, spec)
+    args = (W_r1, W_r2, W_c1, W_c2, add)
+    if sub is not None:
+        in_specs = in_specs + (spec,)
+        args = args + (sub,)
+    mapped = shard_map(local_T, mesh=mesh, in_specs=in_specs,
+                       out_specs=spec)
+
+    @jax.jit
+    def T(ell):
+        return mapped(ell.astype(work), *args)
+
+    T.input_sharding = NamedSharding(mesh, spec)
+    if ops.baseline_log_w is not None:
+        T.baseline_log_w = cast(ops.baseline_log_w)
+    return T
 
 
 def T_ssy_shard_map_factory(model: SSY,

@@ -74,10 +74,6 @@ def anderson_solver(T: Callable,
     m = history_size
     shape = x0.shape
     dtype = jnp.result_type(x0)
-    n = x0.size
-
-    def flat_T(xf):
-        return T(xf.reshape(shape)).reshape(-1)
 
     # The Gram matrix squares the residual magnitudes; in a float32 solve
     # the normal equations lose all signal once residuals shrink below
@@ -85,24 +81,29 @@ def anderson_solver(T: Callable,
     # dot products) and solve there.
     gram_dtype = jnp.float64 if dtype == jnp.float32 else dtype
 
+    # Histories keep the iterate's full grid shape ((m,) + shape, not
+    # (m, n)): a flatten would destroy a multi-axis NamedSharding and
+    # re-lay-out / all-gather the iterate every iteration at scale — the
+    # Gram and the combinations are shaped reductions GSPMD partitions
+    # in place (local partials + psum).
     def aa_combination(X, F, fx):
         """Solve the ridge normal equations over the m stored pairs."""
-        G = (F - X).astype(gram_dtype)              # residuals g_i, (m, n)
-        A = G @ G.T                                 # (m, m) Gram
+        G = (F - X).astype(gram_dtype)              # residuals, (m,)+shape
+        A = jnp.einsum("i...,j...->ij", G, G)       # (m, m) Gram
         scale = jnp.maximum(jnp.trace(A) / m, 1e-30)
         A = A + ridge * scale * jnp.eye(m, dtype=gram_dtype)
         ones = jnp.ones((m,), dtype=gram_dtype)
         c = _solve_small_spd(A, ones)
         alpha = (c / jnp.sum(c)).astype(dtype)
-        x_plus = (1.0 - beta) * (alpha @ X) + beta * (alpha @ F)
+        x_plus = ((1.0 - beta) * jnp.tensordot(alpha, X, axes=1)
+                  + beta * jnp.tensordot(alpha, F, axes=1))
         # Guard: fall back to a plain step if the solve went non-finite.
         bad = ~jnp.all(jnp.isfinite(x_plus))
         return jnp.where(bad, fx, x_plus)
 
     def run(x_init, tol, max_iter):
-        xf0 = x_init.reshape(-1)
-        X0 = jnp.zeros((m, n), dtype=dtype)
-        F0 = jnp.zeros((m, n), dtype=dtype)
+        X0 = jnp.zeros((m,) + shape, dtype=dtype)
+        F0 = jnp.zeros((m,) + shape, dtype=dtype)
         big = jnp.asarray(jnp.inf, dtype=dtype)
 
         def cond(state):
@@ -110,14 +111,14 @@ def anderson_solver(T: Callable,
             return (err > tol) & (it < max_iter) & ~jnp.isnan(err)
 
         def body(state):
-            xf, X, F, err, it = state
-            fx = flat_T(xf)
-            err = jnp.max(jnp.abs(fx - xf))
+            x, X, F, err, it = state
+            fx = T(x)
+            err = jnp.max(jnp.abs(fx - x))
             if verbose:
                 jax.debug.print("iter = {it}, error = {err}", it=it, err=err,
                                 ordered=False)
             slot = it % m
-            X = X.at[slot].set(xf)
+            X = X.at[slot].set(x)
             F = F.at[slot].set(fx)
             use_aa = (it >= warmup) & (it >= m) & (it % mixing_frequency == 0)
             x_next = lax.cond(use_aa,
@@ -125,10 +126,10 @@ def anderson_solver(T: Callable,
                               lambda: fx)
             return x_next, X, F, err, it + 1
 
-        xf, _, _, err, it = lax.while_loop(
-            cond, body, (xf0, X0, F0, big, 0))
+        x, _, _, err, it = lax.while_loop(
+            cond, body, (x_init, X0, F0, big, 0))
         converged = (err <= tol) & ~jnp.isnan(err)
-        return SolveResult(x=xf.reshape(shape), iterations=it, residual=err,
+        return SolveResult(x=x, iterations=it, residual=err,
                            converged=converged)
 
     if not jit:

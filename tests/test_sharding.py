@@ -137,6 +137,111 @@ def test_shard_map_explicit_matches_gspmd(rng):
 
 
 @needs_devices
+class TestTwoPhaseShardMap:
+    """2-D (dp, tp) hand-placed collectives over the two-phase operators:
+    both row contractions cross a mesh axis (pmax + psum_scatter each)."""
+
+    def _mesh(self):
+        return make_mesh(8)          # dp=4, tp=2
+
+    def test_discrete_plain_matches_gspmd(self, rng):
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            two_phase_shard_map_factory)
+        model = SSY()
+        shapes = (8, 8, 6, 6)
+        disc = discretize_ssy(model, shapes)
+        ops = two_phase_operands_ssy(model, disc)
+        mesh = self._mesh()
+        T_manual = two_phase_shard_map_factory(ops, mesh, dtype=jnp.float64)
+        T_auto = T_ssy_factory(model, disc, space="log")
+        ell = jnp.asarray(np.log(800) + 0.05 * rng.standard_normal(shapes))
+        out = T_manual(jax.device_put(ell, T_manual.input_sharding))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(T_auto(ell)),
+                                   atol=1e-12)
+        assert not out.sharding.is_fully_replicated
+
+    def test_discrete_normalized_matches(self, rng):
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            two_phase_shard_map_factory)
+        model = SSY()
+        shapes = (8, 8, 6, 6)
+        disc = discretize_ssy(model, shapes)
+        ops = two_phase_operands_ssy(model, disc, baseline="loglinear")
+        T_manual = two_phase_shard_map_factory(ops, self._mesh(),
+                                               dtype=jnp.float64)
+        T_ref = T_ssy_factory(model, disc, space="log", baseline="loglinear",
+                              dtype=jnp.float64)
+        ell = jnp.asarray(np.log(800) + 0.05 * rng.standard_normal(shapes))
+        out = T_manual(jax.device_put(ell, T_manual.input_sharding))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(T_ref(ell)),
+                                   rtol=1e-11, atol=1e-11)
+
+    def test_continuous_matches(self, rng):
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy_continuous)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            two_phase_shard_map_factory)
+        model = SSY()
+        grids = build_grid_ssy(model, 8, 8, 6, 6)
+        ops = two_phase_operands_ssy_continuous(model, grids, degree=5)
+        T_manual = two_phase_shard_map_factory(ops, self._mesh(),
+                                               dtype=jnp.float64)
+        T_ref = T_ssy_continuous_factory(model, grids, interp="pre",
+                                         space="log")
+        ell = jnp.asarray(np.log(700) + 0.02 * rng.standard_normal((8, 8, 6, 6)))
+        out = T_manual(jax.device_put(ell, T_manual.input_sharding))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(T_ref(ell)),
+                                   atol=1e-12)
+
+    def test_newton_solve_through_manual_collectives(self):
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            two_phase_shard_map_factory)
+        model = SSY()
+        shapes = (8, 8, 4, 4)
+        disc = discretize_ssy(model, shapes)
+        ops = two_phase_operands_ssy(model, disc)
+        T_manual = two_phase_shard_map_factory(ops, self._mesh(),
+                                               dtype=jnp.float64)
+        ell0 = jax.device_put(jnp.full(shapes, jnp.log(800.0)),
+                              T_manual.input_sharding)
+        res = solve(T_manual, ell0, method="newton", tol=1e-10)
+        assert bool(res.converged)
+        T_ref = T_ssy_factory(model, disc, space="log")
+        ref = solve(T_ref, jnp.full(shapes, jnp.log(800.0)), method="newton",
+                    tol=1e-10)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   atol=1e-9)
+
+    def test_manual_collective_counts(self, rng):
+        # The hand-placed program should contain exactly the planned
+        # collectives: one reduce-scatter per sharded row contraction.
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            two_phase_shard_map_factory)
+        model = SSY()
+        shapes = (8, 8, 6, 6)
+        disc = discretize_ssy(model, shapes)
+        ops = two_phase_operands_ssy(model, disc)
+        mesh = self._mesh()
+        T_manual = two_phase_shard_map_factory(ops, mesh, dtype=jnp.float64)
+        ell = jax.device_put(jnp.full(shapes, jnp.log(800.0)),
+                             T_manual.input_sharding)
+        txt = jax.jit(T_manual).lower(ell).compile().as_text()
+        n_rs = txt.count("reduce-scatter")
+        n_ag = txt.count("all-gather(") + txt.count("all-gather-start")
+        assert n_rs >= 2, f"expected >=2 reduce-scatters, HLO has {n_rs}"
+        # No full-iterate gather sneaks in.
+        assert n_ag == 0, f"unexpected all-gather in manual program ({n_ag})"
+
+
+@needs_devices
 def test_shard_map_solve(rng):
     from sdfs_via_autodiff_tpu.parallel.shard_ops import (
         T_ssy_shard_map_factory)
