@@ -78,22 +78,54 @@ def wc_ratio_discrete(model,
                       space: Optional[str] = None,
                       w_init=None,
                       dtype=None,
+                      kernel: str = "xla",
+                      baseline: Optional[str] = None,
                       checkpoint_path: Optional[str] = None,
                       **solver_opts) -> WCSolution:
     """Solve the discretized (Rouwenhorst tensor-grid) model.
 
     Parity: reference ``test_compute_wc_ratio_ssy`` / ``..._gcy``
     (``ssy_wc_ratio.py:216-240``, ``gcy_wc_ratio.py:319-340``).
+
+    ``kernel="tiled"`` (SSY, float32, log space) runs the operator through
+    the strip-streamed Pallas kernels — the large-grid fast tier (no VMEM
+    size cap; see ``kernels/tiled_two_phase.py``).  Keep h-axes at <=32
+    points in f32 (docs/status.md #1).
     """
     space = space or _auto_space()
+    if kernel not in ("xla", "tiled"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if kernel == "tiled":
+        if not isinstance(model, SSY):
+            raise NotImplementedError("tiled kernels cover the SSY model")
+        if space != "log":
+            raise ValueError("tiled kernels iterate in log space")
+        from .kernels.tiled_two_phase import make_tiled_T_log_ssy
+        disc = discretize_ssy(model, tuple(shapes))
+        T = make_tiled_T_log_ssy(model, disc, baseline=baseline)
+        w0 = (jnp.full(tuple(shapes), DEFAULT_INIT_W, jnp.float32)
+              if w_init is None else jnp.asarray(w_init, jnp.float32))
+        sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
+        if checkpoint_path:
+            save_solution(checkpoint_path, model, (), sol.w_star,
+                          meta=dict(kind="discrete", shapes=list(shapes),
+                                    algorithm=algorithm, tol=tol,
+                                    space=space, kernel="tiled",
+                                    iterations=int(sol.result.iterations),
+                                    residual=float(sol.result.residual)))
+        return sol
+    if baseline is not None:
+        solver_opts["baseline"] = baseline   # XLA factories take it below
     if isinstance(model, SSY):
         disc = discretize_ssy(model, tuple(shapes),
                               dtype=dtype or jnp.float64)
-        T = T_ssy_factory(model, disc, space=space, dtype=dtype)
+        T = T_ssy_factory(model, disc, space=space, dtype=dtype,
+                          baseline=solver_opts.pop("baseline", None))
     elif isinstance(model, GCY):
         disc = discretize_gcy(model, tuple(shapes),
                               dtype=dtype or jnp.float64)
-        T = T_gcy_factory(model, disc, space=space, dtype=dtype)
+        T = T_gcy_factory(model, disc, space=space, dtype=dtype,
+                          baseline=solver_opts.pop("baseline", None))
     else:
         raise TypeError(f"unsupported model {type(model).__name__}")
 
@@ -125,10 +157,16 @@ def wc_ratio_continuous(model,
                         batch_size: Optional[int] = None,
                         baseline: Optional[str] = None,
                         dtype=None,
+                        kernel: str = "xla",
                         polish: bool = False,
                         checkpoint_path: Optional[str] = None,
                         **solver_opts) -> WCSolution:
     """Solve the continuous-state model on interpolation grids.
+
+    ``kernel="tiled"`` (SSY, quadrature + interp="pre", log space, f32)
+    runs the operator through the strip-streamed Pallas kernels — the
+    large-grid fast tier (see NORTHSTAR.json: 0.5 s Newton steps at 11M
+    points).  Combine with ``polish=True`` for full accuracy.
 
     Parity: reference ``wc_ratio_continuous``
     (``ssy_wc_ratio_continuous.py:229-297``); grid bounds via
@@ -170,11 +208,45 @@ def wc_ratio_continuous(model,
         baseline_spec = _coarse_additive_baseline(
             model, grid_sizes, num_std_devs=num_std_devs,
             quad_degree=quad_degree, dtype=gdtype)
+    if kernel == "tiled":
+        if not isinstance(model, SSY):
+            raise NotImplementedError("tiled kernels cover the SSY model")
+        if method != "quadrature" or interp != "pre" or space != "log":
+            raise ValueError("tiled kernels implement the quadrature + "
+                             "interp='pre' operator in log space")
+        from .kernels.tiled_two_phase import make_tiled_T_log_ssy_continuous
+        grids = build_grid_ssy(model, *grid_sizes,
+                               num_std_devs=num_std_devs)
+        T = make_tiled_T_log_ssy_continuous(
+            model, grids, degree=quad_degree, baseline=baseline_spec)
+        shape = tuple(len(g) for g in grids)
+        if w_init is not None:
+            w0 = jnp.asarray(w_init, jnp.float32)
+        elif hasattr(T, "baseline_log_w"):
+            w0 = jnp.exp(T.baseline_log_w)
+        else:
+            w0 = jnp.ones(shape, jnp.float32)
+        sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
+        sol = dataclasses.replace(
+            sol, grids=tuple(jnp.asarray(g, jnp.float32) for g in grids))
+        if checkpoint_path:
+            save_solution(checkpoint_path, model, sol.grids, sol.w_star,
+                          meta=dict(kind="continuous", method=method,
+                                    interp=interp, quad_degree=quad_degree,
+                                    num_std_devs=num_std_devs,
+                                    algorithm=algorithm, tol=tol,
+                                    space=space, kernel="tiled",
+                                    iterations=int(sol.result.iterations),
+                                    residual=float(sol.result.residual)))
+        return sol
+    if kernel != "xla":
+        raise ValueError(f"unknown kernel {kernel!r}")
     if algorithm in ("fused_anderson", "fused_sa"):
         return _wc_ratio_continuous_fused(
             model, grid_sizes, algorithm=algorithm, tol=tol,
             num_std_devs=num_std_devs, method=method, interp=interp,
             quad_degree=quad_degree, w_init=w_init,
+            baseline_spec=baseline_spec,
             checkpoint_path=checkpoint_path, **solver_opts)
     if isinstance(model, SSY):
         grids = build_grid_ssy(model, *grid_sizes, num_std_devs=num_std_devs,
@@ -268,7 +340,7 @@ def wc_ratio_continuation(model,
 
 def _wc_ratio_continuous_fused(model, grid_sizes, *, algorithm, tol,
                                num_std_devs, method, interp, quad_degree,
-                               w_init, checkpoint_path,
+                               w_init, checkpoint_path, baseline_spec=None,
                                max_iter: int = 20_000,
                                **solver_opts) -> WCSolution:
     """Whole-solve Pallas kernel path (f32, SSY, quadrature + pre-interp).
@@ -290,23 +362,48 @@ def _wc_ratio_continuous_fused(model, grid_sizes, *, algorithm, tol,
             "the solve will stop at max_iter with the floor residual. Use "
             "the f64 XLA Newton path for tighter tolerances.", stacklevel=3)
 
-    if not isinstance(model, SSY):
-        raise NotImplementedError(
-            "fused kernel drivers currently cover the SSY continuous model")
     if method != "quadrature" or interp != "pre":
         raise ValueError(
             "fused kernels implement the quadrature + pre-interp operator")
-    grids = build_grid_ssy(model, *grid_sizes, num_std_devs=num_std_devs,
-                           dtype=jnp.float32)
-    if algorithm == "fused_anderson":
-        fsolve = make_fused_anderson_ssy_continuous(
-            model, grids, degree=quad_degree, **solver_opts)
+    if isinstance(model, SSY):
+        grids = build_grid_ssy(model, *grid_sizes, num_std_devs=num_std_devs,
+                               dtype=jnp.float32)
+        if algorithm == "fused_anderson":
+            fsolve = make_fused_anderson_ssy_continuous(
+                model, grids, degree=quad_degree, **solver_opts)
+        else:
+            fsolve = make_fused_solver_ssy_continuous(
+                model, grids, degree=quad_degree, **solver_opts)
+    elif isinstance(model, GCY):
+        # GCY continuous kernels are baseline-normalized by construction
+        # (theta * log-w range ~ 200 on these grids overflows raw f32).
+        from .kernels.anderson_kernel import make_fused_anderson_gcy_continuous
+        from .kernels.solver_kernel import make_fused_solver_gcy_continuous
+        grids = build_grid_gcy(model, *grid_sizes, num_std_devs=num_std_devs,
+                               dtype=jnp.float32)
+        # The GCY log-linear closed form is ~4.4 log units off at grid
+        # corners; theta-folding that into four composed factors overflows
+        # f32 (entries ~ e^{theta*4.4}).  Use the coarse additive baseline
+        # (baseline="coarse" in the public driver) for production runs.
+        gcy_baseline = (baseline_spec if baseline_spec is not None
+                        else "loglinear")
+        if algorithm == "fused_anderson":
+            fsolve = make_fused_anderson_gcy_continuous(
+                model, grids, degree=quad_degree, baseline=gcy_baseline,
+                **solver_opts)
+        else:
+            fsolve = make_fused_solver_gcy_continuous(
+                model, grids, degree=quad_degree, baseline=gcy_baseline,
+                **solver_opts)
     else:
-        fsolve = make_fused_solver_ssy_continuous(
-            model, grids, degree=quad_degree, **solver_opts)
+        raise TypeError(f"unsupported model {type(model).__name__}")
     shape = tuple(len(g) for g in grids)
-    w0 = (jnp.ones(shape, dtype=jnp.float32) if w_init is None
-          else jnp.asarray(w_init, dtype=jnp.float32))
+    if w_init is not None:
+        w0 = jnp.asarray(w_init, dtype=jnp.float32)
+    elif hasattr(fsolve, "baseline_log_w"):
+        w0 = jnp.exp(fsolve.baseline_log_w)
+    else:
+        w0 = jnp.ones(shape, dtype=jnp.float32)
     ell, iters, err = fsolve(jnp.log(w0), tol, max_iter)
     result = SolveResult(x=ell, iterations=iters, residual=err,
                          converged=(err <= tol) & ~jnp.isnan(err))

@@ -27,12 +27,19 @@ from .fused_discrete import _VMEM_BUDGET_BYTES, kron_operands_ssy, \
     kron_operands_ssy_continuous
 
 __all__ = ["make_fused_anderson_from_operands",
-           "make_fused_anderson_ssy", "make_fused_anderson_ssy_continuous"]
+           "make_fused_anderson_ssy", "make_fused_anderson_ssy_continuous",
+           "make_fused_anderson_gcy_continuous"]
 
 
-def _aa_kernel(theta, beta_op, m, mix, beta_aa, ridge,
-               ell_ref, tol_ref, maxit_ref, m1_ref, m2t_ref, kap_ref,
-               out_ref, iters_ref, err_ref, X_ref, F_ref):
+def _aa_kernel(theta, beta_op, m, mix, beta_aa, ridge, has_sub, *refs):
+    if has_sub:
+        (ell_ref, tol_ref, maxit_ref, m1_ref, m2t_ref, kap_ref, sub_ref,
+         out_ref, iters_ref, err_ref, X_ref, F_ref) = refs
+        sub = sub_ref[:]
+    else:
+        (ell_ref, tol_ref, maxit_ref, m1_ref, m2t_ref, kap_ref,
+         out_ref, iters_ref, err_ref, X_ref, F_ref) = refs
+        sub = None
     tol = tol_ref[0]
     max_iter = maxit_ref[0]
     kap = kap_ref[:]
@@ -41,6 +48,8 @@ def _aa_kernel(theta, beta_op, m, mix, beta_aa, ridge,
 
     def T(ell):
         p = theta * ell
+        if sub is not None:
+            p = p - sub
         sh1 = jnp.max(p, axis=0, keepdims=True)
         u = jnp.dot(M1, jnp.exp(p - sh1), preferred_element_type=jnp.float32)
         log_u = sh1 + jnp.log(u)
@@ -141,6 +150,7 @@ def make_fused_anderson_from_operands(M1, M2T, log_kap, theta, beta, shapes,
                                       mixing_frequency: int = 2,
                                       beta_aa: float = 1.0,
                                       ridge: float = 1e-6,
+                                      sub=None,
                                       interpret: bool = False) -> Callable:
     """``solve(ell0, tol, max_iter) -> (ell*, iters, residual)`` with
     in-kernel Anderson acceleration (f32)."""
@@ -152,8 +162,19 @@ def make_fused_anderson_from_operands(M1, M2T, log_kap, theta, beta, shapes,
             f"~{working/2**20:.1f} MiB VMEM; reduce history or use the XLA "
             "solver")
 
+    has_sub = sub is not None
     kernel = partial(_aa_kernel, theta, beta, history, mixing_frequency,
-                     beta_aa, ridge)
+                     beta_aa, ridge, has_sub)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if has_sub:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
         out_shape=(
@@ -161,14 +182,7 @@ def make_fused_anderson_from_operands(M1, M2T, log_kap, theta, beta, shapes,
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -184,14 +198,31 @@ def make_fused_anderson_from_operands(M1, M2T, log_kap, theta, beta, shapes,
     @jax.jit
     def solve_fused(ell0, tol=1e-6, max_iter=100_000):
         ell_mat = ell0.reshape(rows, cols).astype(jnp.float32)
-        ell, iters, err = call(
-            ell_mat,
-            jnp.asarray([tol], jnp.float32),
-            jnp.asarray([max_iter], jnp.int32),
-            M1, M2T, log_kap)
+        args = (ell_mat,
+                jnp.asarray([tol], jnp.float32),
+                jnp.asarray([max_iter], jnp.int32),
+                M1, M2T, log_kap) + ((sub,) if has_sub else ())
+        ell, iters, err = call(*args)
         return ell.reshape(shapes), iters[0], err[0]
 
     return solve_fused
+
+
+def make_fused_anderson_gcy_continuous(model, grids, degree: int = 5,
+                                       baseline="loglinear",
+                                       interpret: bool = False, **kw):
+    """In-kernel Anderson solve for the *continuous* GCY factored operator
+    (baseline-normalized by default; see solver_kernel twin)."""
+    from .fused_discrete import kron_operands_gcy_continuous
+    (M1, M2T, kap, shapes, rows, cols,
+     sub) = kron_operands_gcy_continuous(model, grids, degree, baseline,
+                                         jnp.float32)
+    fsolve = make_fused_anderson_from_operands(
+        M1, M2T, kap, model.theta, model.beta, shapes, rows, cols,
+        sub=sub, interpret=interpret, **kw)
+    if sub is not None:
+        fsolve.baseline_log_w = (sub / model.theta).reshape(shapes)
+    return fsolve
 
 
 def make_fused_anderson_ssy(model, disc, interpret: bool = False, **kw):

@@ -63,11 +63,20 @@ def kron_operands_ssy(model: SSY, disc: SSYDiscretization, dtype=jnp.float32):
     return (M1.astype(dtype), M2.T.astype(dtype), log_kap.astype(dtype))
 
 
-def _fused_kernel(theta, beta, ell_ref, m1_ref, m2t_ref, kap_ref, out_ref):
+def _fused_kernel(theta, beta, has_sub, *refs):
     # Two kron contractions with per-step log-sum-exp shifts: exact in f32
     # for any dynamic range of theta*ell (a single global shift overflows
     # once the range passes exp's f32 limit — see ops/contract.py).
+    # With has_sub (baseline-normalized operands), the iterate is reduced
+    # by the separable baseline theta*ell0 before the chain; kap carries
+    # the matching +theta*ell0 epilogue term.
+    if has_sub:
+        ell_ref, m1_ref, m2t_ref, kap_ref, sub_ref, out_ref = refs
+    else:
+        ell_ref, m1_ref, m2t_ref, kap_ref, out_ref = refs
     p = theta * ell_ref[:]
+    if has_sub:
+        p = p - sub_ref[:]
     sh1 = jnp.max(p, axis=0, keepdims=True)
     u = jnp.dot(m1_ref[:], jnp.exp(p - sh1),
                 preferred_element_type=jnp.float32)
@@ -119,7 +128,7 @@ def kron_operands_ssy_continuous(model: SSY, grids, degree: int = 5,
 
 
 def make_fused_T_from_operands(M1, M2T, log_kap, theta, beta, shapes,
-                               rows, cols, dtype=jnp.float32,
+                               rows, cols, dtype=jnp.float32, sub=None,
                                interpret: bool = False) -> Callable:
     """Fused two-matmul log-space T from prebuilt operands.
 
@@ -133,22 +142,20 @@ def make_fused_T_from_operands(M1, M2T, log_kap, theta, beta, shapes,
             f"state space {shapes} needs ~{working/2**20:.1f} MiB VMEM; "
             "use the XLA factored operator for grids this large")
 
-    kernel = partial(_fused_kernel, theta, beta)
+    has_sub = sub is not None
+    kernel = partial(_fused_kernel, theta, beta, has_sub)
+    n_in = 5 if has_sub else 4
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # ell matrix
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # M1
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # M2^T
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # log_kappa
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )
 
     def _primal(ell_mat):
-        return call(ell_mat, M1, M2T, log_kap)
+        args = (ell_mat, M1, M2T, log_kap) + ((sub,) if has_sub else ())
+        return call(*args)
 
     @jax.custom_jvp
     def T(ell):
@@ -163,8 +170,9 @@ def make_fused_T_from_operands(M1, M2T, log_kap, theta, beta, shapes,
         out = _primal(ell_mat)
         # Tangent in XLA (transposable, so reverse-mode works too),
         # mirroring the kernel's per-step LSE shifts (shift maxima are
-        # constants a.e. so they carry no tangent):
-        p = theta * ell_mat
+        # constants a.e. so they carry no tangent; a constant sub shifts
+        # the primal only):
+        p = theta * ell_mat - (sub if sub is not None else 0.0)
         sh1 = jax.lax.stop_gradient(jnp.max(p, axis=0, keepdims=True))
         e1 = jnp.exp(p - sh1)
         s1 = M1 @ e1
@@ -267,3 +275,136 @@ def make_fused_T_log_gcy(model, disc, dtype=jnp.float32,
     return make_fused_T_from_operands(
         M1, M2T, log_kap, model.theta, model.beta, disc.shapes,
         n_a * n_b * n_c, n_d * n_e * n_l, dtype=dtype, interpret=interpret)
+
+
+def kron_operands_gcy_continuous(model, grids, degree: int = 5,
+                                 baseline=None, dtype=jnp.float32):
+    """(M1, M2T, log_kappa, ell0) for the *continuous* GCY factored
+    operator (quadrature, pre-power interp) in two-matmul form.
+
+    Grid order (l, k, i, y, j, b) = (h_lam, h_c, h_z, h_zpi, z, z_pi):
+    rows group (l, k); the column group must hold all four conditioned
+    axes — z' conditions on (h_z, z, z_pi) and z_pi' on (h_zpi, z_pi)
+    (reference ``gcy_wc_ratio_continuous.py:77-115``) — so the column
+    operand is the dense composition
+
+        D[(i,y,j,b), (I,Y,J,B)] =
+            P_hz[i,I] P_hzpi[y,Y] P_zpi[y,b,B] P_z[i,j,b,J],
+
+    O((n_i n_y n_j n_b)^2) memory: a VMEM-resident-scale form (~6-7 points
+    per axis).  ``baseline`` (strongly recommended for f32 — theta * log-w
+    range is ~200 on these grids) folds a separable baseline into the
+    P matrices before composing and returns ell0 = theta-weighted baseline
+    as a (rows, cols) subtraction operand.
+    """
+    import numpy as np
+
+    from ..operators.continuous_common import expectation_matrix
+    from ..ops.quadrature import gauss_hermite_normal
+
+    m = model
+    theta = m.theta
+    h_lam_g, h_c_g, h_z_g, h_zpi_g, z_g, z_pi_g = grids
+    eta, omega = map(jnp.asarray, gauss_hermite_normal(degree))
+    P_lam = expectation_matrix(h_lam_g, m.rho_lam * h_lam_g, m.s_lam,
+                               eta, omega,
+                               payoff=lambda xn: jnp.exp(theta * xn))
+    P_c = expectation_matrix(h_c_g, m.rho_c * h_c_g, m.s_c, eta, omega)
+    P_hz = expectation_matrix(h_z_g, m.rho_z * h_z_g, m.s_z, eta, omega)
+    P_hzpi = expectation_matrix(h_zpi_g, m.rho_zpi * h_zpi_g, m.s_zpi,
+                                eta, omega)
+    sigma_z = m.phi_z * jnp.exp(h_z_g)
+    sigma_zpi = m.phi_zpi * jnp.exp(h_zpi_g)
+    P_zpi = expectation_matrix(
+        z_pi_g, jnp.broadcast_to(m.rho_pipi * z_pi_g,
+                                 (len(h_zpi_g), len(z_pi_g))),
+        sigma_zpi[:, None], eta, omega)
+    mean_z = (m.rho * z_g[None, :, None] + m.rho_pi * z_pi_g[None, None, :])
+    mean_z = jnp.broadcast_to(mean_z, (len(h_z_g), len(z_g), len(z_pi_g)))
+    P_z = expectation_matrix(z_g, mean_z, sigma_z[:, None, None], eta, omega)
+
+    n_l, n_k = len(h_lam_g), len(h_c_g)
+    n_i, n_y, n_j, n_b = len(h_z_g), len(h_zpi_g), len(z_g), len(z_pi_g)
+    shapes = (n_l, n_k, n_i, n_y, n_j, n_b)
+    rows, cols = n_l * n_k, n_i * n_y * n_j * n_b
+
+    ell0_mat = None
+    if baseline is not None:
+        from ..operators.continuous_common import (
+            normalize_expectation_matrix)
+        if baseline == "loglinear":
+            from ..models.gcy import gcy_loglinear_factory
+            co = gcy_loglinear_factory(m).coefficients
+            phi = [co["A_hlam"] * np.asarray(h_lam_g, np.float64),
+                   co["A_hc"] * (np.asarray(h_c_g, np.float64) * 2 * m.phi_c**2
+                                 + m.phi_c**2),
+                   co["A_hz"] * (np.asarray(h_z_g, np.float64) * 2 * m.phi_z**2
+                                 + m.phi_z**2),
+                   co["A_hzpi"] * (np.asarray(h_zpi_g, np.float64)
+                                   * 2 * m.phi_zpi**2 + m.phi_zpi**2),
+                   co["A_z"] * np.asarray(z_g, np.float64),
+                   co["A_zpi"] * np.asarray(z_pi_g, np.float64)]
+            const0 = co["A0"]
+        else:
+            const0, profs = baseline
+            phi = [np.asarray(p_, np.float64) for p_ in profs]
+        phi_l, phi_k, phi_i, phi_y, phi_j, phi_b = phi
+        P_lam = jnp.asarray(normalize_expectation_matrix(
+            P_lam, phi_l, phi_l, theta))
+        P_c = jnp.asarray(normalize_expectation_matrix(
+            P_c, phi_k, phi_k, theta))
+        P_hz = jnp.asarray(normalize_expectation_matrix(
+            P_hz, phi_i, phi_i, theta))
+        P_hzpi = jnp.asarray(normalize_expectation_matrix(
+            P_hzpi, phi_y, phi_y, theta))
+        P_zpi = jnp.asarray(normalize_expectation_matrix(
+            P_zpi, phi_b, np.broadcast_to(phi_b, P_zpi.shape[:-1]), theta))
+        cur_j = np.broadcast_to(phi_j[None, :, None], P_z.shape[:-1])
+        P_z = jnp.asarray(normalize_expectation_matrix(
+            P_z, phi_j, cur_j, theta))
+        row0 = phi_l[:, None] + phi_k[None, :]
+        col0 = (const0 + phi_i[:, None, None, None]
+                + phi_y[None, :, None, None] + phi_j[None, None, :, None]
+                + phi_b[None, None, None, :])
+        ell0_mat = (row0.reshape(rows, 1) + col0.reshape(1, cols))
+
+    # Compose the column operand in host float64 (exponent range).
+    D = np.einsum("iI,yY,ybB,ijbJ->iyjbIYJB",
+                  np.asarray(P_hz, np.float64),
+                  np.asarray(P_hzpi, np.float64),
+                  np.asarray(P_zpi, np.float64),
+                  np.asarray(P_z, np.float64)).reshape(cols, cols)
+    M1 = np.kron(np.asarray(P_lam, np.float64), np.asarray(P_c, np.float64))
+
+    log_A2 = 0.5 * (1 - m.gamma) ** 2 * (m.phi_c
+                                         * np.exp(np.asarray(h_c_g))) ** 2
+    log_A3 = (1 - m.gamma) * (m.mu_c + np.asarray(z_g, np.float64))
+    kap = (np.zeros((n_l, 1)) + log_A2[None, :]).reshape(rows, 1) + \
+        np.broadcast_to(log_A3[None, None, :, None],
+                        (n_i, n_y, n_j, n_b)).reshape(1, cols)
+    if ell0_mat is not None:
+        kap = kap + theta * ell0_mat
+    return (jnp.asarray(M1, dtype), jnp.asarray(D.T, dtype),
+            jnp.asarray(kap, dtype), shapes, rows, cols,
+            None if ell0_mat is None else jnp.asarray(theta * ell0_mat,
+                                                      dtype))
+
+
+def make_fused_T_log_gcy_continuous(model, grids, degree: int = 5,
+                                    baseline="loglinear",
+                                    dtype=jnp.float32,
+                                    interpret: bool = False) -> Callable:
+    """Fused log-space T for the *continuous* GCY factored operator
+    (quadrature, pre-power interp) — two-matmul form with the four
+    conditioned axes composed into one dense column operand.  Baseline
+    normalization defaults on: theta * (log-w range) ~ 200 on these grids
+    exceeds f32's exponential range without it."""
+    (M1, M2T, kap, shapes, rows, cols,
+     sub) = kron_operands_gcy_continuous(model, grids, degree, baseline,
+                                         dtype)
+    T = make_fused_T_from_operands(
+        M1, M2T, kap, model.theta, model.beta, shapes, rows, cols,
+        dtype=dtype, sub=sub, interpret=interpret)
+    if sub is not None:
+        T.baseline_log_w = (sub / model.theta).reshape(shapes)
+    return T

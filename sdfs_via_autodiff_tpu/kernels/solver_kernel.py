@@ -32,12 +32,19 @@ from .fused_discrete import (kron_operands_gcy, kron_operands_ssy,
                              _VMEM_BUDGET_BYTES)
 
 __all__ = ["make_fused_solver_ssy", "make_fused_solver_from_operands",
-           "make_fused_solver_ssy_continuous", "make_fused_solver_gcy"]
+           "make_fused_solver_ssy_continuous", "make_fused_solver_gcy",
+           "make_fused_solver_gcy_continuous"]
 
 
-def _solver_kernel(theta, beta, ell_ref, tol_ref, maxit_ref,
-                   m1_ref, m2t_ref, kap_ref,
-                   out_ref, iters_ref, err_ref):
+def _solver_kernel(theta, beta, has_sub, *refs):
+    if has_sub:
+        (ell_ref, tol_ref, maxit_ref, m1_ref, m2t_ref, kap_ref, sub_ref,
+         out_ref, iters_ref, err_ref) = refs
+        sub = sub_ref[:]
+    else:
+        (ell_ref, tol_ref, maxit_ref, m1_ref, m2t_ref, kap_ref,
+         out_ref, iters_ref, err_ref) = refs
+        sub = None
     tol = tol_ref[0]
     max_iter = maxit_ref[0]
     kap = kap_ref[:]
@@ -47,6 +54,8 @@ def _solver_kernel(theta, beta, ell_ref, tol_ref, maxit_ref,
     def T(ell):
         # Per-step LSE shifts, matching kernels/fused_discrete.py.
         p = theta * ell
+        if sub is not None:
+            p = p - sub
         sh1 = jnp.max(p, axis=0, keepdims=True)
         u = jnp.dot(M1, jnp.exp(p - sh1),
                     preferred_element_type=jnp.float32)
@@ -75,7 +84,7 @@ def _solver_kernel(theta, beta, ell_ref, tol_ref, maxit_ref,
 
 
 def make_fused_solver_from_operands(M1, M2T, log_kap, theta, beta, shapes,
-                                    rows, cols,
+                                    rows, cols, sub=None,
                                     interpret: bool = False) -> Callable:
     """Whole-solve kernel from prebuilt two-matmul operands (f32)."""
     working = (rows * cols * 5 + rows * rows + cols * cols) * 4
@@ -84,7 +93,18 @@ def make_fused_solver_from_operands(M1, M2T, log_kap, theta, beta, shapes,
             f"state space {shapes} needs ~{working/2**20:.1f} MiB VMEM; "
             "use the XLA solver for grids this large")
 
-    kernel = partial(_solver_kernel, theta, beta)
+    has_sub = sub is not None
+    kernel = partial(_solver_kernel, theta, beta, has_sub)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # ell0
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # tol (1,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # max_iter (1,)
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # M1
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # M2T
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # log_kappa
+    ]
+    if has_sub:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
         out_shape=(
@@ -92,14 +112,7 @@ def make_fused_solver_from_operands(M1, M2T, log_kap, theta, beta, shapes,
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.float32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # ell0
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # tol (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # max_iter (1,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # M1
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # M2T
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # log_kappa
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -111,11 +124,11 @@ def make_fused_solver_from_operands(M1, M2T, log_kap, theta, beta, shapes,
     @jax.jit
     def solve_fused(ell0, tol=1e-6, max_iter=100_000):
         ell_mat = ell0.reshape(rows, cols).astype(jnp.float32)
-        ell, iters, err = call(
-            ell_mat,
-            jnp.asarray([tol], jnp.float32),
-            jnp.asarray([max_iter], jnp.int32),
-            M1, M2T, log_kap)
+        args = (ell_mat,
+                jnp.asarray([tol], jnp.float32),
+                jnp.asarray([max_iter], jnp.int32),
+                M1, M2T, log_kap) + ((sub,) if has_sub else ())
+        ell, iters, err = call(*args)
         return ell.reshape(shapes), iters[0], err[0]
 
     return solve_fused
@@ -152,3 +165,21 @@ def make_fused_solver_gcy(model, disc, interpret: bool = False) -> Callable:
     return make_fused_solver_from_operands(
         M1, M2T, log_kap, model.theta, model.beta, disc.shapes,
         n_a * n_b * n_c, n_d * n_e * n_l, interpret=interpret)
+
+
+def make_fused_solver_gcy_continuous(model, grids, degree: int = 5,
+                                     baseline="loglinear",
+                                     interpret: bool = False) -> Callable:
+    """Whole-solve kernel for the *continuous* GCY factored operator
+    (quadrature, pre-power interp).  Baseline normalization defaults on —
+    without it theta*(log-w range) ~ 200 overflows f32 on these grids."""
+    from .fused_discrete import kron_operands_gcy_continuous
+    (M1, M2T, kap, shapes, rows, cols,
+     sub) = kron_operands_gcy_continuous(model, grids, degree, baseline,
+                                         jnp.float32)
+    fsolve = make_fused_solver_from_operands(
+        M1, M2T, kap, model.theta, model.beta, shapes, rows, cols,
+        sub=sub, interpret=interpret)
+    if sub is not None:
+        fsolve.baseline_log_w = (sub / model.theta).reshape(shapes)
+    return fsolve

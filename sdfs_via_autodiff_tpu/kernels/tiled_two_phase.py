@@ -56,14 +56,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_strip(n: int, unit_bytes: int, budget: int = _STRIP_BYTES) -> int:
-    """Largest divisor of n whose strip footprint stays under budget."""
+def _pick_strip(n: int, unit_bytes: int, budget: int = _STRIP_BYTES,
+                mult: int = 1) -> int:
+    """Largest divisor of n whose strip footprint stays under budget,
+    preferring multiples of ``mult`` (sublane alignment) when any exist."""
     cap = max(1, budget // max(unit_bytes, 1))
-    best = 1
+    best = best_aligned = 0
     for d in range(1, n + 1):
         if n % d == 0 and d <= cap:
             best = d
-    return best
+            if d % mult == 0:
+                best_aligned = d
+    return best_aligned or best or 1
 
 
 def _contract_c1(e, W, batched, prec):
@@ -265,17 +269,30 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     # scratch) and the whole working set must fit Mosaic's 16 MB
     # scoped-vmem limit, so it gets half the nominal strip budget.
     row_unit = _round_up(n_c1, 8) * _round_up(n_c2, 128) * itemsize
-    TB = _pick_strip(R, row_unit, _STRIP_BYTES // 2)
+    # TB must be a multiple of 8 (or all of R) for the (TB, 1) shift
+    # output block in fast mode — Mosaic's sublane-divisibility rule.
+    # Budget: the col kernel keeps ~6-8 tile-sized values live (exp/log
+    # temporaries, HIGHEST-precision matmul scratch, double-buffered I/O)
+    # against Mosaic's 16 MB scoped-vmem limit.
+    TB = _pick_strip(R, row_unit, _STRIP_BYTES // 4, mult=8)
+    # Mosaic requires the row-phase block's last dim be 128-divisible or
+    # equal to C: lane-blocked strips when C % 128 == 0, else one whole-C
+    # strip (viable only while it fits VMEM — prefer grids whose column
+    # group n_c1*n_c2 is a multiple of 128 at scale).
     lane_block = n_r1 * _round_up(n_r2, 8) * 128 * itemsize  # per 128 lanes
     if C % 128 == 0:
-        TC = 128 * _pick_strip(C // 128, lane_block)
+        TC = 128 * _pick_strip(C // 128, lane_block, _STRIP_BYTES // 2)
     else:
-        TC = _pick_strip(C, -(-lane_block // 128))
+        TC = C
     if (TB * row_unit > _STRIP_BYTES * 2
             or _round_up(TC, 128) // 128 * lane_block > _STRIP_BYTES * 2):
         raise ValueError(
             f"state space {ops.shapes} has no strip decomposition inside "
-            "the VMEM budget; use the XLA two-phase operator")
+            "the VMEM budget (column group C={C} must be 128-divisible "
+            "to be lane-blocked); use the XLA two-phase operator")
+    if mode == "fast" and TB % 8 != 0 and TB != R:
+        # The fast path's (TB, 1) shift output needs sublane-aligned TB.
+        mode = "lse"
 
     cast = lambda a: jnp.asarray(a, dtype)
     W_r1, W_r2, W_c1, W_c2 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1,

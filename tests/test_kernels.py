@@ -10,7 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sdfs_via_autodiff_tpu import SSY, T_ssy_factory, discretize_ssy, solve
+from sdfs_via_autodiff_tpu import (GCY, SSY, T_ssy_factory,
+                                   discretize_ssy, solve)
 from sdfs_via_autodiff_tpu.kernels.fused_discrete import (
     kron_operands_ssy, make_fused_T_log_ssy)
 from sdfs_via_autodiff_tpu.kernels.solver_kernel import make_fused_solver_ssy
@@ -207,3 +208,93 @@ def test_fused_anderson_kernel(setup):
     w_diff = np.max(np.abs(np.exp(np.asarray(ell, np.float64))
                            - np.exp(np.asarray(ref.x))))
     assert w_diff < 1.0
+
+
+def test_fused_gcy_continuous_T_matches_xla(rng):
+    # GCY continuous (quadrature + pre-interp), baseline-normalized
+    # two-matmul kernel vs the f64 XLA factored operator.
+    from sdfs_via_autodiff_tpu.kernels.fused_discrete import (
+        make_fused_T_log_gcy_continuous)
+    from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+        T_gcy_continuous_factory)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+
+    model = GCY()
+    grids = build_grid_gcy(model, 4, 3, 3, 3, 4, 3)
+    T = make_fused_T_log_gcy_continuous(model, grids, degree=5,
+                                        interpret=True)
+    T64 = T_gcy_continuous_factory(model, grids, method="quadrature",
+                                   interp="pre", space="log",
+                                   baseline="loglinear")
+    ell = jnp.asarray(T.baseline_log_w, jnp.float64) \
+        + 0.02 * rng.standard_normal(T.baseline_log_w.shape)
+    got = T(ell.astype(jnp.float32))
+    want = T64(ell)
+    np.testing.assert_allclose(np.asarray(got, np.float64),
+                               np.asarray(want), rtol=0, atol=5e-5)
+
+
+def _gcy_coarse_baseline(model, grids):
+    """Additive (ANOVA) baseline fitted on an f64 solve of the same grids —
+    the production recipe for GCY f32 (the log-linear closed form is ~4.4
+    log units off at corners; theta-folding that into the composed column
+    operand overflows f32)."""
+    from sdfs_via_autodiff_tpu.operators.continuous_common import (
+        additive_profiles)
+    from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+        T_gcy_continuous_factory)
+    T64 = T_gcy_continuous_factory(model, grids, method="quadrature",
+                                   interp="pre", space="log")
+    ell0 = jnp.full(tuple(len(g) for g in grids), jnp.log(500.0))
+    ref = solve(T64, ell0, method="newton", tol=1e-11)
+    return additive_profiles(np.asarray(ref.x)), ref
+
+
+def test_fused_gcy_continuous_solver(rng):
+    from sdfs_via_autodiff_tpu.kernels.solver_kernel import (
+        make_fused_solver_gcy_continuous)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+
+    model = GCY()
+    grids = build_grid_gcy(model, 4, 3, 3, 3, 4, 3)
+    baseline, ref = _gcy_coarse_baseline(model, grids)
+    fsolve = make_fused_solver_gcy_continuous(model, grids, degree=5,
+                                              baseline=baseline,
+                                              interpret=True)
+    ell0 = fsolve.baseline_log_w
+    ell, iters, err = fsolve(ell0, 1e-6, 100_000)
+    assert float(err) <= 1e-6
+    w_diff = np.max(np.abs(np.exp(np.asarray(ell, np.float64))
+                           - np.exp(np.asarray(ref.x))))
+    assert w_diff < 2.0
+
+
+def test_fused_gcy_continuous_anderson(rng):
+    from sdfs_via_autodiff_tpu.kernels.anderson_kernel import (
+        make_fused_anderson_gcy_continuous)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+
+    model = GCY()
+    grids = build_grid_gcy(model, 4, 3, 3, 3, 4, 3)
+    baseline, _ = _gcy_coarse_baseline(model, grids)
+    fsolve = make_fused_anderson_gcy_continuous(model, grids, degree=5,
+                                                baseline=baseline,
+                                                interpret=True)
+    ell0 = fsolve.baseline_log_w
+    ell, iters, err = fsolve(ell0, 1e-6, 20_000)
+    assert float(err) <= 1e-6
+    assert bool(jnp.all(jnp.isfinite(ell)))
+
+
+def test_fused_gcy_continuous_coarse_baseline_operands():
+    # With the coarse baseline the composed column operand stays in a
+    # sane f32 range (the loglinear fold reaches ~1e27 on these grids).
+    from sdfs_via_autodiff_tpu.kernels.fused_discrete import (
+        kron_operands_gcy_continuous)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+    model = GCY()
+    grids = build_grid_gcy(model, 3, 3, 3, 3, 3, 3)
+    baseline, _ = _gcy_coarse_baseline(model, grids)
+    _, M2T, _, _, _, _, _ = kron_operands_gcy_continuous(
+        model, grids, 5, baseline, jnp.float32)
+    assert float(jnp.max(jnp.abs(M2T))) < 1e6
