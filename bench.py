@@ -80,6 +80,11 @@ def main():
     t_fac = median_time(run_fac)
     t_ref = median_time(run_ref)
 
+    # Scale metric: tiled two-phase Pallas operator at a 10^7-point grid
+    # (the north-star scale; the reference's largest recorded run is
+    # 160k points).  Marginal two-point timing cancels dispatch overhead.
+    scale = _scale_metric()
+
     print(json.dumps({
         "metric": "ssy_discrete_T_throughput_8^4_logspace_f64",
         "value": round(n_points * ITERS / t_fac),
@@ -90,7 +95,58 @@ def main():
         "one_application_sup_diff": err,
         "note": "baseline (reference broadcast formulation) OOMs 15.75GB HBM at the reference's 10^4 grid; 8^4 is its largest runnable size here",
         "backend": jax.default_backend(),
+        **scale,
     }))
+
+
+def _scale_metric(shapes=(56, 56, 56, 64)):
+    """Tiled-kernel operator throughput at 11.2M points (f32, marginal)."""
+    from jax import lax
+
+    from sdfs_via_autodiff_tpu import SSY, discretize_ssy
+    from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+        make_tiled_T_log_ssy)
+
+    if jax.default_backend() == "cpu":
+        return {}
+    try:
+        model = SSY()
+        disc = discretize_ssy(model, shapes)
+        T = make_tiled_T_log_ssy(model, disc)
+        n = 1
+        for s in shapes:
+            n *= s
+        ell0 = jnp.full(shapes, jnp.log(800.0), jnp.float32)
+
+        def mk(K):
+            @jax.jit
+            def many(x):
+                return lax.fori_loop(0, K, lambda i, v: T(v), x)
+            return many
+
+        m1, m2 = mk(50), mk(200)
+        jax.block_until_ready(m1(ell0))
+        jax.block_until_ready(m2(ell0))
+
+        def t(f):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(ell0))
+            return time.perf_counter() - t0
+
+        dt = (min(t(m2) for _ in range(3))
+              - min(t(m1) for _ in range(3))) / 150
+        # 4 HBM passes of the f32 field per application (2 per phase).
+        bw = 4 * n * 4 / dt / 1e9
+        return {
+            "scale_metric": "ssy_discrete_tiled_T_56x56x56x64_f32",
+            "scale_points": n,
+            "scale_ms_per_application": round(dt * 1e3, 3),
+            "scale_G_point_updates_per_s": round(n / dt / 1e9, 2),
+            "scale_effective_GBps": round(bw),
+            "scale_pct_of_hbm_roofline": round(100 * bw / 819, 1),
+        }
+    except Exception as e:                     # pragma: no cover
+        return {"scale_metric_error": str(e)[:200]}
 
 
 if __name__ == "__main__":

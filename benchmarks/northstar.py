@@ -1,0 +1,164 @@
+"""North-star artifact: >=10^7-point SSY wealth–consumption solves on TPU.
+
+BASELINE.md's target: SSY on a >=10^7-point grid with sub-second Newton
+steps on TPU (reference's largest recorded run: 20^4 = 160k points,
+``/root/reference/code/ssy/continuous_junnan/test_newton.md:219``).
+
+Runs the continuous (factored quadrature, pre-interp) and discrete
+operators at (56, 56, 56, 64) = 11.24M points — the z axis is padded to a
+128-lane-divisible column group, the TPU-native grid choice — through the
+tiled two-phase Pallas kernels (f32), with a log-linear warm start.
+Reports successive-approximation throughput, cached per-Newton-step time,
+time-to-tolerance, and a float64 final residual check (the f32 solve's
+true quality, measured with the f64 XLA operator).
+
+Writes NORTHSTAR.json at the repo root.  Usage: python benchmarks/northstar.py
+"""
+
+import json
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sdfs_via_autodiff_tpu import SSY, discretize_ssy, solve
+from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+    make_tiled_T_log_ssy, make_tiled_T_log_ssy_continuous)
+from sdfs_via_autodiff_tpu.models.ssy import ssy_loglinear_factory
+from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+    T_ssy_continuous_factory, build_grid_ssy)
+from sdfs_via_autodiff_tpu.operators.discrete_ssy import T_ssy_factory
+from sdfs_via_autodiff_tpu.ops.grids import flatten_mesh
+
+# Continuous grids are bounded at num_std_devs * stationary sigma, so any
+# axis size is f32-safe; (56, 56, 56, 64) puts the column group at 28*128
+# lanes.  Discrete Rouwenhorst ladders *widen* with the point count
+# (±sqrt(n-1) sigma): h-axes beyond ~32 points push sigma_z = phi_z
+# exp(h_z) far enough that the iterate's theta-range underflows entire
+# f32 contraction rows to zero (-inf/NaN), so the >=10^7 discrete case
+# spends its points on the z axis instead.
+SHAPES_CONT = (56, 56, 56, 64)     # 11_239_424 points; C = 56*64 = 28*128
+SHAPES_DISC = (32, 32, 32, 384)    # 12_582_912 points; C = 32*384 = 96*128
+TOL_CONT = 2e-4     # just above the continuous f32 floor at this size
+TOL_DISC = 2e-3     # the discrete wide-ladder f32 floor
+
+
+def loglinear_warm_start(model, grids):
+    ll = ssy_loglinear_factory(model)
+    x = np.asarray(flatten_mesh([np.asarray(g, np.float64) for g in grids]))
+    ell0 = ll(x.T) if callable(ll) else None
+    shape = tuple(len(g) for g in grids)
+    return jnp.asarray(np.asarray(ell0).reshape(shape), jnp.float32)
+
+
+def sa_throughput(T, x0, k1=50, k2=250):
+    def mk(K):
+        @jax.jit
+        def many(x):
+            return lax.fori_loop(0, K, lambda i, v: T(v), x)
+        return many
+    m1, m2 = mk(k1), mk(k2)
+    jax.block_until_ready(m1(x0))
+    jax.block_until_ready(m2(x0))
+
+    def t(f):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x0))
+        return time.perf_counter() - t0
+
+    dt = (min(t(m2) for _ in range(3)) - min(t(m1) for _ in range(3)))
+    return dt / (k2 - k1)
+
+
+def newton_step_time(T, x0):
+    res = solve(T, x0, method="newton", tol=1e-12, max_iter=1)
+    jax.block_until_ready(res.x)           # compile + first step
+    t0 = time.perf_counter()
+    res = solve(T, res.x, method="newton", tol=1e-12, max_iter=1)
+    jax.block_until_ready(res.x)
+    return time.perf_counter() - t0
+
+
+def f64_residual(T64, ell):
+    # On the CPU backend: the TPU's "f64" is an f32-exponent-range
+    # double-float emulation, which underflows the wide discrete grids'
+    # intermediates — true IEEE f64 lives on the host.
+    cpu = jax.devices("cpu")[0]
+    ell64 = jax.device_put(jnp.asarray(np.asarray(ell), jnp.float64), cpu)
+    out = jax.jit(T64, device=cpu)(ell64)
+    return float(jnp.max(jnp.abs(out - ell64)))
+
+
+def run_case(name, T, T64, ell_init, n_points, tol):
+    entry = {"name": name, "points": n_points, "kernel_mode": T.mode,
+             "strips": list(T.strip_sizes), "tol": tol}
+    dt = sa_throughput(T, ell_init)
+    entry["sa_ms_per_iter"] = round(dt * 1e3, 3)
+    entry["sa_G_point_updates_per_s"] = round(n_points / dt / 1e9, 2)
+    entry["newton_step_s"] = round(newton_step_time(T, ell_init), 3)
+    # Cap the outer loop: on wide discrete grids the f32 iteration floor
+    # can sit above tol, and an uncapped loop would spin at the floor.
+    t0 = time.perf_counter()
+    res = solve(T, ell_init, method="newton", tol=tol, max_iter=60)
+    jax.block_until_ready(res.x)
+    entry["newton_solve_s"] = round(time.perf_counter() - t0, 2)
+    entry["newton_iterations"] = int(res.iterations)
+    entry["residual_f32"] = float(res.residual)
+    entry["converged"] = bool(res.converged)
+    entry["residual_f64_check"] = f64_residual(T64, res.x)
+    return entry, res.x
+
+
+def main(which=("continuous", "discrete")):
+    model = SSY()
+    out = {"device": str(jax.devices()[0]).split(":")[0],
+           "reference_largest_recorded_points": 160_000,
+           "cases": []}
+
+    if "continuous" in which:
+        # Continuous (factored Gauss-Hermite quadrature, pre-power interp).
+        n_points = int(np.prod(SHAPES_CONT))
+        grids = build_grid_ssy(model, *SHAPES_CONT, num_std_devs=3.2)
+        Tc = make_tiled_T_log_ssy_continuous(model, grids, degree=5)
+        Tc64 = T_ssy_continuous_factory(model, grids, method="quadrature",
+                                        interp="pre", space="log", jit=False)
+        warm = loglinear_warm_start(model, grids)
+        entry, _ = run_case("ssy_continuous_quadrature_pre", Tc, Tc64, warm,
+                            n_points, TOL_CONT)
+        entry["shapes"] = list(SHAPES_CONT)
+        out["cases"].append(entry)
+        print(json.dumps(entry))
+
+    if "discrete" in which:
+        # Discrete (Rouwenhorst tensor grid): per-axis LSE tier (the fast
+        # single-shift mode is range-unsafe on wide ladders).
+        n_points = int(np.prod(SHAPES_DISC))
+        disc = discretize_ssy(model, SHAPES_DISC)
+        Td = make_tiled_T_log_ssy(model, disc, mode="lse")
+        Td64 = T_ssy_factory(model, disc, space="log", jit=False)
+        ell0 = jnp.full(SHAPES_DISC, float(jnp.log(800.0)), jnp.float32)
+        entry, _ = run_case("ssy_discrete_rouwenhorst", Td, Td64, ell0,
+                            n_points, TOL_DISC)
+        entry["shapes"] = list(SHAPES_DISC)
+        out["cases"].append(entry)
+        print(json.dumps(entry))
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "NORTHSTAR.json"
+    merged = out
+    if path.exists() and which != ("continuous", "discrete"):
+        old = json.loads(path.read_text())
+        keep = [c for c in old.get("cases", [])
+                if all(c["name"] != n["name"] for n in out["cases"])]
+        merged = dict(old, cases=keep + out["cases"],
+                      device=out["device"],
+                      reference_largest_recorded_points=160_000)
+    path.write_text(json.dumps(merged, indent=1))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    import sys
+    main(tuple(sys.argv[1:]) or ("continuous", "discrete"))
