@@ -158,15 +158,23 @@ def wc_ratio_continuous(model,
                         baseline: Optional[str] = None,
                         dtype=None,
                         kernel: str = "xla",
+                        engine: str = "auto",
                         polish: bool = False,
                         checkpoint_path: Optional[str] = None,
                         **solver_opts) -> WCSolution:
     """Solve the continuous-state model on interpolation grids.
 
-    ``kernel="tiled"`` (SSY, quadrature + interp="pre", log space, f32)
-    runs the operator through the strip-streamed Pallas kernels — the
-    large-grid fast tier (see NORTHSTAR.json: 0.5 s Newton steps at 11M
-    points).  Combine with ``polish=True`` for full accuracy.
+    ``kernel="tiled"`` (SSY, quadrature, log space, f32) runs the operator
+    through the Pallas kernels: interp="pre" through the strip-streamed
+    two-phase kernels — the large-grid fast tier (see NORTHSTAR.json:
+    0.5 s Newton steps at 11M points) — and interp="post"/"loglin"
+    through the fused Kronecker node-pair kernel
+    (``kernels/post_interp_kernel.py``).  Combine with ``polish=True``
+    for full accuracy.
+
+    ``engine`` selects the XLA evaluation strategy for post/loglin
+    semantics: "auto" (node-chain matmuls in log space), or "gather"
+    (the reference's pointwise corner-gather formulation).
 
     Parity: reference ``wc_ratio_continuous``
     (``ssy_wc_ratio_continuous.py:229-297``); grid bounds via
@@ -211,14 +219,27 @@ def wc_ratio_continuous(model,
     if kernel == "tiled":
         if not isinstance(model, SSY):
             raise NotImplementedError("tiled kernels cover the SSY model")
-        if method != "quadrature" or interp != "pre" or space != "log":
-            raise ValueError("tiled kernels implement the quadrature + "
-                             "interp='pre' operator in log space")
-        from .kernels.tiled_two_phase import make_tiled_T_log_ssy_continuous
+        if method != "quadrature" or space != "log":
+            raise ValueError("tiled kernels implement the quadrature "
+                             "operators in log space")
         grids = build_grid_ssy(model, *grid_sizes,
                                num_std_devs=num_std_devs)
-        T = make_tiled_T_log_ssy_continuous(
-            model, grids, degree=quad_degree, baseline=baseline_spec)
+        if interp == "pre":
+            from .kernels.tiled_two_phase import (
+                make_tiled_T_log_ssy_continuous)
+            T = make_tiled_T_log_ssy_continuous(
+                model, grids, degree=quad_degree, baseline=baseline_spec)
+        elif interp in ("post", "loglin"):
+            if baseline_spec is not None:
+                raise ValueError("the post-interp kernel has no baseline "
+                                 "fold; use interp='pre' for normalized "
+                                 "operators")
+            from .kernels.post_interp_kernel import (
+                make_post_interp_kernel_T_ssy)
+            T = make_post_interp_kernel_T_ssy(
+                model, grids, quad_degree=quad_degree, interp=interp)
+        else:
+            raise ValueError(f"unknown interp {interp!r}")
         shape = tuple(len(g) for g in grids)
         if w_init is not None:
             w0 = jnp.asarray(w_init, jnp.float32)
@@ -254,7 +275,8 @@ def wc_ratio_continuous(model,
         T = T_ssy_continuous_factory(
             model, grids, method=method, interp=interp, space=space,
             quad_degree=quad_degree, mc_draw_size=mc_draw_size, seed=seed,
-            batch_size=batch_size, baseline=baseline_spec, dtype=dtype)
+            batch_size=batch_size, baseline=baseline_spec, dtype=dtype,
+            engine=engine)
     elif isinstance(model, GCY):
         grids = build_grid_gcy(model, *grid_sizes, num_std_devs=num_std_devs,
                                dtype=gdtype)

@@ -31,3 +31,5 @@ from .anderson_kernel import make_fused_anderson_gcy_continuous
 __all__ += ["kron_operands_gcy_continuous", "make_fused_T_log_gcy_continuous",
             "make_fused_solver_gcy_continuous",
             "make_fused_anderson_gcy_continuous"]
+from .post_interp_kernel import make_post_interp_kernel_T_ssy
+__all__ += ["make_post_interp_kernel_T_ssy"]

@@ -11,3 +11,8 @@ __all__ = [
     "next_state_gcy", "T_gcy_continuous_factory",
     "hat_basis", "expectation_matrix", "make_gather_T",
 ]
+
+from .post_interp import (make_node_chain_T_ssy, node_basis_ssy,
+                          ssy_quadrature_nodes)
+__all__ += ["make_node_chain_T_ssy", "node_basis_ssy",
+            "ssy_quadrature_nodes"]

@@ -202,6 +202,7 @@ def T_ssy_continuous_factory(model: SSY,
                              batch_size: Optional[int] = None,
                              baseline: Optional[str] = None,
                              dtype=None,
+                             engine: str = "auto",
                              jit: bool = True) -> Callable:
     """Build the continuous-state SSY operator T.
 
@@ -211,8 +212,11 @@ def T_ssy_continuous_factory(model: SSY,
     default 2000).
 
     quadrature + interp="pre" dispatches to the factored contraction path;
-    other combinations use the vmapped gather path with optional
-    ``batch_size`` chunking (replacing the reference's RAM-free heuristic,
+    post/loglin in log space dispatch to the node-chain reformulation
+    (per-node basis matmuls + streaming LSE, :mod:`.post_interp`) unless
+    ``engine="gather"`` forces the pointwise vmapped gather path, which
+    also serves the remaining combinations with optional ``batch_size``
+    chunking (replacing the reference's RAM-free heuristic,
     ``ssy_wc_ratio_continuous.py:271-285``).
     """
     if space not in ("w", "log"):
@@ -229,8 +233,27 @@ def T_ssy_continuous_factory(model: SSY,
                          and space == "log"):
         raise ValueError("baseline normalization requires quadrature + "
                          "interp='pre' + space='log'")
+    if engine not in ("auto", "node_chain", "gather"):
+        raise ValueError(f"unknown engine {engine!r}")
     if method == "quadrature" and interp == "pre":
         T = _factored_T(model, grids, quad_degree, space, dtype, baseline)
+    elif (interp in ("post", "loglin") and space == "log"
+          and engine in ("auto", "node_chain")
+          and method in ("quadrature", "monte_carlo")):
+        import numpy as np
+
+        from .post_interp import make_node_chain_T_ssy, ssy_quadrature_nodes
+        if method == "quadrature":
+            nodes, logw = ssy_quadrature_nodes(quad_degree)
+        else:
+            key = jax.random.PRNGKey(seed)
+            nodes = np.asarray(
+                jax.random.normal(key, (4, mc_draw_size),
+                                  dtype=jnp.result_type(grids[0])),
+                np.float64)
+            logw = np.full(mc_draw_size, -np.log(float(mc_draw_size)))
+        T = make_node_chain_T_ssy(model, grids, nodes, logw, interp=interp,
+                                  dtype=dtype)
     elif method in ("quadrature", "monte_carlo"):
         if method == "quadrature":
             nodes, weights = tensor_quadrature_normal([quad_degree] * 4)

@@ -1,0 +1,201 @@
+"""Node-chain reformulation of the post-power interpolation operators.
+
+The reference's continuous operator semantics interpolate w *first* and
+apply the theta-power afterwards (``interp="post"``, reference
+``code/ssy/continuous_junnan/ssy_wc_ratio_continuous.py:111,146``; the
+log-interpolation experiment ``test_newton.md:69-154`` is ``"loglin"``).
+The power between interpolation and expectation blocks the per-axis
+*expectation-matrix* factorization used by the "pre" path
+(:mod:`.continuous_common`), so the reference — and round 1 of this
+framework — evaluates these semantics pointwise: a 2^d-corner gather of w
+per (state, node) pair, the classic TPU-hostile memory pattern.
+
+TPU-first reformulation implemented here: multilinear interpolation at a
+*fixed* shock node eta_q is a linear map of the field, and because each
+state dimension's successor is driven by its own component of eta_q, that
+map factorizes per axis,
+
+    interp(g)(x'(x, eta_q)) = [B_1[q] x B_2[q] x B_3[q] x B_4[q]] g,
+
+with B_d[q][i, k] = b_k(mu_d(x_i) + sigma_d(x) * eta_q[d]) the hat-basis
+matrix of axis d at node q (the z-axis matrix carries the h_z conditioning
+of sigma_z, exactly like the discrete operator's z factor).  One operator
+application is then a *loop over nodes of per-axis matmul chains* with a
+running log-sum-exp accumulation across nodes — MXU contractions instead
+of gathers, identical per-node structure to the factored discrete
+operator.  The formulation is exact (same corner weights as the gather,
+reordered), works for tensor-product quadrature *and* joint Monte Carlo
+draws (each draw is a node), and admits a two-matmul Pallas kernel via
+Kronecker grouping (:mod:`..kernels.post_interp_kernel`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .continuous_common import hat_basis
+
+__all__ = ["node_basis_ssy", "make_node_chain_T_ssy", "ssy_quadrature_nodes"]
+
+
+def ssy_quadrature_nodes(quad_degree: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint tensor-product Gauss-Hermite nodes (4, d^4) and log-weights
+    (d^4,) in the (h_lam, h_c, h_z, z) shock order."""
+    from ..ops.quadrature import tensor_quadrature_normal
+    nodes, weights = tensor_quadrature_normal([quad_degree] * 4)
+    return np.asarray(nodes, np.float64), np.log(np.asarray(weights,
+                                                            np.float64))
+
+
+def node_basis_ssy(model, grids: Sequence, nodes: np.ndarray) -> dict:
+    """Per-node hat-basis matrices for the SSY successor maps.
+
+    ``nodes`` is (4, Q) joint shocks.  Returns float64 host arrays:
+
+    * ``B_lam`` (Q, n_l, n_l): h_lam' = rho_lam*h_lam + s_lam*eta1
+    * ``B_c``   (Q, n_k, n_k): h_c'   = rho_c*h_c + s_c*eta2
+    * ``B_hz``  (Q, n_i, n_i): h_z'   = rho_z*h_z + s_z*eta3
+    * ``B_z``   (Q, n_i, n_j, n_j): z' = rho*z + phi_z*e^{h_z}*eta4,
+      conditioned on the *current* h_z index i
+    * ``pay``   (Q, n_l): theta * h_lam' — the exp(theta*h_lam') payoff of
+      the H kernel (reference ``ssy_wc_ratio_continuous.py:110-114``) in
+      log form.
+
+    Dynamics parity: reference ``next_state`` (:63-83).
+    """
+    m = model
+    hb = lambda g, pts: np.asarray(
+        hat_basis(jnp.asarray(g, jnp.float64), jnp.asarray(pts, jnp.float64)),
+        np.float64)
+    h_lam, h_c, h_z, z = (np.asarray(g, np.float64) for g in grids)
+    eta = np.asarray(nodes, np.float64)            # (4, Q)
+    nl1 = m.rho_lam * h_lam[None, :] + m.s_lam * eta[0][:, None]   # (Q, n_l)
+    B_lam = hb(h_lam, nl1)
+    B_c = hb(h_c, m.rho_c * h_c[None, :] + m.s_c * eta[1][:, None])
+    B_hz = hb(h_z, m.rho_z * h_z[None, :] + m.s_z * eta[2][:, None])
+    sigma_z = m.phi_z * np.exp(h_z)                                # (n_i,)
+    zn = (m.rho * z[None, None, :]
+          + sigma_z[None, :, None] * eta[3][:, None, None])        # (Q, i, j)
+    B_z = hb(z, zn)
+    pay = m.theta * nl1
+    return dict(B_lam=B_lam, B_c=B_c, B_hz=B_hz, B_z=B_z, pay=pay)
+
+
+def _log_kappa_parts_ssy(model, grids):
+    """log kappa(h_c, z) = log_A2[k] + log_A3[j] (reference
+    ``ssy_wc_ratio_continuous.py:102-103``)."""
+    m = model
+    h_c, z = np.asarray(grids[1], np.float64), np.asarray(grids[3], np.float64)
+    sigma_c = m.phi_c * np.exp(h_c)
+    log_A2 = 0.5 * (1 - m.gamma) ** 2 * sigma_c ** 2
+    log_A3 = (1 - m.gamma) * (m.mu_c + z)
+    return log_A2, log_A3
+
+
+def _pad_chunk(arrs, logw, chunk):
+    """Pad the node axis to a multiple of ``chunk``.  Padding nodes reuse
+    the first node's basis rows (finite values) with log-weight -inf, so
+    they contribute exp(-inf) = 0 to the accumulation."""
+    Q = logw.shape[0]
+    pad = (-Q) % chunk
+    if pad == 0:
+        return arrs, logw
+    arrs = [np.concatenate([a, np.repeat(a[:1], pad, axis=0)]) for a in arrs]
+    logw = np.concatenate([logw, np.full(pad, -np.inf)])
+    return arrs, logw
+
+
+def make_node_chain_T_ssy(model, grids: Sequence, nodes: np.ndarray,
+                          log_weights: np.ndarray, interp: str = "post",
+                          dtype=None, chunk: Optional[int] = None,
+                          precision=None) -> Callable:
+    """Log-space post/loglin-interpolation SSY operator as a node chain.
+
+    Maps ell = log w -> log T(w) with the reference's post-power semantics
+    (``interp="post"``: E[interp(w)(x')^theta * e^{theta h_lam'}]) or the
+    log-interpolation variant (``"loglin"``: interpolant applied to ell).
+    Evaluated as a ``lax.scan`` over node chunks; each chunk runs the
+    four per-axis basis contractions as batched einsums and folds into a
+    running log-sum-exp (streaming max), so peak memory is
+    O(chunk * N) regardless of the node count.  Covers tensor-product
+    quadrature and joint Monte Carlo draws alike.
+    """
+    if interp not in ("post", "loglin"):
+        raise ValueError(f"unknown interp {interp!r}")
+    dtype = dtype or jnp.float64
+    theta, beta = model.theta, model.beta
+    shapes = tuple(len(g) for g in grids)
+    basis = node_basis_ssy(model, grids, nodes)
+    logw = np.asarray(log_weights, np.float64)
+    Q = logw.shape[0]
+    if chunk is None:
+        chunk = min(Q, 32)
+    arrs = [basis["B_lam"], basis["B_c"], basis["B_hz"], basis["B_z"],
+            basis["pay"]]
+    arrs, logw = _pad_chunk(arrs, logw, chunk)
+    n_chunks = logw.shape[0] // chunk
+    stack = lambda a: jnp.asarray(
+        a.reshape((n_chunks, chunk) + a.shape[1:]), dtype)
+    B1, B2, B3, B4, pay = map(stack, arrs)
+    logw_d = jnp.asarray(logw.reshape(n_chunks, chunk), dtype)
+    log_A2, log_A3 = _log_kappa_parts_ssy(model, grids)
+    log_kappa = jnp.asarray(log_A2[:, None] + log_A3[None, :], dtype)
+    theta_c = jnp.asarray(theta, dtype)
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    ein = lambda sub, a, b: jnp.einsum(sub, a, b, precision=precision)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+    def chain(field, xs):
+        b1, b2, b3, b4, _, _ = xs
+        u = ein("slL,LKIJ->slKIJ", b1, field)
+        u = ein("skK,slKIJ->slkIJ", b2, u)
+        u = ein("siI,slkIJ->slkiJ", b3, u)
+        return ein("sijJ,slkiJ->slkij", b4, u)
+
+    def T(ell):
+        ell = ell.astype(dtype)
+        if interp == "post":
+            # The shift's gradient contribution cancels exactly (the chain
+            # is linear and the log adds it back), so stop_gradient is
+            # exact — and necessary: differentiating through max sets up
+            # an argmax equality mask that XLA fusion can break (ulp
+            # mismatch between the two fused recomputations -> 0/0).
+            c = jax.lax.stop_gradient(jnp.max(ell))
+            field = jnp.exp(ell - c)          # interp is linear: shift-safe
+        else:
+            c = jnp.asarray(0.0, dtype)
+            field = ell
+
+        def step(carry, xs):
+            m, acc = carry
+            u = chain(field, xs)
+            paych, logwch = xs[4], xs[5]
+            if interp == "post":
+                a = theta_c * (jnp.log(u) + c)
+            else:
+                a = theta_c * u
+            a = (a + paych[:, :, None, None, None]
+                 + logwch[:, None, None, None, None])
+            # LSE shifts carry no gradient (shift-invariance); see above.
+            m_s = jax.lax.stop_gradient(jnp.max(a, axis=0))
+            m_new = jnp.maximum(m, m_s)
+            # exp(m - m_new) with m = -inf on the first step: guard the
+            # -inf - -inf = nan case.
+            scale = jnp.where(m == neg_inf, 0.0, jnp.exp(m - m_new))
+            acc = acc * scale + jnp.sum(jnp.exp(a - m_new[None]), axis=0)
+            return (m_new, acc), None
+
+        m0 = jnp.full(shapes, neg_inf, dtype)
+        acc0 = jnp.zeros(shapes, dtype)
+        (m, acc), _ = jax.lax.scan(step, (m0, acc0),
+                                   (B1, B2, B3, B4, pay, logw_d))
+        log_kg = m + jnp.log(acc) + log_kappa[None, :, None, :]
+        return jnp.log1p(beta * jnp.exp(log_kg / theta_c))
+
+    return T
