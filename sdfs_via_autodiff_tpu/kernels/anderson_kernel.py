@@ -23,6 +23,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.accurate import (_exp_f32_impl, _log1p_f32_impl,
+                            _log_f32_impl)
 from .fused_discrete import _VMEM_BUDGET_BYTES, kron_operands_ssy, \
     kron_operands_ssy_continuous
 
@@ -51,12 +53,14 @@ def _aa_kernel(theta, beta_op, m, mix, beta_aa, ridge, has_sub, *refs):
         if sub is not None:
             p = p - sub
         sh1 = jnp.max(p, axis=0, keepdims=True)
-        u = jnp.dot(M1, jnp.exp(p - sh1), preferred_element_type=jnp.float32)
-        log_u = sh1 + jnp.log(u)
-        sh2 = jnp.max(log_u, axis=1, keepdims=True)
-        u = jnp.dot(jnp.exp(log_u - sh2), M2T,
+        u = jnp.dot(M1, _exp_f32_impl(p - sh1),
                     preferred_element_type=jnp.float32)
-        return jnp.log1p(beta_op * jnp.exp((sh2 + jnp.log(u) + kap) / theta))
+        log_u = sh1 + _log_f32_impl(u)
+        sh2 = jnp.max(log_u, axis=1, keepdims=True)
+        u = jnp.dot(_exp_f32_impl(log_u - sh2), M2T,
+                    preferred_element_type=jnp.float32)
+        return _log1p_f32_impl(
+            beta_op * _exp_f32_impl((sh2 + _log_f32_impl(u) + kap) / theta))
 
     # Mosaic-friendly small-matrix algebra: the m x (m+1) Gauss-Jordan
     # runs entirely through masked whole-array ops — no slicing (Mosaic:

@@ -32,6 +32,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..ops.accurate import (accurate_exp, accurate_log,
+                            accurate_log1p)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -74,18 +76,19 @@ def _fused_kernel(theta, beta, has_sub, *refs):
         ell_ref, m1_ref, m2t_ref, kap_ref, sub_ref, out_ref = refs
     else:
         ell_ref, m1_ref, m2t_ref, kap_ref, out_ref = refs
+    from ..ops.accurate import _exp_f32_impl, _log1p_f32_impl, _log_f32_impl
     p = theta * ell_ref[:]
     if has_sub:
         p = p - sub_ref[:]
     sh1 = jnp.max(p, axis=0, keepdims=True)
-    u = jnp.dot(m1_ref[:], jnp.exp(p - sh1),
+    u = jnp.dot(m1_ref[:], _exp_f32_impl(p - sh1),
                 preferred_element_type=jnp.float32)
-    log_u = sh1 + jnp.log(u)
+    log_u = sh1 + _log_f32_impl(u)
     sh2 = jnp.max(log_u, axis=1, keepdims=True)
-    u = jnp.dot(jnp.exp(log_u - sh2), m2t_ref[:],
+    u = jnp.dot(_exp_f32_impl(log_u - sh2), m2t_ref[:],
                 preferred_element_type=jnp.float32)
-    log_hwt = sh2 + jnp.log(u) + kap_ref[:]
-    out_ref[:] = jnp.log1p(beta * jnp.exp(log_hwt / theta))
+    log_hwt = sh2 + _log_f32_impl(u) + kap_ref[:]
+    out_ref[:] = _log1p_f32_impl(beta * _exp_f32_impl(log_hwt / theta))
 
 
 def kron_operands_ssy_continuous(model: SSY, grids, degree: int = 5,
@@ -234,12 +237,13 @@ def make_xla_T_from_operands(M1, M2T, log_kap, theta, beta, shapes,
     def T(ell):
         p = theta_c * ell.reshape(rows, cols).astype(dtype)
         sh1 = jnp.max(p, axis=0, keepdims=True)
-        u = M1 @ jnp.exp(p - sh1)
-        log_u = sh1 + jnp.log(u)
+        u = M1 @ accurate_exp(p - sh1)
+        log_u = sh1 + accurate_log(u)
         sh2 = jnp.max(log_u, axis=1, keepdims=True)
-        u = jnp.exp(log_u - sh2) @ M2T
-        log_hwt = sh2 + jnp.log(u) + log_kap
-        return jnp.log1p(beta * jnp.exp(log_hwt / theta_c)).reshape(shapes)
+        u = accurate_exp(log_u - sh2) @ M2T
+        log_hwt = sh2 + accurate_log(u) + log_kap
+        return accurate_log1p(
+            beta * accurate_exp(log_hwt / theta_c)).reshape(shapes)
 
     return T
 

@@ -71,16 +71,20 @@ def _kernel(interp, theta, beta, field_ref, wr_ref, wc_ref, pay_ref, off_ref,
         G[:] = jnp.dot(wr_ref[0], field_ref[:],
                        preferred_element_type=jnp.float32, precision=hi)
 
-    # V[r, c] = sum_C G[r, C] Wc[c, C]
+    # V[r, c] = sum_C G[r, C] Wc[c, C].  Accurate transcendentals: the
+    # hardware f32 log's ~1e-4 error would otherwise dominate (see
+    # ops/accurate.py), amplified by |theta| here.
+    from ..ops.accurate import _exp_f32_impl, _log1p_f32_impl, _log_f32_impl
     V = jax.lax.dot_general(G[:], wc_ref[0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32, precision=hi)
-    a = theta * (jnp.log(V) if interp == "post" else V)
-    acc[:] = acc[:] + jnp.exp(a + pay_ref[0] + off_ref[p, q])
+    a = theta * (_log_f32_impl(V) if interp == "post" else V)
+    acc[:] = acc[:] + _exp_f32_impl(a + pay_ref[0] + off_ref[p, q])
 
     @pl.when(last)
     def _():
-        log_kg = jnp.log(acc[:]) + s_ref[0, 0] + lkr_ref[:] + lkc_ref[:]
-        out_ref[:] = jnp.log1p(beta * jnp.exp(log_kg / theta))
+        log_kg = (_log_f32_impl(acc[:]) + s_ref[0, 0] + lkr_ref[:]
+                  + lkc_ref[:])
+        out_ref[:] = _log1p_f32_impl(beta * _exp_f32_impl(log_kg / theta))
 
 
 def make_post_interp_kernel_T_ssy(model, grids: Sequence,
@@ -175,8 +179,9 @@ def make_post_interp_kernel_T_ssy(model, grids: Sequence,
         # (theta < 0 and interp is a convex combination of ell values).
         s = theta * jnp.min(ell) + smax
         if interp == "post":
+            from ..ops.accurate import accurate_exp
             c = jnp.max(ell)
-            field = jnp.exp(ell - c)
+            field = accurate_exp(ell - c)
             off = off_d + (theta * c - s)
         else:
             field = ell

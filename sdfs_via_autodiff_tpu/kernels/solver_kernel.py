@@ -26,6 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.ssy import SSY
+from ..ops.accurate import (_exp_f32_impl, _log1p_f32_impl,
+                            _log_f32_impl)
 from ..operators.discrete_ssy import SSYDiscretization
 from .fused_discrete import (kron_operands_gcy, kron_operands_ssy,
                              kron_operands_ssy_continuous,
@@ -57,14 +59,14 @@ def _solver_kernel(theta, beta, has_sub, *refs):
         if sub is not None:
             p = p - sub
         sh1 = jnp.max(p, axis=0, keepdims=True)
-        u = jnp.dot(M1, jnp.exp(p - sh1),
+        u = jnp.dot(M1, _exp_f32_impl(p - sh1),
                     preferred_element_type=jnp.float32)
-        log_u = sh1 + jnp.log(u)
+        log_u = sh1 + _log_f32_impl(u)
         sh2 = jnp.max(log_u, axis=1, keepdims=True)
-        u = jnp.dot(jnp.exp(log_u - sh2), M2T,
+        u = jnp.dot(_exp_f32_impl(log_u - sh2), M2T,
                     preferred_element_type=jnp.float32)
-        log_hwt = sh2 + jnp.log(u) + kap
-        return jnp.log1p(beta * jnp.exp(log_hwt / theta))
+        log_hwt = sh2 + _log_f32_impl(u) + kap
+        return _log1p_f32_impl(beta * _exp_f32_impl(log_hwt / theta))
 
     def cond(state):
         _, err, it = state

@@ -37,6 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..operators.two_phase import TwoPhaseOperands, make_xla_two_phase_T
+from ..ops.accurate import _exp_f32_impl, _log_f32_impl, _log1p_f32_impl
+
+
+# Kernel-local transcendentals: hardware (fast, ~1e-4 abs error in log)
+# or software-accurate (~1 ulp, see ops/accurate.py; a few extra VPU ops).
+_TRX = {"fast": (jnp.exp, jnp.log, jnp.log1p),
+        "accurate": (_exp_f32_impl, _log_f32_impl, _log1p_f32_impl)}
 
 
 def _i32(v):
@@ -124,7 +131,9 @@ def _dot_p(a, b, prec):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
-def _col_phase_kernel(theta, c1_batched, c2_batched, has_sub, prec, *refs):
+def _col_phase_kernel(theta, c1_batched, c2_batched, has_sub, prec, trx,
+                      *refs):
+    _exp, _log, _ = _TRX[trx]
     if has_sub:
         ell_ref, wc1_ref, wc2_ref, subr_ref, subc_ref, out_ref = refs
     else:
@@ -133,47 +142,49 @@ def _col_phase_kernel(theta, c1_batched, c2_batched, has_sub, prec, *refs):
     if has_sub:
         a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
     m = jnp.max(a, axis=1, keepdims=True)
-    e = jnp.exp(a - m)
+    e = _exp(a - m)
     u = _contract_c1(e, wc1_ref[:], c1_batched, prec)
-    a = m + jnp.log(u)
+    a = m + _log(u)
     m = jnp.max(a, axis=2, keepdims=True)
-    e = jnp.exp(a - m)
+    e = _exp(a - m)
     _contract_c2(e, wc2_ref[:], c2_batched, prec, out_ref=out_ref,
                  epilogue=lambda u, i: (m if i is None else m[:, i, :])
-                 + jnp.log(u))
+                 + _log(u))
 
 
-def _row_phase_kernel(theta, beta, prec, mid_ref, wr1_ref, wr2_ref,
+def _row_phase_kernel(theta, beta, prec, trx, mid_ref, wr1_ref, wr2_ref,
                       addr_ref, addc_ref, out_ref):
     """Row phase (LSE).  The two row contractions unroll into per-slice
     2-D dots (Mosaic rejects leading-axis einsums at HIGHEST precision and
     miscompiles 3-D batched matmuls), streaming through a scoped scratch
     and straight into ``out_ref`` to keep the live set minimal."""
+    _exp, _log, _log1p = _TRX[trx]
     n_r1, n_r2, _ = mid_ref.shape
 
     def body(scratch):
         a = mid_ref[:]                         # (n_r1, n_r2, TC)
         m = jnp.max(a, axis=0, keepdims=True)
-        e = jnp.exp(a - m)
+        e = _exp(a - m)
         W1 = wr1_ref[:]
         for k in range(n_r2):
-            scratch[:, k, :] = m[0, k, :][None, :] + jnp.log(
+            scratch[:, k, :] = m[0, k, :][None, :] + _log(
                 _dot_p(W1, e[:, k, :], prec))
         a2 = scratch[:]
         m2 = jnp.max(a2, axis=1, keepdims=True)
-        e2 = jnp.exp(a2 - m2)
+        e2 = _exp(a2 - m2)
         W2 = wr2_ref[:]
         addr = addr_ref[:]
         addc = addc_ref[:]
         for l in range(n_r1):
-            lh = (m2[l] + jnp.log(_dot_p(W2, e2[l], prec))
+            lh = (m2[l] + _log(_dot_p(W2, e2[l], prec))
                   + addr[l][:, None] + addc)
-            out_ref[l] = jnp.log1p(beta * jnp.exp(lh / theta))
+            out_ref[l] = _log1p(beta * _exp(lh / theta))
 
     pl.run_scoped(body, pltpu.VMEM(mid_ref.shape, jnp.float32))
 
 
-def _col_phase_fast_kernel(theta, c1_batched, c2_batched, has_sub, prec, *refs):
+def _col_phase_fast_kernel(theta, c1_batched, c2_batched, has_sub, prec,
+                           trx, *refs):
     """Column phase, single per-row shift (``mode="fast"``).
 
     One exp per element; the two column contractions run as plain matmul
@@ -185,6 +196,7 @@ def _col_phase_fast_kernel(theta, c1_batched, c2_batched, has_sub, prec, *refs):
     units): guaranteed under baseline normalization, and true for the
     plain SSY operators on standard grids (theta * range(log w) ~ 13).
     """
+    _exp, _log, _ = _TRX[trx]
     if has_sub:
         ell_ref, wc1_ref, wc2_ref, subr_ref, subc_ref, u_ref, s_ref = refs
     else:
@@ -194,20 +206,21 @@ def _col_phase_fast_kernel(theta, c1_batched, c2_batched, has_sub, prec, *refs):
         a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
     # Single-axis reductions keep Mosaic's layout inference happy.
     s = jnp.max(jnp.max(a, axis=2, keepdims=True), axis=1, keepdims=True)
-    e = jnp.exp(a - s)
+    e = _exp(a - s)
     u = _contract_c1(e, wc1_ref[:], c1_batched, prec)
     _contract_c2(u, wc2_ref[:], c2_batched, prec, out_ref=u_ref)
     s_ref[:] = s[:, :, 0]                      # (TB, 1)
 
 
-def _row_phase_fast_kernel(theta, beta, prec, u_ref, s_ref, wr1_ref,
+def _row_phase_fast_kernel(theta, beta, prec, trx, u_ref, s_ref, wr1_ref,
                            wr2_ref, addr_ref, addc_ref, out_ref):
     """Row phase for ``mode="fast"``: rescale by exp(s - max s), contract,
     single log in the epilogue."""
+    _exp, _log, _log1p = _TRX[trx]
     n_r1, n_r2, _ = u_ref.shape
     s = s_ref[:]                               # (n_r1, n_r2)
     m2 = jnp.max(jnp.max(s, axis=1, keepdims=True), axis=0, keepdims=True)
-    scale = jnp.exp(s - m2)
+    scale = _exp(s - m2)
 
     def body(scratch):
         e = u_ref[:] * scale[:, :, None]       # (n_r1, n_r2, TC)
@@ -220,15 +233,16 @@ def _row_phase_fast_kernel(theta, beta, prec, u_ref, s_ref, wr1_ref,
         addc = addc_ref[:]
         m2s = m2[0, 0]
         for l in range(n_r1):
-            lh = (m2s + jnp.log(_dot_p(W2, e2[l], prec))
+            lh = (m2s + _log(_dot_p(W2, e2[l], prec))
                   + addr[l][:, None] + addc)
-            out_ref[l] = jnp.log1p(beta * jnp.exp(lh / theta))
+            out_ref[l] = _log1p(beta * _exp(lh / theta))
 
     pl.run_scoped(body, pltpu.VMEM(u_ref.shape, jnp.float32))
 
 
 def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                      mode: str = "auto", precision: str = "highest",
+                     transcendentals: str = "accurate",
                      interpret: bool = False) -> Callable:
     """Tiled two-pass Pallas operator from a two-phase operand set.
 
@@ -255,6 +269,9 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         mode = "lse" if ops.has_sub else "fast"
     if mode not in ("lse", "fast"):
         raise ValueError(f"unknown mode {mode!r}")
+    if transcendentals not in _TRX:
+        raise ValueError(f"unknown transcendentals {transcendentals!r}")
+    trx = transcendentals
     # precision="highest" keeps f32 operands in true f32 on the MXU (~6x
     # better one-application accuracy, measured 1.1e-4 vs 8e-4 sup);
     # "default" lets the MXU demote to one-pass bf16 (~2x faster kernel).
@@ -340,7 +357,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     if mode == "lse":
         col_call = pl.pallas_call(
             partial(_col_phase_kernel, theta_f, ops.c1_batched,
-                    ops.c2_batched, has_sub, prec),
+                    ops.c2_batched, has_sub, prec, trx),
             grid=(R // TB,),
             out_shape=jax.ShapeDtypeStruct((R, n_c1, n_c2), dtype),
             in_specs=col_in_specs,
@@ -348,7 +365,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
             interpret=interpret,
         )
         row_call = pl.pallas_call(
-            partial(_row_phase_kernel, theta_f, beta_f, prec),
+            partial(_row_phase_kernel, theta_f, beta_f, prec, trx),
             grid=(C // TC,),
             out_shape=jax.ShapeDtypeStruct((n_r1, n_r2, C), dtype),
             in_specs=[row_strip, full(W_r1), full(W_r2), full(add_row),
@@ -366,7 +383,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     else:
         col_call = pl.pallas_call(
             partial(_col_phase_fast_kernel, theta_f, ops.c1_batched,
-                    ops.c2_batched, has_sub, prec),
+                    ops.c2_batched, has_sub, prec, trx),
             grid=(R // TB,),
             out_shape=(jax.ShapeDtypeStruct((R, n_c1, n_c2), dtype),
                        jax.ShapeDtypeStruct((R, 1), dtype)),
@@ -377,7 +394,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
             interpret=interpret,
         )
         row_call = pl.pallas_call(
-            partial(_row_phase_fast_kernel, theta_f, beta_f, prec),
+            partial(_row_phase_fast_kernel, theta_f, beta_f, prec, trx),
             grid=(C // TC,),
             out_shape=jax.ShapeDtypeStruct((n_r1, n_r2, C), dtype),
             in_specs=[row_strip, full(jnp.zeros((n_r1, n_r2), dtype)),
@@ -418,6 +435,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
 
 def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
                          mode: str = "auto", precision: str = "highest",
+                         transcendentals: str = "accurate",
                          interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *discrete* SSY operator
     (reference ``ssy_wc_ratio.py:82-151``); ``baseline="loglinear"`` folds
@@ -425,6 +443,7 @@ def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
     from ..operators.two_phase import two_phase_operands_ssy
     return make_tiled_T_log(two_phase_operands_ssy(model, disc, baseline),
                             dtype=dtype, mode=mode, precision=precision,
+                            transcendentals=transcendentals,
                             interpret=interpret)
 
 
@@ -432,6 +451,7 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
                                     baseline=None, dtype=jnp.float32,
                                     mode: str = "auto",
                                     precision: str = "highest",
+                                    transcendentals: str = "accurate",
                                     interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *continuous* factored-quadrature
     SSY operator (reference ``ssy_wc_ratio_continuous.py:125-153``,
@@ -439,4 +459,5 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
     from ..operators.two_phase import two_phase_operands_ssy_continuous
     return make_tiled_T_log(
         two_phase_operands_ssy_continuous(model, grids, degree, baseline),
-        dtype=dtype, mode=mode, precision=precision, interpret=interpret)
+        dtype=dtype, mode=mode, precision=precision,
+        transcendentals=transcendentals, interpret=interpret)

@@ -150,6 +150,7 @@ def make_node_chain_T_ssy(model, grids: Sequence, nodes: np.ndarray,
                      else jax.lax.Precision.DEFAULT)
     ein = lambda sub, a, b: jnp.einsum(sub, a, b, precision=precision)
     neg_inf = jnp.asarray(-jnp.inf, dtype)
+    from ..ops.accurate import accurate_exp, accurate_log, accurate_log1p
 
     def chain(field, xs):
         b1, b2, b3, b4, _, _ = xs
@@ -167,7 +168,7 @@ def make_node_chain_T_ssy(model, grids: Sequence, nodes: np.ndarray,
             # an argmax equality mask that XLA fusion can break (ulp
             # mismatch between the two fused recomputations -> 0/0).
             c = jax.lax.stop_gradient(jnp.max(ell))
-            field = jnp.exp(ell - c)          # interp is linear: shift-safe
+            field = accurate_exp(ell - c)     # interp is linear: shift-safe
         else:
             c = jnp.asarray(0.0, dtype)
             field = ell
@@ -177,7 +178,7 @@ def make_node_chain_T_ssy(model, grids: Sequence, nodes: np.ndarray,
             u = chain(field, xs)
             paych, logwch = xs[4], xs[5]
             if interp == "post":
-                a = theta_c * (jnp.log(u) + c)
+                a = theta_c * (accurate_log(u) + c)
             else:
                 a = theta_c * u
             a = (a + paych[:, :, None, None, None]
@@ -187,15 +188,16 @@ def make_node_chain_T_ssy(model, grids: Sequence, nodes: np.ndarray,
             m_new = jnp.maximum(m, m_s)
             # exp(m - m_new) with m = -inf on the first step: guard the
             # -inf - -inf = nan case.
-            scale = jnp.where(m == neg_inf, 0.0, jnp.exp(m - m_new))
-            acc = acc * scale + jnp.sum(jnp.exp(a - m_new[None]), axis=0)
+            scale = jnp.where(m == neg_inf, 0.0, accurate_exp(m - m_new))
+            acc = acc * scale + jnp.sum(accurate_exp(a - m_new[None]),
+                                        axis=0)
             return (m_new, acc), None
 
         m0 = jnp.full(shapes, neg_inf, dtype)
         acc0 = jnp.zeros(shapes, dtype)
         (m, acc), _ = jax.lax.scan(step, (m0, acc0),
                                    (B1, B2, B3, B4, pay, logw_d))
-        log_kg = m + jnp.log(acc) + log_kappa[None, :, None, :]
-        return jnp.log1p(beta * jnp.exp(log_kg / theta_c))
+        log_kg = m + accurate_log(acc) + log_kappa[None, :, None, :]
+        return accurate_log1p(beta * accurate_exp(log_kg / theta_c))
 
     return T

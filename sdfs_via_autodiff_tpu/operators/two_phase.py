@@ -188,27 +188,31 @@ def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
     c1_sub = "jim,tmj->tij" if ops.c1_batched else "im,tmj->tij"
     c2_sub = "ijm,tim->tij" if ops.c2_batched else "jm,tim->tij"
     # True-f32 MXU passes (the TPU default demotes f32 operands to bf16,
-    # a measured ~6x loss on one-application accuracy).
+    # a measured ~6x loss on one-application accuracy); accurate
+    # transcendentals (the hardware f32 log costs ~1e-4 abs per stage,
+    # see ops/accurate.py).
     hi = jax.lax.Precision.HIGHEST
+    from ..ops.accurate import accurate_exp, accurate_log, accurate_log1p
 
     def T(ell):
         a = theta * ell.astype(dtype).reshape(R, n_c1, n_c2)
         if sub is not None:
             a = a - sub
         m = jnp.max(a, axis=1, keepdims=True)
-        a = m + jnp.log(jnp.einsum(c1_sub, W_c1, jnp.exp(a - m),
-                                   precision=hi))
+        a = m + accurate_log(jnp.einsum(c1_sub, W_c1, accurate_exp(a - m),
+                                        precision=hi))
         m = jnp.max(a, axis=2, keepdims=True)
-        a = m + jnp.log(jnp.einsum(c2_sub, W_c2, jnp.exp(a - m),
-                                   precision=hi))
+        a = m + accurate_log(jnp.einsum(c2_sub, W_c2, accurate_exp(a - m),
+                                        precision=hi))
         b = a.reshape(n_r1, n_r2, C)
         m = jnp.max(b, axis=0, keepdims=True)
-        b = m + jnp.log(jnp.einsum("lm,mkt->lkt", W_r1, jnp.exp(b - m),
-                                   precision=hi))
+        b = m + accurate_log(jnp.einsum("lm,mkt->lkt", W_r1,
+                                        accurate_exp(b - m), precision=hi))
         m = jnp.max(b, axis=1, keepdims=True)
-        b = m + jnp.log(jnp.einsum("km,lmt->lkt", W_r2, jnp.exp(b - m),
-                                   precision=hi))
+        b = m + accurate_log(jnp.einsum("km,lmt->lkt", W_r2,
+                                        accurate_exp(b - m), precision=hi))
         log_hwt = b + add
-        return jnp.log1p(beta * jnp.exp(log_hwt / theta)).reshape(ops.shapes)
+        return accurate_log1p(
+            beta * accurate_exp(log_hwt / theta)).reshape(ops.shapes)
 
     return T

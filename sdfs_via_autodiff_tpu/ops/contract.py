@@ -34,11 +34,15 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
 
     All entries of ``M`` must be non-negative.
     """
+    from .accurate import accurate_exp, accurate_log
+
     m = jnp.max(log_v, axis=axis, keepdims=True)
     # HIGHEST keeps f32 operands in true f32 on the MXU (the TPU default
     # demotes them to one-pass bf16, a measured ~6x loss on the operator's
     # one-application error); these contractions are bandwidth-bound, so
     # the extra multiplier passes are ~free.  No-op for float64.
-    u = jnp.einsum(subscripts, M, jnp.exp(log_v - m),
+    # accurate_exp/log: the TPU VPU's hardware f32 log is the dominant
+    # error source of the whole chain (~1e-4 abs, see ops/accurate.py).
+    u = jnp.einsum(subscripts, M, accurate_exp(log_v - m),
                    precision=jax.lax.Precision.HIGHEST)
-    return m + jnp.log(u)
+    return m + accurate_log(u)

@@ -105,13 +105,18 @@ def anderson_solver(T: Callable,
         X0 = jnp.zeros((m,) + shape, dtype=dtype)
         F0 = jnp.zeros((m,) + shape, dtype=dtype)
         big = jnp.asarray(jnp.inf, dtype=dtype)
+        # Residual plateau guard (see fixed_point._iterate): AA residuals
+        # oscillate, so the window is generous — it exists to stop f32
+        # limit cycles from spinning to max_iter, not to police progress.
+        stall_iters, stall_rtol = 500, 1e-5
 
         def cond(state):
-            _, _, _, err, it = state
-            return (err > tol) & (it < max_iter) & ~jnp.isnan(err)
+            _, _, _, err, it, _, since = state
+            return ((err > tol) & (it < max_iter) & ~jnp.isnan(err)
+                    & (since < stall_iters))
 
         def body(state):
-            x, X, F, err, it = state
+            x, X, F, err, it, best, since = state
             fx = T(x)
             err = jnp.max(jnp.abs(fx - x))
             if verbose:
@@ -124,10 +129,13 @@ def anderson_solver(T: Callable,
             x_next = lax.cond(use_aa,
                               lambda: aa_combination(X, F, fx),
                               lambda: fx)
-            return x_next, X, F, err, it + 1
+            improved = err < best * (1.0 - stall_rtol)
+            since = jnp.where(improved, 0, since + 1)
+            best = jnp.minimum(best, err)
+            return x_next, X, F, err, it + 1, best, since
 
-        x, _, _, err, it = lax.while_loop(
-            cond, body, (x_init, X0, F0, big, 0))
+        x, _, _, err, it, _, _ = lax.while_loop(
+            cond, body, (x_init, X0, F0, big, 0, big, 0))
         converged = (err <= tol) & ~jnp.isnan(err)
         return SolveResult(x=x, iterations=it, residual=err,
                            converged=converged)

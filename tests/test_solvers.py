@@ -151,3 +151,29 @@ def test_mesh_validation_errors():
     import jax
     with pytest.raises(ValueError):
         make_mesh(jax.device_count() + 1)
+
+
+def test_stall_guard_stops_limit_cycle():
+    # T(x) = 1 - x limit-cycles between 0 and 1: the residual never
+    # improves, and without the plateau guard the loop would spin for the
+    # full max_iter (the round-1 TPU watchdog failure class).
+    import jax.numpy as jnp
+
+    from sdfs_via_autodiff_tpu.solvers.fixed_point import (STALL_ITERS,
+                                                           successive_approx)
+    T = lambda x: 1.0 - x
+    res = successive_approx(T, jnp.zeros((4,)), tol=1e-12,
+                            max_iter=1_000_000)
+    assert not bool(res.converged)
+    assert int(res.iterations) <= STALL_ITERS + 2
+
+
+def test_stall_guard_does_not_trip_slow_contraction():
+    # A rate-0.999 contraction (beta-like) improves ~1e-3 per iteration —
+    # far above STALL_RTOL — and must run to convergence.
+    import jax.numpy as jnp
+
+    from sdfs_via_autodiff_tpu.solvers.fixed_point import successive_approx
+    T = lambda x: 0.999 * x
+    res = successive_approx(T, jnp.ones((4,)), tol=1e-8, max_iter=100_000)
+    assert bool(res.converged)
