@@ -87,22 +87,40 @@ def wc_ratio_discrete(model,
     Parity: reference ``test_compute_wc_ratio_ssy`` / ``..._gcy``
     (``ssy_wc_ratio.py:216-240``, ``gcy_wc_ratio.py:319-340``).
 
-    ``kernel="tiled"`` (SSY, float32, log space) runs the operator through
-    the strip-streamed Pallas kernels — the large-grid fast tier (no VMEM
-    size cap; see ``kernels/tiled_two_phase.py``).  Keep h-axes at <=32
-    points in f32 (docs/status.md #1).
+    ``kernel="tiled"`` (float32, log space) runs the operator through the
+    strip-streamed Pallas kernels — the large-grid fast tier (no VMEM
+    size cap; see ``kernels/tiled_two_phase.py``).  SSY uses the native
+    4-D two-phase grouping (``baseline="loglinear"`` supported); GCY
+    folds its six axes into the same structure by Kronecker grouping
+    (plain operator only — per-axis-LSE mode is range-safe).  Keep
+    h-axes at <=32 points in f32 (docs/status.md #1).
     """
     space = space or _auto_space()
     if kernel not in ("xla", "tiled"):
         raise ValueError(f"unknown kernel {kernel!r}")
     if kernel == "tiled":
-        if not isinstance(model, SSY):
-            raise NotImplementedError("tiled kernels cover the SSY model")
         if space != "log":
             raise ValueError("tiled kernels iterate in log space")
-        from .kernels.tiled_two_phase import make_tiled_T_log_ssy
-        disc = discretize_ssy(model, tuple(shapes))
-        T = make_tiled_T_log_ssy(model, disc, baseline=baseline)
+        if isinstance(model, SSY):
+            from .kernels.tiled_two_phase import make_tiled_T_log_ssy
+            disc = discretize_ssy(model, tuple(shapes))
+            T = make_tiled_T_log_ssy(model, disc, baseline=baseline)
+        elif isinstance(model, GCY):
+            if baseline is not None:
+                raise ValueError("the GCY Kronecker-grouped tiled kernel "
+                                 "covers the plain operator; its LSE mode "
+                                 "is range-safe without a baseline")
+            from .kernels.tiled_two_phase import make_tiled_T_log_gcy
+            from .operators.discrete_gcy import gcy_loglinear_parts
+            disc = discretize_gcy(model, tuple(shapes))
+            T = make_tiled_T_log_gcy(model, disc)
+            if w_init is None:
+                # Log-linear warm start (reference test_newton.md:60-66
+                # practice): beta = 0.9987 makes cold starts crawl.
+                w_init = jnp.exp(jnp.asarray(
+                    gcy_loglinear_parts(model, disc)["ell0"], jnp.float32))
+        else:
+            raise TypeError(f"unsupported model {type(model).__name__}")
         w0 = (jnp.full(tuple(shapes), DEFAULT_INIT_W, jnp.float32)
               if w_init is None else jnp.asarray(w_init, jnp.float32))
         sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)

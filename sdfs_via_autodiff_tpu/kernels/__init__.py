@@ -20,10 +20,11 @@ from .anderson_kernel import (make_fused_anderson_from_operands,
                               make_fused_anderson_ssy_continuous)
 __all__ += ["make_fused_anderson_from_operands", "make_fused_anderson_ssy",
             "make_fused_anderson_ssy_continuous"]
-from .tiled_two_phase import (make_tiled_T_log, make_tiled_T_log_ssy,
+from .tiled_two_phase import (make_tiled_T_log, make_tiled_T_log_gcy,
+                              make_tiled_T_log_ssy,
                               make_tiled_T_log_ssy_continuous)
 __all__ += ["make_tiled_T_log", "make_tiled_T_log_ssy",
-            "make_tiled_T_log_ssy_continuous"]
+            "make_tiled_T_log_ssy_continuous", "make_tiled_T_log_gcy"]
 from .fused_discrete import (kron_operands_gcy_continuous,
                              make_fused_T_log_gcy_continuous)
 from .solver_kernel import make_fused_solver_gcy_continuous

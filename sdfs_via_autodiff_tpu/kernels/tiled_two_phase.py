@@ -52,7 +52,7 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 __all__ = ["make_tiled_T_log", "make_tiled_T_log_ssy",
-           "make_tiled_T_log_ssy_continuous"]
+           "make_tiled_T_log_ssy_continuous", "make_tiled_T_log_gcy"]
 
 # Per-buffer padded-footprint target; Pallas double-buffers input and
 # output strips, so the working set is ~4x this plus operands.
@@ -421,8 +421,9 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     def _jvp(primals, tangents):
         (ell,), (dell,) = primals, tangents
         # Tangent through the XLA twin: identical math, transposable, and
-        # its primal intermediates become linearization residuals.
-        dout = jax.jvp(xla_twin, (ell,), (dell.astype(dtype),))[1]
+        # its primal intermediates become linearization residuals.  (The
+        # twin casts internally; primal/tangent dtypes must match here.)
+        dout = jax.jvp(xla_twin, (ell,), (dell,))[1]
         return _primal(ell), dout
 
     T.xla_twin = xla_twin
@@ -461,3 +462,57 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
         two_phase_operands_ssy_continuous(model, grids, degree, baseline),
         dtype=dtype, mode=mode, precision=precision,
         transcendentals=transcendentals, interpret=interpret)
+
+
+def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
+                         mode: str = "auto", precision: str = "highest",
+                         transcendentals: str = "accurate",
+                         interpret: bool = False) -> Callable:
+    """Tiled two-pass log-space T for the *discrete six-state GCY*
+    operator (reference ``gcy_wc_ratio.py:134-238``) via Kronecker
+    grouping (see ``two_phase.two_phase_operands_gcy``): rows
+    (z (x) z_pi, h_z (x) h_zpi), columns (h_c, h_lam).
+
+    The returned T maps the natural 6-D field ``ell[z, z_pi, h_z, h_c,
+    h_zpi, h_lam]`` -> log T(w); internally it iterates on the permuted
+    (a, b, c, e, d, l) view (one XLA transpose in, one out — fused into
+    the neighbouring elementwise work).  ``T.view_T`` exposes the
+    transpose-free operator on the view layout together with
+    ``T.to_view`` / ``T.from_view`` for solvers that iterate at scale.
+
+    GCY's theta = -36 gives the plain operator a wide dynamic range, so
+    "auto" mode resolves to the per-axis-LSE kernel (range-safe at any
+    grid span); the baseline-normalized GCY variant does not fold into
+    shared-matrix Kronecker form and stays on the XLA chain.
+    """
+    from ..operators.two_phase import two_phase_operands_gcy
+    ops = two_phase_operands_gcy(model, disc)
+    if mode == "auto":
+        mode = "lse"
+    view_T = make_tiled_T_log(ops, dtype=dtype, mode=mode,
+                              precision=precision,
+                              transcendentals=transcendentals,
+                              interpret=interpret)
+    perm, inv_perm = ops.perm, ops.inv_perm
+    state_shapes = ops.state_shapes
+    view_shapes = tuple(state_shapes[p] for p in perm)
+
+    def to_view(ell):
+        return jnp.transpose(ell, perm)
+
+    def from_view(ell_v):
+        return jnp.transpose(ell_v, inv_perm)
+
+    def T(ell):
+        return from_view(view_T(to_view(ell).reshape(ops.shapes))
+                         .reshape(view_shapes))
+
+    T.view_T = view_T
+    T.to_view = to_view
+    T.from_view = from_view
+    T.xla_twin = lambda ell: from_view(
+        view_T.xla_twin(to_view(ell).reshape(ops.shapes))
+        .reshape(view_shapes))
+    T.strip_sizes = view_T.strip_sizes
+    T.mode = view_T.mode
+    return T

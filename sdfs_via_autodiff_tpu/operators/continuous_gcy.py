@@ -208,10 +208,18 @@ def T_gcy_continuous_factory(model: GCY,
                              batch_size: Optional[int] = None,
                              baseline: Optional[str] = None,
                              dtype=None,
+                             engine: str = "auto",
                              jit: bool = True) -> Callable:
     """Build the continuous-state GCY operator T (see the SSY twin for the
     method/interp/space semantics; baseline='loglinear' is effectively
-    required for float32 — theta*(log-w range) ~ 200 on these grids)."""
+    required for float32 — theta*(log-w range) ~ 200 on these grids).
+
+    post/loglin in log space dispatch to the node-chain reformulation
+    (per-node basis matmuls, :mod:`.post_interp`) unless
+    ``engine="gather"`` forces the pointwise corner-gather path.  At six
+    states a d-degree tensor quadrature has d^6 joint nodes, so Monte
+    Carlo draws are the practical expectation for these semantics.
+    """
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
     if space == "log" and baseline is None:
@@ -226,8 +234,27 @@ def T_gcy_continuous_factory(model: GCY,
                          and space == "log"):
         raise ValueError("baseline normalization requires quadrature + "
                          "interp='pre' + space='log'")
+    if engine not in ("auto", "node_chain", "gather"):
+        raise ValueError(f"unknown engine {engine!r}")
     if method == "quadrature" and interp == "pre":
         T = _factored_T(model, grids, quad_degree, space, dtype, baseline)
+    elif (interp in ("post", "loglin") and space == "log"
+          and engine in ("auto", "node_chain")
+          and method in ("quadrature", "monte_carlo")):
+        import numpy as np
+
+        from .post_interp import gcy_quadrature_nodes, make_node_chain_T_gcy
+        if method == "quadrature":
+            nodes, logw = gcy_quadrature_nodes(quad_degree)
+        else:
+            key = jax.random.PRNGKey(seed)
+            nodes = np.asarray(
+                jax.random.normal(key, (6, mc_draw_size),
+                                  dtype=jnp.result_type(grids[0])),
+                np.float64)
+            logw = np.full(mc_draw_size, -np.log(float(mc_draw_size)))
+        T = make_node_chain_T_gcy(model, grids, nodes, logw, interp=interp,
+                                  dtype=dtype)
     elif method in ("quadrature", "monte_carlo"):
         if method == "quadrature":
             nodes, weights = tensor_quadrature_normal([quad_degree] * 6)

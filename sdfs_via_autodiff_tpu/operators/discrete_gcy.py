@@ -33,7 +33,7 @@ from ..ops.rouwenhorst import rouwenhorst, rouwenhorst_P, rouwenhorst_ladder
 from ..ops.tauchen import tauchen, tauchen_P, tauchen_ladder
 
 __all__ = ["GCYDiscretization", "discretize_gcy", "T_gcy_factory",
-           "dense_H_gcy"]
+           "dense_H_gcy", "gcy_loglinear_parts"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,25 +225,14 @@ def dense_H_gcy(model: GCY, disc: GCYDiscretization) -> jnp.ndarray:
     return H12.reshape(n, n)
 
 
-def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
-                      jit: bool = True):
-    """Log-space GCY operator with the log-linear baseline folded in.
-
-    Six-state analogue of the SSY normalization (see
-    ``discrete_ssy._T_ssy_normalized``): the separable log-linear
-    approximation ell0 distributes into the per-axis transition factors
-    with exact telescoping across the coupled terms (z_pi couples
-    (h_zpi, z_pi); z couples (z_pi, h_z, h_zpi, z), so those components
-    ride the contractions as conditioning batch axes).  Assembled in host
-    float64; keeps every device intermediate at O(exp(theta*(ell-ell0))).
-    """
+def gcy_loglinear_parts(model: GCY, disc: GCYDiscretization) -> dict:
+    """Separable components of the GCY log-linear closed form evaluated on
+    the discretized grid (host float64); ``ell0`` is the full 6-D field —
+    the standard warm start (reference ``test_newton.md:60-66`` practice)
+    and the normalized operator's baseline."""
     from ..models.gcy import gcy_loglinear_factory
-    from ..ops.contract import lse_matmul
 
-    theta, beta, gamma = model.theta, model.beta, model.gamma
-    work_dtype = dtype or jnp.float32
     m = model
-
     co = gcy_loglinear_factory(model).coefficients
     h_lam = np.asarray(disc.h_lam_states, np.float64)
     h_c = np.asarray(disc.h_c_states, np.float64)
@@ -268,6 +257,39 @@ def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
             + phi_d[None, None, None, :, None, None]
             + phi_e[None, None, None, None, :, None]
             + phi_l[None, None, None, None, None, :])
+    return dict(co=co, h_lam=h_lam, h_c=h_c, h_z=h_z, h_zpi=h_zpi,
+                phi_l=phi_l, phi_d=phi_d, phi_c_=phi_c_, phi_e=phi_e,
+                psi_pi=psi_pi, psi_z=psi_z, ell0=ell0)
+
+
+def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
+                      jit: bool = True):
+    """Log-space GCY operator with the log-linear baseline folded in.
+
+    Six-state analogue of the SSY normalization (see
+    ``discrete_ssy._T_ssy_normalized``): the separable log-linear
+    approximation ell0 distributes into the per-axis transition factors
+    with exact telescoping across the coupled terms (z_pi couples
+    (h_zpi, z_pi); z couples (z_pi, h_z, h_zpi, z), so those components
+    ride the contractions as conditioning batch axes).  Assembled in host
+    float64; keeps every device intermediate at O(exp(theta*(ell-ell0))).
+    """
+    from ..models.gcy import gcy_loglinear_factory
+    from ..ops.contract import lse_matmul
+
+    theta, beta, gamma = model.theta, model.beta, model.gamma
+    work_dtype = dtype or jnp.float32
+    m = model
+
+    parts = gcy_loglinear_parts(model, disc)
+    co = parts["co"]
+    h_lam, h_c, h_z, h_zpi = (parts["h_lam"], parts["h_c"], parts["h_z"],
+                              parts["h_zpi"])
+    phi_l, phi_d, phi_c_, phi_e = (parts["phi_l"], parts["phi_d"],
+                                   parts["phi_c_"], parts["phi_e"])
+    psi_pi, psi_z, ell0 = parts["psi_pi"], parts["psi_z"], parts["ell0"]
+    zpi = np.asarray(disc.z_pi_states, np.float64)      # (e, b)
+    zst = np.asarray(disc.z_states, np.float64)         # (b, c, e, a)
 
     with np.errstate(divide="ignore"):
         logQ = lambda P: np.log(np.asarray(P, np.float64))

@@ -39,7 +39,8 @@ import numpy as np
 
 from .continuous_common import hat_basis
 
-__all__ = ["node_basis_ssy", "make_node_chain_T_ssy", "ssy_quadrature_nodes"]
+__all__ = ["node_basis_ssy", "make_node_chain_T_ssy", "ssy_quadrature_nodes",
+           "node_basis_gcy", "make_node_chain_T_gcy", "gcy_quadrature_nodes"]
 
 
 def ssy_quadrature_nodes(quad_degree: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -198,6 +199,143 @@ def make_node_chain_T_ssy(model, grids: Sequence, nodes: np.ndarray,
         (m, acc), _ = jax.lax.scan(step, (m0, acc0),
                                    (B1, B2, B3, B4, pay, logw_d))
         log_kg = m + accurate_log(acc) + log_kappa[None, :, None, :]
+        return accurate_log1p(beta * accurate_exp(log_kg / theta_c))
+
+    return T
+
+
+def gcy_quadrature_nodes(quad_degree: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint tensor-product Gauss-Hermite nodes (6, d^6) and log-weights
+    in the (h_lam, h_c, h_z, h_zpi, z, z_pi) shock order.  Note d^6 nodes
+    make quadrature node-chains O(d^6 * N) — Monte Carlo (a few thousand
+    joint draws) is usually the cheaper expectation at 6 states."""
+    from ..ops.quadrature import tensor_quadrature_normal
+    nodes, weights = tensor_quadrature_normal([quad_degree] * 6)
+    return np.asarray(nodes, np.float64), np.log(np.asarray(weights,
+                                                            np.float64))
+
+
+def node_basis_gcy(model, grids: Sequence, nodes: np.ndarray) -> dict:
+    """Per-node hat-basis matrices for the GCY successor maps.
+
+    ``nodes`` is (6, Q) joint shocks in the continuous-layer state order
+    (h_lam, h_c, h_z, h_zpi, z, z_pi).  Returns float64 host arrays:
+    own-axis ``B_lam``/``B_c``/``B_hz``/``B_hzpi`` (Q, n, n), the
+    conditioned ``B_zpi`` (Q, n_y, n_b, n_b) (sigma_zpi depends on the
+    current h_zpi index y) and ``B_z`` (Q, n_i, n_j, n_b, n_j) (mean
+    depends on current z_pi = b, spread on current h_z = i), and ``pay``
+    (Q, n_l) = theta * h_lam'.  Dynamics parity: reference
+    ``gcy_wc_ratio_continuous.py:77-115``.
+    """
+    m = model
+    hb = lambda g, pts: np.asarray(
+        hat_basis(jnp.asarray(g, jnp.float64), jnp.asarray(pts, jnp.float64)),
+        np.float64)
+    h_lam, h_c, h_z, h_zpi, z, z_pi = (np.asarray(g, np.float64)
+                                       for g in grids)
+    eta = np.asarray(nodes, np.float64)            # (6, Q)
+    nl1 = m.rho_lam * h_lam[None, :] + m.s_lam * eta[0][:, None]
+    B_lam = hb(h_lam, nl1)
+    B_c = hb(h_c, m.rho_c * h_c[None, :] + m.s_c * eta[1][:, None])
+    B_hz = hb(h_z, m.rho_z * h_z[None, :] + m.s_z * eta[2][:, None])
+    B_hzpi = hb(h_zpi, m.rho_zpi * h_zpi[None, :] + m.s_zpi * eta[3][:, None])
+    sigma_z = m.phi_z * np.exp(h_z)                # (n_i,)
+    sigma_zpi = m.phi_zpi * np.exp(h_zpi)          # (n_y,)
+    zpin = (m.rho_pipi * z_pi[None, None, :]
+            + sigma_zpi[None, :, None] * eta[5][:, None, None])  # (Q, y, b)
+    B_zpi = hb(z_pi, zpin)
+    zn = (m.rho * z[None, None, :, None] + m.rho_pi * z_pi[None, None, None, :]
+          + sigma_z[None, :, None, None] * eta[4][:, None, None, None])
+    B_z = hb(z, zn)                                # (Q, i, j, b, n_j)
+    pay = m.theta * nl1
+    return dict(B_lam=B_lam, B_c=B_c, B_hz=B_hz, B_hzpi=B_hzpi,
+                B_zpi=B_zpi, B_z=B_z, pay=pay)
+
+
+def make_node_chain_T_gcy(model, grids: Sequence, nodes: np.ndarray,
+                          log_weights: np.ndarray, interp: str = "post",
+                          dtype=None, chunk: Optional[int] = None,
+                          precision=None) -> Callable:
+    """Log-space post/loglin-interpolation GCY operator as a node chain
+    (six-state analogue of :func:`make_node_chain_T_ssy`; field order
+    (l, k, i, y, j, b) = (h_lam, h_c, h_z, h_zpi, z, z_pi)).
+
+    Cost scales with the node count: Monte Carlo draws (reference default
+    2000, ``gcy_wc_ratio_continuous.py``) are the practical expectation
+    at 6 states — a d-degree tensor quadrature has d^6 joint nodes.
+    """
+    if interp not in ("post", "loglin"):
+        raise ValueError(f"unknown interp {interp!r}")
+    dtype = dtype or jnp.float64
+    theta, beta = model.theta, model.beta
+    shapes = tuple(len(g) for g in grids)
+    basis = node_basis_gcy(model, grids, nodes)
+    logw = np.asarray(log_weights, np.float64)
+    Q = logw.shape[0]
+    if chunk is None:
+        chunk = min(Q, 16)
+    arrs = [basis["B_lam"], basis["B_c"], basis["B_hz"], basis["B_hzpi"],
+            basis["B_zpi"], basis["B_z"], basis["pay"]]
+    arrs, logw = _pad_chunk(arrs, logw, chunk)
+    n_chunks = logw.shape[0] // chunk
+    stack = lambda a: jnp.asarray(
+        a.reshape((n_chunks, chunk) + a.shape[1:]), dtype)
+    B1, B2, B3, B4, B5, B6, pay = map(stack, arrs)
+    logw_d = jnp.asarray(logw.reshape(n_chunks, chunk), dtype)
+    from .continuous_gcy import _log_kappa_gcy
+    log_kappa = jnp.asarray(np.asarray(_log_kappa_gcy(
+        model, np.asarray(grids[1], np.float64)[:, None],
+        np.asarray(grids[4], np.float64)[None, :])), dtype)  # (k, j)
+    theta_c = jnp.asarray(theta, dtype)
+    if precision is None:
+        precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+    ein = lambda sub, a, b: jnp.einsum(sub, a, b, precision=precision)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    from ..ops.accurate import accurate_exp, accurate_log, accurate_log1p
+
+    def chain(field, xs):
+        b1, b2, b3, b4, b5, b6 = xs[:6]
+        u = ein("slL,LKIYJB->slKIYJB", b1, field)
+        u = ein("skK,slKIYJB->slkIYJB", b2, u)
+        u = ein("siI,slkIYJB->slkiYJB", b3, u)
+        u = ein("syY,slkiYJB->slkiyJB", b4, u)
+        u = ein("sybB,slkiyJB->slkiyJb", b5, u)   # next-z_pi (current y)
+        return ein("sijbJ,slkiyJb->slkiyjb", b6, u)  # next-z (current i, b)
+
+    def T(ell):
+        ell = ell.astype(dtype)
+        if interp == "post":
+            # Shift gradients cancel exactly; see make_node_chain_T_ssy.
+            c = jax.lax.stop_gradient(jnp.max(ell))
+            field = accurate_exp(ell - c)
+        else:
+            c = jnp.asarray(0.0, dtype)
+            field = ell
+
+        def step(carry, xs):
+            m, acc = carry
+            u = chain(field, xs)
+            paych, logwch = xs[6], xs[7]
+            if interp == "post":
+                a = theta_c * (accurate_log(u) + c)
+            else:
+                a = theta_c * u
+            a = (a + paych[:, :, None, None, None, None, None]
+                 + logwch[:, None, None, None, None, None, None])
+            m_s = jax.lax.stop_gradient(jnp.max(a, axis=0))
+            m_new = jnp.maximum(m, m_s)
+            scale = jnp.where(m == neg_inf, 0.0, accurate_exp(m - m_new))
+            acc = acc * scale + jnp.sum(accurate_exp(a - m_new[None]),
+                                        axis=0)
+            return (m_new, acc), None
+
+        m0 = jnp.full(shapes, neg_inf, dtype)
+        acc0 = jnp.zeros(shapes, dtype)
+        (m, acc), _ = jax.lax.scan(
+            step, (m0, acc0), (B1, B2, B3, B4, B5, B6, pay, logw_d))
+        log_kg = (m + accurate_log(acc)
+                  + log_kappa[None, :, None, None, :, None])
         return accurate_log1p(beta * accurate_exp(log_kg / theta_c))
 
     return T

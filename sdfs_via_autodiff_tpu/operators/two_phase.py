@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["TwoPhaseOperands", "two_phase_operands_ssy",
-           "two_phase_operands_ssy_continuous", "make_xla_two_phase_T"]
+           "two_phase_operands_ssy_continuous", "two_phase_operands_gcy",
+           "make_xla_two_phase_T"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,6 +162,89 @@ def two_phase_operands_ssy_continuous(model, grids, degree: int = 5,
         W_c2=np.asarray(arrs["P_z"], np.float64),     # (i, j, j') batched
         add_row=add_row, add_col=add_col, theta=theta, beta=beta,
         sub_row=sub_row, sub_col=sub_col, baseline_log_w=ell0)
+
+
+def two_phase_operands_gcy(model, disc) -> TwoPhaseOperands:
+    """Two-phase operands for the *discrete six-state GCY* operator via
+    Kronecker grouping.
+
+    The discrete GCY transitions all use shared per-axis matrices (the
+    conditioning of the z_pi and z chains lives entirely in the state
+    ladders, ``discrete_gcy.discretize_gcy``), so the six-axis chain
+    folds exactly into a 4-D two-phase operand set:
+
+        rows:    r1 = h_c               W_r1 = Qc
+                 r2 = h_lam             W_r2 = B_lam (payoff folded)
+        columns: c1 = (z (x) z_pi)      W_c1 = zP (x) zpiP
+                 c2 = (h_z (x) h_zpi)   W_c2 = Qhz (x) Qhzpi
+
+    and the epilogue splits row/column with this grouping: log_A3
+    depends on (z, z_pi, h_z, h_zpi) — a general (c1, c2) matrix — and
+    log_A2 on h_c only.  The Kronecker products trade ~7x more
+    multiplies for large MXU-friendly shapes ((n_z n_zpi)^2 instead of
+    skinny per-axis factors); the HBM traffic (the bound at scale) is
+    the same two passes per phase.  Putting the Kronecker groups on the
+    *column* side keeps the minor block dimension large (n_hz*n_hzpi
+    lanes) — the small (h_c, h_lam) group as lanes would pad 16 -> 128
+    and waste ~8x of every column-phase block.
+
+    The field view is ``ell[d, l, a, b, c, e]`` (h_c, h_lam leading);
+    ``ops.perm`` / ``ops.inv_perm`` carry the transposition from the
+    natural ``(z, z_pi, h_z, h_c, h_zpi, h_lam)`` layout.
+
+    The baseline-normalized GCY variant does NOT fold this way (its
+    per-axis factors gain cross-group conditioning) and stays on the XLA
+    chain; the tiled kernel's per-axis LSE mode ("lse") is range-safe
+    for the plain operator at any grid span.
+    """
+    from .discrete_gcy import _gcy_factors
+
+    n_a, n_b, n_c, n_d, n_e, n_l = disc.shapes
+    B_lam, A2, A3 = _gcy_factors(model, disc)
+    kron = lambda X, Y: np.einsum(
+        "aA,bB->abAB", np.asarray(X, np.float64),
+        np.asarray(Y, np.float64)).reshape(X.shape[0] * Y.shape[0],
+                                           X.shape[1] * Y.shape[1])
+    W_c1 = kron(disc.z_P, disc.z_pi_P)
+    W_c2 = kron(disc.h_z_Q, disc.h_zpi_Q)
+    # log_A2 over d -> rows; log_A3 over current (a, b, c, e) -> columns.
+    add_row = np.broadcast_to(
+        np.log(np.asarray(A2, np.float64))[:, None], (n_d, n_l)).copy()
+    add_col = np.log(np.asarray(A3, np.float64)).reshape(n_a * n_b,
+                                                         n_c * n_e)
+    # f32 range guard: the column phase shifts over the joint (z, z_pi)
+    # and (h_z, h_zpi) groups; if theta * (log-linear ell span within a
+    # column group) exceeds exp's f32 range, entire kron rows underflow
+    # to exact zero -> -inf/NaN (docs/status.md #1 — GCY's theta = -36
+    # hits this at ~2M+ point Rouwenhorst grids; the interaction
+    # sigma_z(h_z) x z-ladder is non-separable, so no baseline fold can
+    # remove it).  Wider grids are the f64 (XLA/CPU) tier.
+    import warnings
+
+    from .discrete_gcy import gcy_loglinear_parts
+    ell0 = gcy_loglinear_parts(model, disc)["ell0"]
+    span = float((ell0.max(axis=(0, 1, 2, 4))
+                  - ell0.min(axis=(0, 1, 2, 4))).max())
+    if abs(model.theta) * span > 85.0:
+        warnings.warn(
+            f"theta * (within-column-group log-w span) ~ "
+            f"{abs(model.theta) * span:.0f} exceeds float32's exp range "
+            "(~85): the f32 tiled GCY operator will produce -inf/NaN on "
+            "this grid. Shrink the z / h_z axes (Rouwenhorst spans grow "
+            "like sqrt(n)) or use the float64 XLA chain.", stacklevel=2)
+
+    ops = TwoPhaseOperands(
+        shapes=(n_d, n_l, n_a * n_b, n_c * n_e),
+        W_r1=np.asarray(disc.h_c_Q, np.float64),
+        W_r2=np.asarray(B_lam, np.float64),
+        W_c1=W_c1, W_c2=W_c2,
+        add_row=add_row, add_col=add_col,
+        theta=model.theta, beta=model.beta)
+    # Natural layout (a, b, c, d, e, l) -> view layout (d, l, a, b, c, e).
+    object.__setattr__(ops, "perm", (3, 5, 0, 1, 2, 4))
+    object.__setattr__(ops, "inv_perm", (2, 3, 4, 0, 5, 1))
+    object.__setattr__(ops, "state_shapes", tuple(disc.shapes))
+    return ops
 
 
 def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32

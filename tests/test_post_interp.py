@@ -150,3 +150,70 @@ def test_kernel_autodiff_interpret(setup, rng):
     g64 = jax.grad(lambda e: jnp.sum(T64(e)))(ell)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(g64), atol=2e-5,
                                rtol=0)
+
+
+class TestGCYNodeChain:
+    SIZES = (3, 4, 3, 3, 4, 3)
+
+    @pytest.fixture(scope="class")
+    def gcy_setup(self):
+        from sdfs_via_autodiff_tpu import GCY
+        from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+        model = GCY()
+        return model, build_grid_gcy(model, *self.SIZES)
+
+    def _gather(self, model, grids, shocks, weights, interp):
+        from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+            _log_kappa_gcy, next_state_gcy)
+        return make_gather_T(
+            lambda x, s: next_state_gcy(model, x, s),
+            lambda x: _log_kappa_gcy(model, x[1], x[4]),
+            grids, jnp.asarray(shocks),
+            None if weights is None else jnp.asarray(weights),
+            interp, "log", None, model.beta, model.theta)
+
+    @pytest.mark.parametrize("interp", ["post", "loglin"])
+    def test_quadrature_matches_gather(self, gcy_setup, rng, interp):
+        from sdfs_via_autodiff_tpu.operators.post_interp import (
+            make_node_chain_T_gcy)
+        model, grids = gcy_setup
+        nodes, weights = tensor_quadrature_normal([3] * 6)
+        T_nc = make_node_chain_T_gcy(model, grids, nodes, np.log(weights),
+                                     interp=interp, chunk=81)
+        T_g = self._gather(model, grids, nodes, weights, interp)
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.1 * rng.standard_normal(self.SIZES))
+        np.testing.assert_allclose(np.asarray(T_nc(ell)),
+                                   np.asarray(T_g(ell)), atol=1e-11, rtol=0)
+
+    def test_mc_matches_gather_and_jvp(self, gcy_setup, rng):
+        from sdfs_via_autodiff_tpu.operators.post_interp import (
+            make_node_chain_T_gcy)
+        model, grids = gcy_setup
+        draws = rng.standard_normal((6, 60))
+        logw = np.full(60, -np.log(60.0))
+        T_nc = make_node_chain_T_gcy(model, grids, draws, logw,
+                                     interp="post", chunk=16)
+        T_g = self._gather(model, grids, draws, None, "post")
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.1 * rng.standard_normal(self.SIZES))
+        np.testing.assert_allclose(np.asarray(T_nc(ell)),
+                                   np.asarray(T_g(ell)), atol=1e-11, rtol=0)
+        v = jnp.asarray(rng.standard_normal(self.SIZES))
+        _, d = jax.jvp(T_nc, (ell,), (v,))
+        assert bool(jnp.all(jnp.isfinite(d)))
+
+    def test_factory_dispatch(self, gcy_setup, rng):
+        from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+            T_gcy_continuous_factory)
+        model, grids = gcy_setup
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.1 * rng.standard_normal(self.SIZES))
+        kw = dict(method="monte_carlo", interp="post", space="log",
+                  mc_draw_size=40, seed=3)
+        T_auto = T_gcy_continuous_factory(model, grids, **kw)
+        T_gather = T_gcy_continuous_factory(model, grids, engine="gather",
+                                            **kw)
+        np.testing.assert_allclose(np.asarray(T_auto(ell)),
+                                   np.asarray(T_gather(ell)), atol=1e-8,
+                                   rtol=0)

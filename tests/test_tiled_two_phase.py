@@ -168,3 +168,76 @@ class TestStripSelection:
         ops = two_phase_operands_ssy(model, disc)
         with pytest.raises(ValueError):
             make_tiled_T_log(ops, dtype=jnp.float64)
+
+
+class TestGCYKron:
+    """Six-state GCY folded into the 4-D two-phase structure by
+    Kronecker grouping (rows z (x) z_pi / h_z (x) h_zpi, columns h_c /
+    h_lam)."""
+
+    SHAPES = (4, 3, 3, 4, 3, 5)
+
+    @pytest.fixture(scope="class")
+    def gcy_setup(self):
+        from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+        model = GCY()
+        disc = discretize_gcy(model, self.SHAPES)
+        return model, disc
+
+    def test_kron_twin_matches_chain(self, gcy_setup, rng):
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import T_gcy_factory
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            make_xla_two_phase_T, two_phase_operands_gcy)
+        model, disc = gcy_setup
+        ops = two_phase_operands_gcy(model, disc)
+        T_twin = make_xla_two_phase_T(ops, jnp.float64)
+        T_ref = T_gcy_factory(model, disc, space="log", jit=False)
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.1 * rng.standard_normal(self.SHAPES))
+        view_shapes = tuple(self.SHAPES[p] for p in ops.perm)
+        got = jnp.transpose(
+            T_twin(jnp.transpose(ell, ops.perm).reshape(ops.shapes))
+            .reshape(view_shapes), ops.inv_perm)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(T_ref(ell)),
+                                   atol=1e-11, rtol=0)
+
+    def test_tiled_kernel_matches_chain(self, gcy_setup, rng):
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy)
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import T_gcy_factory
+        model, disc = gcy_setup
+        Tk = make_tiled_T_log_gcy(model, disc, interpret=True)
+        assert Tk.mode == "lse"     # theta=-36 range needs per-axis LSE
+        T_ref = T_gcy_factory(model, disc, space="log", jit=False)
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.1 * rng.standard_normal(self.SHAPES))
+        np.testing.assert_allclose(np.asarray(Tk(ell)),
+                                   np.asarray(T_ref(ell)), atol=1e-5,
+                                   rtol=0)
+
+    def test_tiled_kernel_autodiff(self, gcy_setup, rng):
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy)
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import T_gcy_factory
+        model, disc = gcy_setup
+        Tk = make_tiled_T_log_gcy(model, disc, interpret=True)
+        T_ref = T_gcy_factory(model, disc, space="log", jit=False)
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.1 * rng.standard_normal(self.SHAPES))
+        v = jnp.asarray(rng.standard_normal(self.SHAPES))
+        _, d = jax.jvp(Tk, (ell,), (v,))
+        _, dref = jax.jvp(T_ref, (ell,), (v,))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(dref),
+                                   atol=2e-4, rtol=0)
+
+    def test_driver_solve_interpret(self, gcy_setup):
+        # End-to-end Newton through the kernel in interpret mode via the
+        # solver API (the driver's kernel="tiled" path on TPU).
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy)
+        from sdfs_via_autodiff_tpu.solvers.api import solve
+        model, disc = gcy_setup
+        Tk = make_tiled_T_log_gcy(model, disc, interpret=True)
+        ell0 = jnp.full(self.SHAPES, jnp.log(300.0), jnp.float32)
+        res = solve(Tk, ell0, method="newton", tol=5e-5, max_iter=20)
+        assert bool(res.converged)
