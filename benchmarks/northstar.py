@@ -42,8 +42,10 @@ from sdfs_via_autodiff_tpu.ops.grids import flatten_mesh
 # spends its points on the z axis instead.
 SHAPES_CONT = (56, 56, 56, 64)     # 11_239_424 points; C = 56*64 = 28*128
 SHAPES_DISC = (32, 32, 32, 384)    # 12_582_912 points; C = 32*384 = 96*128
-TOL_CONT = 2e-4     # just above the continuous f32 floor at this size
-TOL_DISC = 2e-3     # the discrete wide-ladder f32 floor
+TOL_CONT = 2e-5     # near the accurate-transcendentals f32 floor (round 2:
+                    # was 2e-4 before ops/accurate.py; the solver stall
+                    # guard makes an unreachable tol safe regardless)
+TOL_DISC = 2e-5     # in-envelope (Tauchen) f32 floor
 
 
 def loglinear_warm_start(model, grids):
@@ -133,14 +135,29 @@ def main(which=("continuous", "discrete")):
         print(json.dumps(entry))
 
     if "discrete" in which:
-        # Discrete (Rouwenhorst tensor grid): per-axis LSE tier (the fast
-        # single-shift mode is range-unsafe on wide ladders).
+        # Discrete tensor grid at 10^7 points via TAUCHEN discretization:
+        # its grid spans a fixed ±3 unconditional std at ANY point count,
+        # so the fine-grid f32 envelope matches the continuous case.
+        # (Rouwenhorst ladders widen like ±sqrt(n-1) sigma: at 384 z
+        # points the span is ±19.6 sigma and theta*(in-group log-w span)
+        # blows past exp's f32 range — measured: even the baseline-
+        # normalized operator leaves the envelope after one iteration,
+        # because the log-linear baseline itself is ~4.4 log units off at
+        # those corners.  Wide-Rouwenhorst stays the f64/CPU tier; Tauchen
+        # is the TPU-native discretization for fine discrete grids.)
         n_points = int(np.prod(SHAPES_DISC))
-        disc = discretize_ssy(model, SHAPES_DISC)
-        Td = make_tiled_T_log_ssy(model, disc, mode="lse")
+        disc = discretize_ssy(model, SHAPES_DISC, method="tauchen")
+        Td = make_tiled_T_log_ssy(model, disc)
         Td64 = T_ssy_factory(model, disc, space="log", jit=False)
-        ell0 = jnp.full(SHAPES_DISC, float(jnp.log(800.0)), jnp.float32)
-        entry, _ = run_case("ssy_discrete_rouwenhorst", Td, Td64, ell0,
+        from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
+            _ssy_normalized_arrays)
+        arrs = _ssy_normalized_arrays(model, disc)
+        warm = jnp.asarray(
+            arrs["A0"] + arrs["phi_l"][:, None, None, None]
+            + arrs["phi_k"][None, :, None, None]
+            + arrs["phi_i"][None, None, :, None]
+            + arrs["psi_ij"][None, None, :, :], jnp.float32)
+        entry, _ = run_case("ssy_discrete_tauchen", Td, Td64, warm,
                             n_points, TOL_DISC)
         entry["shapes"] = list(SHAPES_DISC)
         out["cases"].append(entry)

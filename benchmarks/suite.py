@@ -104,6 +104,65 @@ def main(argv=None):
             dict(points=48**4,
                  M_point_updates_per_s=round(20 * 48**4 / s / 1e6)))
 
+    # 6. Post-interp fused kernel (the reference's exact semantics) at the
+    #    reference's 15^4 default: 20 applications.
+    try:
+        from sdfs_via_autodiff_tpu.kernels.post_interp_kernel import (
+            make_post_interp_kernel_T_ssy)
+        grids15 = build_grid_ssy(ssy, 15, 15, 15, 15)
+        Tp = make_post_interp_kernel_T_ssy(ssy, grids15, quad_degree=5,
+                                           interp="post")
+        xp = jnp.full((15,) * 4, jnp.log(800.0), jnp.float32)
+
+        def papps(x0):
+            return jax.lax.fori_loop(0, 20, lambda i, v: Tp(v), x0)
+
+        s, _ = timed(jax.jit(papps), xp)
+        add("ssy_post_interp_kernel_15^4_d5_20apps", s,
+            dict(points=15**4, ms_per_app=round(s / 20 * 1e3, 3)))
+    except Exception as e:
+        add("ssy_post_interp_kernel_15^4_d5_20apps", -1,
+            dict(skipped=str(e)[:120]))
+
+    # 7. GCY Kronecker-grouped tiled kernel at 25.2M points (20 apps) and
+    #    a 1.0M-point f32 Newton solve (the 6-state f32 range envelope).
+    if not args.quick:
+        try:
+            from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+                make_tiled_T_log_gcy)
+            big = (32, 16, 16, 12, 16, 16)
+            discb = discretize_gcy(gcy, big, dtype=jnp.float32)
+            Tb = make_tiled_T_log_gcy(gcy, discb)
+            n_big = 1
+            for v in big:
+                n_big *= v
+            xb = Tb.to_view(jnp.full(big, jnp.log(300.0),
+                                     jnp.float32)).reshape((12, 16, 512,
+                                                            256))
+
+            def gapps(x0):
+                return jax.lax.fori_loop(0, 20, lambda i, v: Tb.view_T(v),
+                                         x0)
+
+            s, _ = timed(jax.jit(gapps), xb)
+            add("gcy_discrete_tiled_T_25.2M_f32_20apps", s,
+                dict(points=n_big, ms_per_app=round(s / 20 * 1e3, 3),
+                     G_point_updates_per_s=round(20 * n_big / s / 1e9, 2)))
+
+            from sdfs_via_autodiff_tpu.drivers import wc_ratio_discrete
+            t0 = time.perf_counter()
+            solg = wc_ratio_discrete(gcy, (6, 6, 12, 12, 12, 16),
+                                     kernel="tiled", algorithm="newton",
+                                     tol=1e-5, space="log")
+            s = time.perf_counter() - t0
+            add("gcy_discrete_tiled_newton_1.0M_f32", s,
+                dict(points=6 * 6 * 12 * 12 * 12 * 16,
+                     iterations=int(solg.result.iterations),
+                     residual=float(solg.result.residual),
+                     converged=bool(solg.result.converged)))
+        except Exception as e:
+            add("gcy_discrete_tiled", -1, dict(skipped=str(e)[:120]))
+
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")

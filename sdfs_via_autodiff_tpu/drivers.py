@@ -395,12 +395,13 @@ def _wc_ratio_continuous_fused(model, grid_sizes, *, algorithm, tol,
     from .kernels.solver_kernel import make_fused_solver_ssy_continuous
     from .solvers.result import SolveResult
 
-    if tol < 1e-5:
+    if tol < 2e-6:
         warnings.warn(
             f"tol={tol:g} is below the fused kernels' float32 iteration "
-            "floor (~1e-4..1e-5 on the log iterate depending on grid size); "
-            "the solve will stop at max_iter with the floor residual. Use "
-            "the f64 XLA Newton path for tighter tolerances.", stacklevel=3)
+            "floor (~1e-5..2e-6 on the log iterate with the accurate "
+            "transcendentals, depending on grid size); the solve will stop "
+            "at max_iter with the floor residual. Use the f64 XLA Newton "
+            "path for tighter tolerances.", stacklevel=3)
 
     if method != "quadrature" or interp != "pre":
         raise ValueError(

@@ -77,9 +77,22 @@ def _pick_strip(n: int, unit_bytes: int, budget: int = _STRIP_BYTES,
     return best_aligned or best or 1
 
 
+def _slice_W(W, b):
+    """Slice b of a batched factor: dense (B, n, n) array, or the lazy
+    (logW0, D, t) triple with W[b] = exp(logW0 + t[b] * D) — materialized
+    on the fly so the (B, n, n) tensor never has to be VMEM-resident (the
+    unlock for wide-z normalized grids; see ``two_phase.TwoPhaseOperands``
+    lazy attributes)."""
+    if isinstance(W, tuple):
+        log0, D, t = W
+        return _exp_f32_impl(log0 + t[0, b] * D)
+    return W[b]
+
+
 def _contract_c1(e, W, batched, prec):
     """Contract the c1 (middle) axis of e (TB, n1, n2) with W (n1, n1), or
-    with W (n2, n1, n1) batched over the *next* c2 index.
+    with W batched over the *next* c2 index — dense (n2, n1, n1) or lazy
+    (see :func:`_slice_W`).
 
     The batched form unrolls into per-slice 2-D matmuls: Mosaic's 3-D
     ``tpu.matmul`` with batch dimensions miscompiles (layout check
@@ -90,7 +103,7 @@ def _contract_c1(e, W, batched, prec):
                           preferred_element_type=jnp.float32, precision=prec)
     n2 = e.shape[2]
     et = jnp.swapaxes(e, 1, 2)                       # (TB, n2, n1)
-    rows = [_dot_p(et[:, j, :], W[j].T, prec)
+    rows = [_dot_p(et[:, j, :], _slice_W(W, j).T, prec)
             for j in range(n2)]                      # each (TB, n1)
     return jnp.swapaxes(jnp.stack(rows, axis=1), 1, 2)
 
@@ -115,7 +128,7 @@ def _contract_c2(e, W, batched, prec, out_ref=None, epilogue=None):
     n1 = e.shape[1]
     rows = []
     for i in range(n1):
-        u = _dot_p(e[:, i, :], W[i].T, prec)             # (TB, n2)
+        u = _dot_p(e[:, i, :], _slice_W(W, i).T, prec)   # (TB, n2)
         if out_ref is not None:
             out_ref[:, i, :] = epilogue(u, i) if epilogue else u
         else:
@@ -131,23 +144,34 @@ def _dot_p(a, b, prec):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
+def _take_w(refs, idx, lazy):
+    """Pop a factor's refs: one dense ref, or the (logW0, D, t) triple."""
+    if lazy:
+        return (refs[idx][:], refs[idx + 1][:], refs[idx + 2][:]), idx + 3
+    return refs[idx][:], idx + 1
+
+
 def _col_phase_kernel(theta, c1_batched, c2_batched, has_sub, prec, trx,
-                      *refs):
+                      lazy, *refs):
     _exp, _log, _ = _TRX[trx]
+    lazy1, lazy2 = lazy
+    ell_ref = refs[0]
+    Wc1, idx = _take_w(refs, 1, lazy1)
+    Wc2, idx = _take_w(refs, idx, lazy2)
     if has_sub:
-        ell_ref, wc1_ref, wc2_ref, subr_ref, subc_ref, out_ref = refs
-    else:
-        ell_ref, wc1_ref, wc2_ref, out_ref = refs
+        subr_ref, subc_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    out_ref = refs[idx]
     a = theta * ell_ref[:]                     # (TB, n_c1, n_c2)
     if has_sub:
         a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
     m = jnp.max(a, axis=1, keepdims=True)
     e = _exp(a - m)
-    u = _contract_c1(e, wc1_ref[:], c1_batched, prec)
+    u = _contract_c1(e, Wc1, c1_batched, prec)
     a = m + _log(u)
     m = jnp.max(a, axis=2, keepdims=True)
     e = _exp(a - m)
-    _contract_c2(e, wc2_ref[:], c2_batched, prec, out_ref=out_ref,
+    _contract_c2(e, Wc2, c2_batched, prec, out_ref=out_ref,
                  epilogue=lambda u, i: (m if i is None else m[:, i, :])
                  + _log(u))
 
@@ -184,7 +208,7 @@ def _row_phase_kernel(theta, beta, prec, trx, mid_ref, wr1_ref, wr2_ref,
 
 
 def _col_phase_fast_kernel(theta, c1_batched, c2_batched, has_sub, prec,
-                           trx, *refs):
+                           trx, lazy, *refs):
     """Column phase, single per-row shift (``mode="fast"``).
 
     One exp per element; the two column contractions run as plain matmul
@@ -197,18 +221,22 @@ def _col_phase_fast_kernel(theta, c1_batched, c2_batched, has_sub, prec,
     plain SSY operators on standard grids (theta * range(log w) ~ 13).
     """
     _exp, _log, _ = _TRX[trx]
+    lazy1, lazy2 = lazy
+    ell_ref = refs[0]
+    Wc1, idx = _take_w(refs, 1, lazy1)
+    Wc2, idx = _take_w(refs, idx, lazy2)
     if has_sub:
-        ell_ref, wc1_ref, wc2_ref, subr_ref, subc_ref, u_ref, s_ref = refs
-    else:
-        ell_ref, wc1_ref, wc2_ref, u_ref, s_ref = refs
+        subr_ref, subc_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    u_ref, s_ref = refs[idx], refs[idx + 1]
     a = theta * ell_ref[:]                     # (TB, n_c1, n_c2)
     if has_sub:
         a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
     # Single-axis reductions keep Mosaic's layout inference happy.
     s = jnp.max(jnp.max(a, axis=2, keepdims=True), axis=1, keepdims=True)
     e = _exp(a - s)
-    u = _contract_c1(e, wc1_ref[:], c1_batched, prec)
-    _contract_c2(u, wc2_ref[:], c2_batched, prec, out_ref=u_ref)
+    u = _contract_c1(e, Wc1, c1_batched, prec)
+    _contract_c2(u, Wc2, c2_batched, prec, out_ref=u_ref)
     s_ref[:] = s[:, :, 0]                      # (TB, 1)
 
 
@@ -243,6 +271,8 @@ def _row_phase_fast_kernel(theta, beta, prec, trx, u_ref, s_ref, wr1_ref,
 def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                      mode: str = "auto", precision: str = "highest",
                      transcendentals: str = "accurate",
+                     strip_bytes: int = _STRIP_BYTES,
+                     lazy_bytes: int = 6 * 1024 * 1024,
                      interpret: bool = False) -> Callable:
     """Tiled two-pass Pallas operator from a two-phase operand set.
 
@@ -280,7 +310,13 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     R, C = n_r1 * n_r2, n_c1 * n_c2
     itemsize = np.dtype(np.float32).itemsize
 
-    # Strip sizes: divisors of R / C with padded VMEM footprints in budget.
+    # Strip sizes: divisors of R / C with padded VMEM footprints in
+    # budget.  ``strip_bytes`` tunes the target per-buffer footprint:
+    # bigger strips amortize per-grid-step overhead (fewer steps) at the
+    # cost of scoped VMEM; the default is conservative against Mosaic's
+    # 16 MB scoped-vmem limit with batched (normalized) operands, and
+    # ~2-4x larger values measurably help plain operators at 10^7-point
+    # sizes.
     # The column phase keeps several tile-sized values live (exp/log
     # temporaries, per-slice unrolled matmuls, HIGHEST-precision matmul
     # scratch) and the whole working set must fit Mosaic's 16 MB
@@ -291,18 +327,18 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     # Budget: the col kernel keeps ~6-8 tile-sized values live (exp/log
     # temporaries, HIGHEST-precision matmul scratch, double-buffered I/O)
     # against Mosaic's 16 MB scoped-vmem limit.
-    TB = _pick_strip(R, row_unit, _STRIP_BYTES // 4, mult=8)
+    TB = _pick_strip(R, row_unit, strip_bytes // 4, mult=8)
     # Mosaic requires the row-phase block's last dim be 128-divisible or
     # equal to C: lane-blocked strips when C % 128 == 0, else one whole-C
     # strip (viable only while it fits VMEM — prefer grids whose column
     # group n_c1*n_c2 is a multiple of 128 at scale).
     lane_block = n_r1 * _round_up(n_r2, 8) * 128 * itemsize  # per 128 lanes
     if C % 128 == 0:
-        TC = 128 * _pick_strip(C // 128, lane_block, _STRIP_BYTES // 2)
+        TC = 128 * _pick_strip(C // 128, lane_block, strip_bytes // 2)
     else:
         TC = C
-    if (TB * row_unit > _STRIP_BYTES * 2
-            or _round_up(TC, 128) // 128 * lane_block > _STRIP_BYTES * 2):
+    if (TB * row_unit > strip_bytes * 2
+            or _round_up(TC, 128) // 128 * lane_block > strip_bytes * 2):
         raise ValueError(
             f"state space {ops.shapes} has no strip decomposition inside "
             "the VMEM budget (column group C={C} must be 128-divisible "
@@ -319,6 +355,20 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     theta_f = float(ops.theta)
     beta_f = float(ops.beta)
 
+    # Batched column factors above this footprint switch to the lazy
+    # (logW0, D, t) form when the operand set provides one — slices are
+    # materialized in-kernel (W[b] = exp(logW0 + t[b] * D)) instead of
+    # holding the (B, n, n) tensor in VMEM.  Costs one exp per factor
+    # element per row strip; unlocks wide-z normalized grids.
+    lazy1 = bool(ops.c1_batched and getattr(ops, "lazy_c1", None) is not None
+                 and W_c1.size * itemsize > lazy_bytes)
+    lazy2 = bool(ops.c2_batched and getattr(ops, "lazy_c2", None) is not None
+                 and W_c2.size * itemsize > lazy_bytes)
+
+    def lazy_operands(triple):
+        log0, D, t = triple
+        return (cast(log0), cast(D), cast(np.asarray(t).reshape(1, -1)))
+
     has_sub = ops.has_sub
     if has_sub:
         sub_row = cast(ops.sub_row.reshape(R, 1))
@@ -334,9 +384,17 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     col_in_specs = [
         pl.BlockSpec((TB, n_c1, n_c2), lambda t: (_i32(t), _i32(0), _i32(0)),
                      memory_space=pltpu.VMEM),
-        full(W_c1), full(W_c2),
     ]
-    col_args = [W_c1, W_c2]
+    col_args = []
+    for lz, W, trip in ((lazy1, W_c1, getattr(ops, "lazy_c1", None)),
+                        (lazy2, W_c2, getattr(ops, "lazy_c2", None))):
+        if lz:
+            ops_l = lazy_operands(trip)
+            col_in_specs += [full(a) for a in ops_l]
+            col_args += list(ops_l)
+        else:
+            col_in_specs.append(full(W))
+            col_args.append(W)
     if has_sub:
         col_in_specs += [
             pl.BlockSpec((TB, 1), lambda t: (_i32(t), _i32(0)),
@@ -357,7 +415,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     if mode == "lse":
         col_call = pl.pallas_call(
             partial(_col_phase_kernel, theta_f, ops.c1_batched,
-                    ops.c2_batched, has_sub, prec, trx),
+                    ops.c2_batched, has_sub, prec, trx, (lazy1, lazy2)),
             grid=(R // TB,),
             out_shape=jax.ShapeDtypeStruct((R, n_c1, n_c2), dtype),
             in_specs=col_in_specs,
@@ -383,7 +441,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     else:
         col_call = pl.pallas_call(
             partial(_col_phase_fast_kernel, theta_f, ops.c1_batched,
-                    ops.c2_batched, has_sub, prec, trx),
+                    ops.c2_batched, has_sub, prec, trx, (lazy1, lazy2)),
             grid=(R // TB,),
             out_shape=(jax.ShapeDtypeStruct((R, n_c1, n_c2), dtype),
                        jax.ShapeDtypeStruct((R, 1), dtype)),
@@ -437,6 +495,8 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
 def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
                          mode: str = "auto", precision: str = "highest",
                          transcendentals: str = "accurate",
+                         strip_bytes: int = _STRIP_BYTES,
+                         lazy_bytes: int = 6 * 1024 * 1024,
                          interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *discrete* SSY operator
     (reference ``ssy_wc_ratio.py:82-151``); ``baseline="loglinear"`` folds
@@ -445,6 +505,7 @@ def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
     return make_tiled_T_log(two_phase_operands_ssy(model, disc, baseline),
                             dtype=dtype, mode=mode, precision=precision,
                             transcendentals=transcendentals,
+                            strip_bytes=strip_bytes, lazy_bytes=lazy_bytes,
                             interpret=interpret)
 
 
@@ -453,6 +514,7 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
                                     mode: str = "auto",
                                     precision: str = "highest",
                                     transcendentals: str = "accurate",
+                                    strip_bytes: int = _STRIP_BYTES,
                                     interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *continuous* factored-quadrature
     SSY operator (reference ``ssy_wc_ratio_continuous.py:125-153``,
@@ -461,7 +523,8 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
     return make_tiled_T_log(
         two_phase_operands_ssy_continuous(model, grids, degree, baseline),
         dtype=dtype, mode=mode, precision=precision,
-        transcendentals=transcendentals, interpret=interpret)
+        transcendentals=transcendentals, strip_bytes=strip_bytes,
+        interpret=interpret)
 
 
 def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,

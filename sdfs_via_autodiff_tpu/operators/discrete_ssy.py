@@ -289,7 +289,7 @@ def _ssy_normalized_arrays(model: SSY, disc: SSYDiscretization) -> dict:
 
     return dict(M1=M1, M2=M2, M3=M3, M4=M4, log_A2=log_A2, log_A3=log_A3,
                 A0=float(co["A0"]), phi_l=phi_l, phi_k=phi_k, phi_i=phi_i,
-                psi_ij=psi_ij)
+                psi_ij=psi_ij, A_z=float(co["A_z"]))
 
 
 def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,

@@ -120,13 +120,38 @@ def two_phase_operands_ssy(model, disc, baseline: Optional[str] = None
             + arrs["phi_k"][None, :, None, None]
             + arrs["phi_i"][None, None, :, None]
             + arrs["psi_ij"][None, None, :, :])
-    return TwoPhaseOperands(
+    ops = TwoPhaseOperands(
         shapes=disc.shapes,
         W_r1=arrs["M1"], W_r2=arrs["M2"], W_c1=arrs["M3"], W_c2=arrs["M4"],
         add_row=sub_row + arrs["log_A2"][None, :],
         add_col=sub_col + arrs["log_A3"],
         theta=theta, beta=beta,
         sub_row=sub_row, sub_col=sub_col, baseline_log_w=ell0)
+    # Lazy form of the batched column factors: the discrete z-grid is
+    # multiplicatively separable (z_states = sigma_z[i] * ladder[j]), so
+    # psi_ij = A_z sigma_i lambda_j and both folded factors are shared
+    # matrices with a scalar-scaled exponent correction,
+    #     W[b] = exp(logW0 + t[b] * D).
+    # The tiled kernel materializes slices from these (n, n)+(n,) arrays
+    # on the fly instead of holding the (B, n, n) tensor in VMEM — the
+    # unlock for wide-z normalized grids (e.g. 384 z-points, where the
+    # dense batched factor alone is ~19 MB).
+    with np.errstate(divide="ignore"):
+        log_Qhz = np.log(np.asarray(disc.h_z_Q, np.float64))
+        log_zP = np.log(np.asarray(disc.z_P, np.float64))
+    sigma = np.asarray(disc.sigma_z_states, np.float64)
+    lam = np.asarray(disc.z_states, np.float64)[0] / sigma[0]
+    phi_i = arrs["phi_i"]
+    Az_theta = theta * arrs["A_z"]
+    object.__setattr__(ops, "lazy_c1", (
+        log_Qhz + theta * (phi_i[None, :] - phi_i[:, None]),
+        Az_theta * (sigma[None, :] - sigma[:, None]),
+        lam))
+    object.__setattr__(ops, "lazy_c2", (
+        log_zP,
+        Az_theta * (lam[None, :] - lam[:, None]),
+        sigma))
+    return ops
 
 
 def two_phase_operands_ssy_continuous(model, grids, degree: int = 5,

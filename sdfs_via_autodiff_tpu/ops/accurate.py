@@ -53,6 +53,14 @@ _LOG_C = [np.float32(c) for c in
 
 def _exp_f32_impl(x):
     x = jnp.asarray(x, jnp.float32)
+    # Clamp so infinities never reach the range reduction (r = ±inf would
+    # poison the polynomial with NaN): -inf is a legitimate LSE input
+    # (log of an exact-zero transition probability) and must map to 0
+    # like the hardware exp — exp(-104) already underflows the smallest
+    # f32 subnormal, so the low clamp is value-exact.  exp(89) overflows
+    # through the 2^k scale to inf, so the high clamp maps [88.73, inf]
+    # to inf, also value-exact.  NaN propagates through clip and poly.
+    x = jnp.clip(x, np.float32(-104.0), np.float32(89.0))
     k = jnp.round(x * _INV_LN2)
     # Cody-Waite: r = x - k*ln2 with ln2 split so k*_LN2_HI is exact.
     r = (x - k * _LN2_HI) - k * _LN2_LO

@@ -94,3 +94,14 @@ def test_two_phase_f32_one_application_floor():
         jnp.asarray(ell, jnp.float32)), np.float64)
     o64 = np.asarray(make_xla_two_phase_T(ops, jnp.float64)(jnp.asarray(ell)))
     assert np.max(np.abs(o32 - o64)) < 5e-6
+
+
+def test_exp_f32_infinities():
+    # -inf is a legitimate LSE input (log of a zero transition entry) and
+    # must map to 0, exactly like the hardware exp; +inf overflows to inf.
+    vals = np.asarray(exp_f32(jnp.asarray([-np.inf, np.inf, -104.0, -103.0],
+                                          jnp.float32)))
+    assert vals[0] == 0.0
+    assert np.isposinf(vals[1])
+    assert vals[2] == 0.0
+    assert vals[3] > 0.0 or vals[3] == 0.0  # deep subnormal: flush ok

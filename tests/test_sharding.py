@@ -259,3 +259,37 @@ def test_shard_map_solve(rng):
                 tol=1e-10)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                atol=1e-10)
+
+
+@needs_devices
+def test_gcy_kron_two_phase_shard_map_matches_single_device(rng):
+    # The explicit (dp, tp) shard_map program covers ANY TwoPhaseOperands
+    # instance — including the six-state GCY Kronecker grouping, whose
+    # row group (h_c, h_lam) shards over the mesh while the big
+    # (z x z_pi) / (h_z x h_zpi) column contractions stay shard-local.
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        make_xla_two_phase_T, two_phase_operands_gcy)
+    from sdfs_via_autodiff_tpu.parallel.mesh import make_mesh
+    from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+        two_phase_shard_map_factory)
+
+    model = GCY()
+    shapes = (3, 4, 3, 4, 3, 4)      # rows (h_c=4, h_lam=4) / mesh (4, 2)
+    disc = discretize_gcy(model, shapes)
+    ops = two_phase_operands_gcy(model, disc)
+    mesh = make_mesh(8)
+    T_sharded = two_phase_shard_map_factory(ops, mesh, dtype=jnp.float64)
+    T_single = make_xla_two_phase_T(ops, jnp.float64)
+    ell = jnp.asarray(np.log(300.0) + 0.1 * rng.standard_normal(ops.shapes))
+    ell_sharded = jax.device_put(ell, T_sharded.input_sharding)
+    np.testing.assert_allclose(np.asarray(T_sharded(ell_sharded)),
+                               np.asarray(T_single(ell)), atol=1e-12,
+                               rtol=0)
+    # Newton through the hand-placed collectives.
+    res = solve(T_sharded, ell_sharded, method="newton", tol=1e-10,
+                max_iter=30)
+    assert bool(res.converged)
+    res_single = solve(T_single, ell, method="newton", tol=1e-10,
+                       max_iter=30)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_single.x),
+                               atol=1e-9, rtol=0)

@@ -241,3 +241,37 @@ class TestGCYKron:
         ell0 = jnp.full(self.SHAPES, jnp.log(300.0), jnp.float32)
         res = solve(Tk, ell0, method="newton", tol=5e-5, max_iter=20)
         assert bool(res.converged)
+
+
+def test_lazy_batched_factors_match_dense(rng):
+    # Force the lazy (logW0, D, t) slice materialization of the
+    # normalized operator's batched column factors and check it against
+    # the dense-resident kernel and the XLA twin.
+    from sdfs_via_autodiff_tpu import SSY, discretize_ssy
+    from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+        make_tiled_T_log_ssy)
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        make_xla_two_phase_T, two_phase_operands_ssy)
+
+    model = SSY()
+    disc = discretize_ssy(model, (6, 5, 6, 16))
+    ops = two_phase_operands_ssy(model, disc, baseline="loglinear")
+    # lazy decomposition reproduces the dense batched factors exactly
+    log0, D, t = ops.lazy_c2
+    W2 = np.exp(log0[None] + t[:, None, None] * D[None])
+    np.testing.assert_allclose(W2, ops.W_c2, rtol=1e-12)
+    log0, D, t = ops.lazy_c1
+    W1 = np.exp(log0[None] + t[:, None, None] * D[None])
+    np.testing.assert_allclose(W1, ops.W_c1, rtol=1e-12)
+
+    T_lazy = make_tiled_T_log_ssy(model, disc, baseline="loglinear",
+                                  lazy_bytes=0, interpret=True)
+    T_dense = make_tiled_T_log_ssy(model, disc, baseline="loglinear",
+                                   interpret=True)
+    T64 = make_xla_two_phase_T(ops, jnp.float64)
+    ell = jnp.asarray(np.asarray(ops.baseline_log_w)
+                      + 0.05 * rng.standard_normal(disc.shapes))
+    a = np.asarray(T_lazy(ell))
+    np.testing.assert_allclose(a, np.asarray(T_dense(ell)), atol=2e-6,
+                               rtol=0)
+    np.testing.assert_allclose(a, np.asarray(T64(ell)), atol=1e-5, rtol=0)
