@@ -334,7 +334,13 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     # group n_c1*n_c2 is a multiple of 128 at scale).
     lane_block = n_r1 * _round_up(n_r2, 8) * 128 * itemsize  # per 128 lanes
     if C % 128 == 0:
-        TC = 128 * _pick_strip(C // 128, lane_block, strip_bytes // 2)
+        # The row phase keeps ~5 block-sized values live (mid strip,
+        # exp/log temporaries, scratch, double-buffered I/O), so its
+        # budget stays at the conservative default — ``strip_bytes``
+        # scales only the column-phase strips, where the win lives
+        # (amortizing per-grid-step overhead over R/TB steps).
+        TC = 128 * _pick_strip(C // 128, lane_block,
+                               min(strip_bytes, _STRIP_BYTES) // 2)
     else:
         TC = C
     if (TB * row_unit > strip_bytes * 2
