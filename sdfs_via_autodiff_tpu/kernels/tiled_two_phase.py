@@ -55,8 +55,12 @@ __all__ = ["make_tiled_T_log", "make_tiled_T_log_ssy",
            "make_tiled_T_log_ssy_continuous", "make_tiled_T_log_gcy"]
 
 # Per-buffer padded-footprint target; Pallas double-buffers input and
-# output strips, so the working set is ~4x this plus operands.
-_STRIP_BYTES = 3 * 1024 * 1024
+# output strips, so the working set is ~4x this plus operands.  Tuned on
+# hardware at 11.2M points: 3.75 MB picks 32-row column strips (vs 16 at
+# 3 MB) for a measured ~9% operator speedup; larger strips OOM Mosaic's
+# 16 MB scoped-vmem (the batched contraction unrolls keep ~14x the strip
+# footprint live).
+_STRIP_BYTES = int(3.75 * 1024 * 1024)
 
 
 def _round_up(x: int, m: int) -> int:
