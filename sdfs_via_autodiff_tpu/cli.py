@@ -45,12 +45,16 @@ def cmd_solve(args):
     if args.kind == "discrete":
         sol = wc_ratio_discrete(
             model, shapes, algorithm=args.algorithm, tol=args.tol,
-            space=args.space, checkpoint_path=args.checkpoint)
+            space=args.space, kernel=args.kernel, baseline=args.baseline,
+            discretization=args.discretization,
+            checkpoint_path=args.checkpoint)
     else:
         sol = wc_ratio_continuous(
             model, shapes, algorithm=args.algorithm, tol=args.tol,
             space=args.space, method=args.method, interp=args.interp,
             quad_degree=args.quad_degree, num_std_devs=args.num_std_devs,
+            kernel=args.kernel, baseline=args.baseline,
+            engine=args.engine, polish=args.polish,
             checkpoint_path=args.checkpoint)
     wall = time.time() - t0
     out = dict(model=args.model, kind=args.kind, shapes=list(shapes),
@@ -141,6 +145,23 @@ def main(argv=None) -> int:
                     default="pre")
     ps.add_argument("--quad-degree", type=int, default=5)
     ps.add_argument("--num-std-devs", type=float, default=3.2)
+    ps.add_argument("--kernel", choices=["xla", "tiled"], default="xla",
+                    help="'tiled' = HBM-streaming Pallas kernels (f32 "
+                         "scale tier; TPU only)")
+    ps.add_argument("--baseline", default=None,
+                    choices=["loglinear", "coarse"],
+                    help="baseline normalization (wide grids / f32)")
+    ps.add_argument("--engine", choices=["auto", "node_chain", "gather"],
+                    default="auto",
+                    help="evaluation strategy for post/loglin interp")
+    ps.add_argument("--polish", action="store_true",
+                    help="refine the fast solve with float64 Newton")
+    ps.add_argument("--discretization",
+                    choices=["rouwenhorst", "tauchen"],
+                    default="rouwenhorst",
+                    help="tauchen spans a fixed +/-3 sigma at any point "
+                         "count (the in-envelope choice for fine f32 "
+                         "discrete grids)")
     ps.add_argument("--checkpoint", default=None)
     ps.set_defaults(fn=cmd_solve)
 

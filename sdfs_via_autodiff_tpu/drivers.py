@@ -80,6 +80,7 @@ def wc_ratio_discrete(model,
                       dtype=None,
                       kernel: str = "xla",
                       baseline: Optional[str] = None,
+                      discretization: str = "rouwenhorst",
                       checkpoint_path: Optional[str] = None,
                       **solver_opts) -> WCSolution:
     """Solve the discretized (Rouwenhorst tensor-grid) model.
@@ -92,8 +93,13 @@ def wc_ratio_discrete(model,
     size cap; see ``kernels/tiled_two_phase.py``).  SSY uses the native
     4-D two-phase grouping (``baseline="loglinear"`` supported); GCY
     folds its six axes into the same structure by Kronecker grouping
-    (plain operator only — per-axis-LSE mode is range-safe).  Keep
-    h-axes at <=32 points in f32 (docs/status.md #1).
+    (plain operator only — per-axis-LSE mode is range-safe).
+
+    ``discretization="tauchen"`` swaps the Rouwenhorst construction for
+    Tauchen's: its grid spans a fixed ±3 unconditional std at ANY point
+    count, making fine f32 discrete grids range-safe (Rouwenhorst
+    ladders widen like ±sqrt(n-1) sigma — keep h-axes at <=32 points
+    there; docs/status.md #1 and the NORTHSTAR discrete case).
     """
     space = space or _auto_space()
     if kernel not in ("xla", "tiled"):
@@ -103,7 +109,8 @@ def wc_ratio_discrete(model,
             raise ValueError("tiled kernels iterate in log space")
         if isinstance(model, SSY):
             from .kernels.tiled_two_phase import make_tiled_T_log_ssy
-            disc = discretize_ssy(model, tuple(shapes))
+            disc = discretize_ssy(model, tuple(shapes),
+                                  method=discretization)
             T = make_tiled_T_log_ssy(model, disc, baseline=baseline)
         elif isinstance(model, GCY):
             if baseline is not None:
@@ -112,7 +119,8 @@ def wc_ratio_discrete(model,
                                  "is range-safe without a baseline")
             from .kernels.tiled_two_phase import make_tiled_T_log_gcy
             from .operators.discrete_gcy import gcy_loglinear_parts
-            disc = discretize_gcy(model, tuple(shapes))
+            disc = discretize_gcy(model, tuple(shapes),
+                                  method=discretization)
             T = make_tiled_T_log_gcy(model, disc)
             if w_init is None:
                 # Log-linear warm start (reference test_newton.md:60-66
@@ -136,12 +144,14 @@ def wc_ratio_discrete(model,
         solver_opts["baseline"] = baseline   # XLA factories take it below
     if isinstance(model, SSY):
         disc = discretize_ssy(model, tuple(shapes),
-                              dtype=dtype or jnp.float64)
+                              dtype=dtype or jnp.float64,
+                              method=discretization)
         T = T_ssy_factory(model, disc, space=space, dtype=dtype,
                           baseline=solver_opts.pop("baseline", None))
     elif isinstance(model, GCY):
         disc = discretize_gcy(model, tuple(shapes),
-                              dtype=dtype or jnp.float64)
+                              dtype=dtype or jnp.float64,
+                              method=discretization)
         T = T_gcy_factory(model, disc, space=space, dtype=dtype,
                           baseline=solver_opts.pop("baseline", None))
     else:

@@ -63,3 +63,17 @@ def test_check_command(capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["exists_unique"] is True
     assert out["stability_exponent"] < 1
+
+
+def test_cli_solve_tauchen_discrete(tmp_path, capsys):
+    # The scale-tier options round-trip through the CLI: tauchen
+    # discretization + explicit engine/kernel flags (xla on CPU).
+    import json
+
+    from sdfs_via_autodiff_tpu.cli import main
+    rc = main(["solve", "ssy", "--kind", "discrete", "--shapes", "4,4,4,6",
+               "--discretization", "tauchen", "--algorithm", "newton",
+               "--tol", "1e-9"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["converged"] and out["iterations"] > 0
