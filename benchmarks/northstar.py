@@ -179,9 +179,45 @@ def main(which=("continuous", "discrete")):
         out["cases"].append(entry)
         print(json.dumps(entry))
 
+    if "gcy" in which:
+        # Six-state GCY at 25.2M points: Tauchen's fixed ±3-sigma span
+        # keeps theta = -36 inside the f32 envelope at any size (the
+        # Rouwenhorst construction caps f32 six-state grids at ~1-2M).
+        from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy)
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+            T_gcy_factory, gcy_loglinear_parts)
+        gcy = GCY()
+        big = (32, 16, 16, 12, 16, 16)
+        n_points = int(np.prod(big))
+        disc = discretize_gcy(gcy, big, dtype=jnp.float32, method="tauchen")
+        Tg = make_tiled_T_log_gcy(gcy, disc)
+        ell0 = jnp.asarray(gcy_loglinear_parts(gcy, disc)["ell0"],
+                           jnp.float32)
+        x0 = Tg.to_view(ell0).reshape((big[3], big[5],
+                                       big[0] * big[1], big[2] * big[4]))
+        t0 = time.perf_counter()
+        res = solve(Tg.view_T, x0, method="newton", tol=2e-5, max_iter=40)
+        jax.block_until_ready(res.x)
+        entry = {"name": "gcy_discrete_tauchen", "points": n_points,
+                 "shapes": list(big), "kernel_mode": Tg.mode,
+                 "tol": 2e-5,
+                 "newton_solve_s": round(time.perf_counter() - t0, 1),
+                 "newton_iterations": int(res.iterations),
+                 "residual_f32": float(res.residual),
+                 "converged": bool(res.converged)}
+        x_nat = Tg.from_view(res.x.reshape(
+            (big[3], big[5], big[0], big[1], big[2], big[4])))
+        disc64 = discretize_gcy(gcy, big, method="tauchen")
+        entry["residual_f64_check"] = f64_residual(
+            T_gcy_factory(gcy, disc64, space="log", jit=False), x_nat)
+        out["cases"].append(entry)
+        print(json.dumps(entry))
+
     path = pathlib.Path(__file__).resolve().parent.parent / "NORTHSTAR.json"
     merged = out
-    if path.exists() and which != ("continuous", "discrete"):
+    if path.exists() and which != ("continuous", "discrete", "gcy"):
         old = json.loads(path.read_text())
         keep = [c for c in old.get("cases", [])
                 if all(c["name"] != n["name"] for n in out["cases"])]
@@ -194,4 +230,4 @@ def main(which=("continuous", "discrete")):
 
 if __name__ == "__main__":
     import sys
-    main(tuple(sys.argv[1:]) or ("continuous", "discrete"))
+    main(tuple(sys.argv[1:]) or ("continuous", "discrete", "gcy"))
