@@ -18,6 +18,7 @@ import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from .models.gcy import GCY
 from .models.ssy import SSY
@@ -219,26 +220,38 @@ def wc_ratio_continuous(model,
 
     ``polish=True`` (meaningful for float32 / fused solves): after the
     fast solve, refine with float64 Newton warm-started from it — the
-    f32 tier's speed with the f64 tier's accuracy (the warm start leaves
-    only a couple of Newton steps).
+    f32 tier's speed with the f64 tier's accuracy.  The polish stage
+    runs on the host CPU when the default backend is an accelerator:
+    the TPU's "f64" is a float32-range double-float emulation (slow and
+    range-limited; docs/precision.md), while true-f64 CPU Newton from
+    the accurate-f32 warm start is ~4 iterations — measured 3.4 s to
+    5.6e-11 residual even at 11.2M points (NORTHSTAR).
     """
     space = space or _auto_space()
     gdtype = dtype or jnp.float64
     if polish:
+        import contextlib
+
+        import jax
+
         fast = wc_ratio_continuous(
             model, grid_sizes, num_std_devs=num_std_devs, method=method,
             interp=interp, quad_degree=quad_degree,
             mc_draw_size=mc_draw_size, seed=seed, algorithm=algorithm,
             tol=max(tol, 1e-4), space=space, w_init=w_init,
             batch_size=batch_size, baseline=baseline, dtype=dtype,
-            **solver_opts)
-        return wc_ratio_continuous(
-            model, grid_sizes, num_std_devs=num_std_devs, method=method,
-            interp=interp, quad_degree=quad_degree,
-            mc_draw_size=mc_draw_size, seed=seed, algorithm="newton",
-            tol=tol, space="log",
-            w_init=jnp.asarray(fast.w_star, jnp.float64),
-            checkpoint_path=checkpoint_path)
+            kernel=kernel, engine=engine, **solver_opts)
+        ctx = contextlib.nullcontext()
+        if jax.default_backend() != "cpu":
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        with ctx:
+            return wc_ratio_continuous(
+                model, grid_sizes, num_std_devs=num_std_devs, method=method,
+                interp=interp, quad_degree=quad_degree,
+                mc_draw_size=mc_draw_size, seed=seed, algorithm="newton",
+                tol=tol, space="log",
+                w_init=jnp.asarray(np.asarray(fast.w_star), jnp.float64),
+                checkpoint_path=checkpoint_path)
     baseline_spec = baseline
     if baseline == "coarse":
         baseline_spec = _coarse_additive_baseline(
