@@ -120,3 +120,16 @@ def test_existence_check_gcy(setup):
     r_dense = float(np.max(np.abs(np.linalg.eigvals(H))))
     np.testing.assert_allclose(rep.spectral_radius, r_dense, rtol=1e-7)
     assert rep.exists_unique
+
+
+def test_gcy_tauchen_discretization_solves():
+    # discretization="tauchen" flows through the driver; fixed-span grids
+    # are the f32-range-safe choice for fine six-state grids.
+    from sdfs_via_autodiff_tpu import GCY
+    from sdfs_via_autodiff_tpu.drivers import wc_ratio_discrete
+    sol = wc_ratio_discrete(GCY(), (4, 3, 3, 4, 3, 4), algorithm="newton",
+                            tol=1e-9, discretization="tauchen")
+    assert sol.converged
+    import numpy as np
+    w = np.asarray(sol.w_star)
+    assert np.all(w > 1.0) and np.all(np.isfinite(w))
