@@ -44,8 +44,10 @@ def main(small: bool = False):
     print(f"-- discrete GCY, {gcy_shape} = {n/1e6:.2f}M points, "
           "Kronecker-grouped tiled kernel, Newton, f32 --")
     t0 = time.time()
+    # theta = -36 amplifies the f32 floor ~2x vs SSY: 3e-5 clears it at
+    # both sizes (the stall guard would stop cleanly either way).
     sol = wc_ratio_discrete(GCY(), gcy_shape, kernel="tiled",
-                            algorithm="newton", tol=1e-5, space="log")
+                            algorithm="newton", tol=3e-5, space="log")
     print(f"  {time.time()-t0:.1f}s: iters={int(sol.result.iterations)} "
           f"residual={float(sol.result.residual):.2e} "
           f"converged={bool(sol.result.converged)}")
