@@ -46,7 +46,7 @@ def cmd_solve(args):
         sol = wc_ratio_discrete(
             model, shapes, algorithm=args.algorithm, tol=args.tol,
             space=args.space, kernel=args.kernel, baseline=args.baseline,
-            discretization=args.discretization,
+            discretization=args.discretization, polish=args.polish,
             checkpoint_path=args.checkpoint)
     else:
         sol = wc_ratio_continuous(

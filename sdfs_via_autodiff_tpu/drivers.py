@@ -54,13 +54,46 @@ def _auto_space() -> str:
     return "log"
 
 
-def _run_solver(T, w0, space, algorithm, tol, solver_opts) -> WCSolution:
+def f32_tol_floor(theta: Optional[float]) -> float:
+    """Practical float32 sup-norm floor of the log iterate, scaled by the
+    risk-aversion exponent theta.
+
+    The per-application f32 bias (~3 ulp of the log iterate) amplifies by
+    the fixed-point factor 1/(1-rate) into the solution (docs/precision.md);
+    the attainable residual floor additionally grows with |theta| because
+    w = 1 + beta (H w^theta)^(1/theta) wraps every evaluation in a
+    theta-power round trip.  Measured anchors: SSY (theta ~ -16) iterates
+    reach ~4e-6 (NORTHSTAR residuals 1.7e-6 after convergence, stalls
+    below ~5e-6); GCY (theta ~ -36) stalled at tol 2.2e-5 and converges
+    at 3e-5 (examples/scale_demo.py, commit ea7db2a) — consistent with a
+    quadratic |theta| scaling from the two theta-scaled transcendental
+    round trips per application.
+    """
+    if theta is None:
+        return 5e-6
+    return 5e-6 * max(1.0, (abs(float(theta)) / 16.0) ** 2)
+
+
+def _newton_applicable(solver_opts: dict) -> dict:
+    """Subset of user solver options accepted by the Newton solver — the
+    polish stages always refine with Newton, whatever the fast stage ran."""
+    import inspect
+
+    from .solvers.fixed_point import newton_solver
+    allowed = set(inspect.signature(newton_solver).parameters) - {"T", "x0"}
+    return {k: v for k, v in solver_opts.items() if k in allowed}
+
+
+def _run_solver(T, w0, space, algorithm, tol, solver_opts,
+                theta: Optional[float] = None) -> WCSolution:
     import warnings
-    if jnp.result_type(w0) == jnp.float32 and tol < 5e-6:
+    floor = f32_tol_floor(theta)
+    if jnp.result_type(w0) == jnp.float32 and tol < floor:
         warnings.warn(
-            f"tol={tol:g} is below the float32 iteration floor (~5e-6 on "
-            "the log iterate); the solve may stall at max_iter. Use "
-            "float64 or relax tol.", stacklevel=3)
+            f"tol={tol:g} is below the float32 iteration floor "
+            f"(~{floor:.0e} on the log iterate for theta={theta}); the "
+            "solve may stall (stall guard -> converged=False). Use "
+            "float64, polish=True, or relax tol.", stacklevel=3)
     if space == "log":
         x0 = jnp.log(w0)
         res = solve(T, x0, method=algorithm, tol=tol, **solver_opts)
@@ -82,12 +115,20 @@ def wc_ratio_discrete(model,
                       kernel: str = "xla",
                       baseline: Optional[str] = None,
                       discretization: str = "rouwenhorst",
+                      polish: bool = False,
                       checkpoint_path: Optional[str] = None,
                       **solver_opts) -> WCSolution:
     """Solve the discretized (Rouwenhorst tensor-grid) model.
 
     Parity: reference ``test_compute_wc_ratio_ssy`` / ``..._gcy``
     (``ssy_wc_ratio.py:216-240``, ``gcy_wc_ratio.py:319-340``).
+
+    ``polish=True`` (meaningful for the float32 tiled tier): after the
+    fast solve, refine with float64 Newton through the XLA operator
+    warm-started from it, run on the host CPU when the default backend
+    is an accelerator — the same two-stage recipe as the continuous
+    driver's polish (reference default tol 1e-7, ``solvers.py:16``, at
+    10^7-point grids despite the f32 fast tier's ~1e-5 floor).
 
     ``kernel="tiled"`` (float32, log space) runs the operator through the
     strip-streamed Pallas kernels — the large-grid fast tier (no VMEM
@@ -105,6 +146,29 @@ def wc_ratio_discrete(model,
     space = space or _auto_space()
     if kernel not in ("xla", "tiled"):
         raise ValueError(f"unknown kernel {kernel!r}")
+    if polish:
+        import contextlib
+
+        import jax
+
+        fast = wc_ratio_discrete(
+            model, shapes, algorithm=algorithm, tol=max(tol, 1e-4),
+            space=space, w_init=w_init, dtype=dtype, kernel=kernel,
+            baseline=baseline, discretization=discretization,
+            **solver_opts)
+        ctx = contextlib.nullcontext()
+        if jax.default_backend() != "cpu":
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        with ctx:
+            # f64 Newton refine through the XLA operator (the tiled
+            # kernels are the f32 tier); baseline intentionally dropped
+            # — f64 needs no range fold (see the continuous twin).
+            return wc_ratio_discrete(
+                model, shapes, algorithm="newton", tol=tol, space="log",
+                discretization=discretization,
+                w_init=jnp.asarray(np.asarray(fast.w_star), jnp.float64),
+                checkpoint_path=checkpoint_path,
+                **_newton_applicable(solver_opts))
     if kernel == "tiled":
         if space != "log":
             raise ValueError("tiled kernels iterate in log space")
@@ -132,7 +196,8 @@ def wc_ratio_discrete(model,
             raise TypeError(f"unsupported model {type(model).__name__}")
         w0 = (jnp.full(tuple(shapes), DEFAULT_INIT_W, jnp.float32)
               if w_init is None else jnp.asarray(w_init, jnp.float32))
-        sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
+        sol = _run_solver(T, w0, space, algorithm, tol, solver_opts,
+                          theta=model.theta)
         if checkpoint_path:
             save_solution(checkpoint_path, model, (), sol.w_star,
                           meta=dict(kind="discrete", shapes=list(shapes),
@@ -160,7 +225,8 @@ def wc_ratio_discrete(model,
 
     w0 = (jnp.full(tuple(shapes), DEFAULT_INIT_W, dtype=dtype or jnp.float64)
           if w_init is None else jnp.asarray(w_init))
-    sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
+    sol = _run_solver(T, w0, space, algorithm, tol, solver_opts,
+                          theta=model.theta)
     if checkpoint_path:
         save_solution(checkpoint_path, model, (), sol.w_star,
                       meta=dict(kind="discrete", shapes=list(shapes),
@@ -245,13 +311,23 @@ def wc_ratio_continuous(model,
         if jax.default_backend() != "cpu":
             ctx = jax.default_device(jax.devices("cpu")[0])
         with ctx:
+            # The polish stage reruns the same configuration at float64
+            # with interp-engine settings and the Newton-applicable user
+            # solver options forwarded (the polish algorithm is always
+            # Newton, so e.g. Anderson-history options from an
+            # algorithm="anderson" fast stage are dropped); ``baseline``
+            # is intentionally dropped too (it exists to keep f32 in
+            # range — f64 doesn't need the fold, and skipping it keeps
+            # strict reference operator semantics for the final
+            # residual).
             return wc_ratio_continuous(
                 model, grid_sizes, num_std_devs=num_std_devs, method=method,
                 interp=interp, quad_degree=quad_degree,
                 mc_draw_size=mc_draw_size, seed=seed, algorithm="newton",
-                tol=tol, space="log",
+                tol=tol, space="log", batch_size=batch_size, engine=engine,
                 w_init=jnp.asarray(np.asarray(fast.w_star), jnp.float64),
-                checkpoint_path=checkpoint_path)
+                checkpoint_path=checkpoint_path,
+                **_newton_applicable(solver_opts))
     baseline_spec = baseline
     if baseline == "coarse":
         baseline_spec = _coarse_additive_baseline(
@@ -288,7 +364,8 @@ def wc_ratio_continuous(model,
             w0 = jnp.exp(T.baseline_log_w)
         else:
             w0 = jnp.ones(shape, jnp.float32)
-        sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
+        sol = _run_solver(T, w0, space, algorithm, tol, solver_opts,
+                          theta=model.theta)
         sol = dataclasses.replace(
             sol, grids=tuple(jnp.asarray(g, jnp.float32) for g in grids))
         if checkpoint_path:
@@ -335,7 +412,8 @@ def wc_ratio_continuous(model,
               else jnp.ones(shape, dtype=gdtype))
     else:
         w0 = jnp.asarray(w_init)
-    sol = _run_solver(T, w0, space, algorithm, tol, solver_opts)
+    sol = _run_solver(T, w0, space, algorithm, tol, solver_opts,
+                          theta=model.theta)
     sol = dataclasses.replace(sol, grids=tuple(grids))
     if checkpoint_path:
         save_solution(checkpoint_path, model, grids, sol.w_star,

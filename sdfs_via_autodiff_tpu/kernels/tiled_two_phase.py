@@ -81,19 +81,20 @@ def _pick_strip(n: int, unit_bytes: int, budget: int = _STRIP_BYTES,
     return best_aligned or best or 1
 
 
-def _slice_W(W, b):
+def _slice_W(W, b, exp_fn=_exp_f32_impl):
     """Slice b of a batched factor: dense (B, n, n) array, or the lazy
     (logW0, D, t) triple with W[b] = exp(logW0 + t[b] * D) — materialized
     on the fly so the (B, n, n) tensor never has to be VMEM-resident (the
     unlock for wide-z normalized grids; see ``two_phase.TwoPhaseOperands``
-    lazy attributes)."""
+    lazy attributes).  ``exp_fn`` follows the kernel's transcendentals
+    setting."""
     if isinstance(W, tuple):
         log0, D, t = W
-        return _exp_f32_impl(log0 + t[0, b] * D)
+        return exp_fn(log0 + t[0, b] * D)
     return W[b]
 
 
-def _contract_c1(e, W, batched, prec):
+def _contract_c1(e, W, batched, prec, exp_fn=_exp_f32_impl):
     """Contract the c1 (middle) axis of e (TB, n1, n2) with W (n1, n1), or
     with W batched over the *next* c2 index — dense (n2, n1, n1) or lazy
     (see :func:`_slice_W`).
@@ -107,12 +108,13 @@ def _contract_c1(e, W, batched, prec):
                           preferred_element_type=jnp.float32, precision=prec)
     n2 = e.shape[2]
     et = jnp.swapaxes(e, 1, 2)                       # (TB, n2, n1)
-    rows = [_dot_p(et[:, j, :], _slice_W(W, j).T, prec)
+    rows = [_dot_p(et[:, j, :], _slice_W(W, j, exp_fn).T, prec)
             for j in range(n2)]                      # each (TB, n1)
     return jnp.swapaxes(jnp.stack(rows, axis=1), 1, 2)
 
 
-def _contract_c2(e, W, batched, prec, out_ref=None, epilogue=None):
+def _contract_c2(e, W, batched, prec, out_ref=None, epilogue=None,
+                 exp_fn=_exp_f32_impl):
     """Contract the c2 (last) axis of e (TB, n1, n2) with W (n2, n2), or
     with W (n1, n2, n2) batched over the *current* c1 index (unrolled —
     see :func:`_contract_c1`).
@@ -132,7 +134,7 @@ def _contract_c2(e, W, batched, prec, out_ref=None, epilogue=None):
     n1 = e.shape[1]
     rows = []
     for i in range(n1):
-        u = _dot_p(e[:, i, :], _slice_W(W, i).T, prec)   # (TB, n2)
+        u = _dot_p(e[:, i, :], _slice_W(W, i, exp_fn).T, prec)   # (TB, n2)
         if out_ref is not None:
             out_ref[:, i, :] = epilogue(u, i) if epilogue else u
         else:
@@ -171,13 +173,13 @@ def _col_phase_kernel(theta, c1_batched, c2_batched, has_sub, prec, trx,
         a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
     m = jnp.max(a, axis=1, keepdims=True)
     e = _exp(a - m)
-    u = _contract_c1(e, Wc1, c1_batched, prec)
+    u = _contract_c1(e, Wc1, c1_batched, prec, exp_fn=_exp)
     a = m + _log(u)
     m = jnp.max(a, axis=2, keepdims=True)
     e = _exp(a - m)
     _contract_c2(e, Wc2, c2_batched, prec, out_ref=out_ref,
                  epilogue=lambda u, i: (m if i is None else m[:, i, :])
-                 + _log(u))
+                 + _log(u), exp_fn=_exp)
 
 
 def _row_phase_kernel(theta, beta, prec, trx, mid_ref, wr1_ref, wr2_ref,
@@ -239,8 +241,8 @@ def _col_phase_fast_kernel(theta, c1_batched, c2_batched, has_sub, prec,
     # Single-axis reductions keep Mosaic's layout inference happy.
     s = jnp.max(jnp.max(a, axis=2, keepdims=True), axis=1, keepdims=True)
     e = _exp(a - s)
-    u = _contract_c1(e, Wc1, c1_batched, prec)
-    _contract_c2(u, Wc2, c2_batched, prec, out_ref=u_ref)
+    u = _contract_c1(e, Wc1, c1_batched, prec, exp_fn=_exp)
+    _contract_c2(u, Wc2, c2_batched, prec, out_ref=u_ref, exp_fn=_exp)
     s_ref[:] = s[:, :, 0]                      # (TB, 1)
 
 
@@ -351,7 +353,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
             or _round_up(TC, 128) // 128 * lane_block > strip_bytes * 2):
         raise ValueError(
             f"state space {ops.shapes} has no strip decomposition inside "
-            "the VMEM budget (column group C={C} must be 128-divisible "
+            f"the VMEM budget (column group C={C} must be 128-divisible "
             "to be lane-blocked); use the XLA two-phase operator")
     if mode == "fast" and TB % 8 != 0 and TB != R:
         # The fast path's (TB, 1) shift output needs sublane-aligned TB.

@@ -57,7 +57,8 @@ def _log_kappa_gcy(model: GCY, h_c, z):
             + 0.5 * (1 - model.gamma) ** 2 * sigma_c ** 2)
 
 
-def _factored_T(model, grids, degree, space, dtype, baseline=None):
+def _factored_T(model, grids, degree, space, dtype, baseline=None,
+                transcendentals="accurate"):
     """Factored contraction operator (quadrature + interp="pre").
 
     Axis labels: l=h_lam, k=h_c, i=h_z, y=h_zpi, j=z, b=z_pi; capitals are
@@ -174,17 +175,20 @@ def _factored_T(model, grids, degree, space, dtype, baseline=None):
             kg = kappa[expand] * apply_K(w ** theta)
             return 1.0 + beta * kg ** (1.0 / theta)
     else:
+        from functools import partial
+
         from ..ops.contract import lse_matmul
+        lse = partial(lse_matmul, transcendentals=transcendentals)
         theta_c = jnp.asarray(theta, dtype or jnp.float64)
 
         def T(ell):
             a = theta_c * (ell if ell0 is None else ell - ell0)
-            a = lse_matmul(P_lam, a, "lL,LKIYJB->lKIYJB", 0)
-            a = lse_matmul(P_c, a, "kK,lKIYJB->lkIYJB", 1)
-            a = lse_matmul(P_hz, a, "iI,lkIYJB->lkiYJB", 2)
-            a = lse_matmul(P_hzpi, a, "yY,lkiYJB->lkiyJB", 3)
-            a = lse_matmul(P_zpi, a, "ybB,lkiyJB->lkiyJb", 5)
-            a = lse_matmul(P_z, a, "ijbJ,lkiyJb->lkiyjb", 4)
+            a = lse(P_lam, a, "lL,LKIYJB->lKIYJB", 0)
+            a = lse(P_c, a, "kK,lKIYJB->lkIYJB", 1)
+            a = lse(P_hz, a, "iI,lkIYJB->lkiYJB", 2)
+            a = lse(P_hzpi, a, "yY,lkiYJB->lkiyJB", 3)
+            a = lse(P_zpi, a, "ybB,lkiyJB->lkiyJb", 5)
+            a = lse(P_z, a, "ijbJ,lkiyJb->lkiyjb", 4)
             if ell0 is not None:
                 a = a + theta_c * ell0
             log_kg = a + log_kappa[expand]
@@ -209,6 +213,7 @@ def T_gcy_continuous_factory(model: GCY,
                              baseline: Optional[str] = None,
                              dtype=None,
                              engine: str = "auto",
+                             transcendentals: str = "accurate",
                              jit: bool = True) -> Callable:
     """Build the continuous-state GCY operator T (see the SSY twin for the
     method/interp/space semantics; baseline='loglinear' is effectively
@@ -237,7 +242,8 @@ def T_gcy_continuous_factory(model: GCY,
     if engine not in ("auto", "node_chain", "gather"):
         raise ValueError(f"unknown engine {engine!r}")
     if method == "quadrature" and interp == "pre":
-        T = _factored_T(model, grids, quad_degree, space, dtype, baseline)
+        T = _factored_T(model, grids, quad_degree, space, dtype, baseline,
+                        transcendentals=transcendentals)
     elif (interp in ("post", "loglin") and space == "log"
           and engine in ("auto", "node_chain")
           and method in ("quadrature", "monte_carlo")):

@@ -133,7 +133,8 @@ def _factored_arrays_ssy(model, grids, degree, baseline=None) -> dict:
                 log_A2=log_A2, log_A3=log_A3, ell0_parts=ell0_parts)
 
 
-def _factored_T(model, grids, degree, space, dtype, baseline=None):
+def _factored_T(model, grids, degree, space, dtype, baseline=None,
+                transcendentals="accurate"):
     """Factored per-axis contraction operator (quadrature + interp="pre").
 
     Per-dimension expectation matrices from 1-D Gauss-Hermite rules —
@@ -170,15 +171,18 @@ def _factored_T(model, grids, degree, space, dtype, baseline=None):
             kg = kappa[None, :, None, :] * apply_K(w ** theta)
             return 1.0 + beta * kg ** (1.0 / theta)
     else:
+        from functools import partial
+
         from ..ops.contract import lse_matmul
+        lse = partial(lse_matmul, transcendentals=transcendentals)
         theta_c = jnp.asarray(theta, dtype or jnp.float64)
 
         def T(ell):
             a = theta_c * (ell if ell0 is None else ell - ell0)
-            a = lse_matmul(P_lam, a, "lL,LKIJ->lKIJ", 0)
-            a = lse_matmul(P_c, a, "kK,lKIJ->lkIJ", 1)
-            a = lse_matmul(P_hz, a, "iI,lkIJ->lkiJ", 2)
-            a = lse_matmul(P_z, a, "ijJ,lkiJ->lkij", 3)
+            a = lse(P_lam, a, "lL,LKIJ->lKIJ", 0)
+            a = lse(P_c, a, "kK,lKIJ->lkIJ", 1)
+            a = lse(P_hz, a, "iI,lkIJ->lkiJ", 2)
+            a = lse(P_z, a, "ijJ,lkiJ->lkij", 3)
             if ell0 is not None:
                 a = a + theta_c * ell0
             log_kg = a + log_kappa[None, :, None, :]
@@ -203,6 +207,7 @@ def T_ssy_continuous_factory(model: SSY,
                              baseline: Optional[str] = None,
                              dtype=None,
                              engine: str = "auto",
+                             transcendentals: str = "accurate",
                              jit: bool = True) -> Callable:
     """Build the continuous-state SSY operator T.
 
@@ -236,7 +241,8 @@ def T_ssy_continuous_factory(model: SSY,
     if engine not in ("auto", "node_chain", "gather"):
         raise ValueError(f"unknown engine {engine!r}")
     if method == "quadrature" and interp == "pre":
-        T = _factored_T(model, grids, quad_degree, space, dtype, baseline)
+        T = _factored_T(model, grids, quad_degree, space, dtype, baseline,
+                        transcendentals=transcendentals)
     elif (interp in ("post", "loglin") and space == "log"
           and engine in ("auto", "node_chain")
           and method in ("quadrature", "monte_carlo")):

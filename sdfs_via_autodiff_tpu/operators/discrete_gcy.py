@@ -151,6 +151,7 @@ def T_gcy_factory(model: GCY,
                   space: str = "w",
                   baseline: Optional[str] = None,
                   dtype=None,
+                  transcendentals: str = "accurate",
                   jit: bool = True) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Koopmans operator T for the discretized GCY model as a chain of six
     per-axis contractions (replaces the 12-axis broadcast of reference
@@ -169,7 +170,8 @@ def T_gcy_factory(model: GCY,
     if baseline and space != "log":
         raise ValueError("baseline normalization requires space='log'")
     if baseline:
-        return _T_gcy_normalized(model, disc, dtype=dtype, jit=jit)
+        return _T_gcy_normalized(model, disc, dtype=dtype,
+                                 transcendentals=transcendentals, jit=jit)
     beta, theta = model.beta, model.theta
     B_lam, A2, A3 = _gcy_factors(model, disc)
     Qc, Qhz, Qhzpi = disc.h_c_Q, disc.h_z_Q, disc.h_zpi_Q
@@ -195,19 +197,22 @@ def T_gcy_factory(model: GCY,
                    * A3[:, :, :, None, :, None] * u)
             return 1.0 + beta * hwt ** (1.0 / theta)
     else:
+        from functools import partial
+
         from ..ops.contract import lse_matmul
+        lse = partial(lse_matmul, transcendentals=transcendentals)
         log_A2 = jnp.log(A2)
         log_A3 = jnp.log(A3)
 
         def T(ell):
             # Per-axis log-sum-exp contractions (f32-safe at any range).
             a = theta * ell
-            a = lse_matmul(B_lam, a, "lL,ABCDEL->ABCDEl", 5)
-            a = lse_matmul(Qc, a, "dD,ABCDEl->ABCdEl", 3)
-            a = lse_matmul(Qhz, a, "cC,ABCdEl->ABcdEl", 2)
-            a = lse_matmul(Qhzpi, a, "eE,ABcdEl->ABcdel", 4)
-            a = lse_matmul(zpiP, a, "bB,ABcdel->Abcdel", 1)
-            a = lse_matmul(zP, a, "aA,Abcdel->abcdel", 0)
+            a = lse(B_lam, a, "lL,ABCDEL->ABCDEl", 5)
+            a = lse(Qc, a, "dD,ABCDEl->ABCdEl", 3)
+            a = lse(Qhz, a, "cC,ABCdEl->ABcdEl", 2)
+            a = lse(Qhzpi, a, "eE,ABcdEl->ABcdel", 4)
+            a = lse(zpiP, a, "bB,ABcdel->Abcdel", 1)
+            a = lse(zP, a, "aA,Abcdel->abcdel", 0)
             log_hwt = (a + log_A2[None, None, None, :, None, None]
                        + log_A3[:, :, :, None, :, None])
             return jnp.log1p(beta * jnp.exp(log_hwt / theta))
@@ -263,7 +268,7 @@ def gcy_loglinear_parts(model: GCY, disc: GCYDiscretization) -> dict:
 
 
 def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
-                      jit: bool = True):
+                      transcendentals: str = "accurate", jit: bool = True):
     """Log-space GCY operator with the log-linear baseline folded in.
 
     Six-state analogue of the SSY normalization (see
@@ -274,8 +279,11 @@ def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
     ride the contractions as conditioning batch axes).  Assembled in host
     float64; keeps every device intermediate at O(exp(theta*(ell-ell0))).
     """
+    from functools import partial
+
     from ..models.gcy import gcy_loglinear_factory
     from ..ops.contract import lse_matmul
+    lse = partial(lse_matmul, transcendentals=transcendentals)
 
     theta, beta, gamma = model.theta, model.beta, model.gamma
     work_dtype = dtype or jnp.float32
@@ -349,12 +357,12 @@ def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
 
     def T(ell):
         a = t_c * (ell - ell0_j)
-        a = lse_matmul(M1, a, "lL,ABCDEL->ABCDEl", 5)
-        a = lse_matmul(M2, a, "dD,ABCDEl->ABCdEl", 3)
-        a = lse_matmul(M3, a, "ABEcC,ABCdEl->ABcdEl", 2)
-        a = lse_matmul(M4, a, "ABceE,ABcdEl->ABcdel", 4)
-        a = lse_matmul(M5, a, "AcebB,ABcdel->Abcdel", 1)
-        a = lse_matmul(M6, a, "bceaA,Abcdel->abcdel", 0)
+        a = lse(M1, a, "lL,ABCDEL->ABCDEl", 5)
+        a = lse(M2, a, "dD,ABCDEl->ABCdEl", 3)
+        a = lse(M3, a, "ABEcC,ABCdEl->ABcdEl", 2)
+        a = lse(M4, a, "ABceE,ABcdEl->ABcdel", 4)
+        a = lse(M5, a, "AcebB,ABcdel->Abcdel", 1)
+        a = lse(M6, a, "bceaA,Abcdel->abcdel", 0)
         log_hwt = (t_c * ell0_j + a
                    + log_A2[None, None, None, :, None, None]
                    + log_A3[:, :, :, None, :, None])

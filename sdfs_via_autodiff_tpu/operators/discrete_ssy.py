@@ -154,6 +154,7 @@ def T_ssy_factory(model: SSY,
                   space: str = "w",
                   baseline: Optional[str] = None,
                   dtype=None,
+                  transcendentals: str = "accurate",
                   jit: bool = True) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the Koopmans operator T for the discretized SSY model.
 
@@ -180,7 +181,8 @@ def T_ssy_factory(model: SSY,
     if baseline and space != "log":
         raise ValueError("baseline normalization requires space='log'")
     if baseline:
-        return _T_ssy_normalized(model, disc, dtype=dtype, jit=jit)
+        return _T_ssy_normalized(model, disc, dtype=dtype,
+                                 transcendentals=transcendentals, jit=jit)
     beta, theta = model.beta, model.theta
     B_lam, A2, A3 = _ssy_factors(model, disc)
     Qc, Qhz, zP = disc.h_c_Q, disc.h_z_Q, disc.z_P
@@ -194,7 +196,10 @@ def T_ssy_factory(model: SSY,
             hwt = _hw_theta_factored(v, B_lam, Qc, Qhz, zP, A2, A3)
             return 1.0 + beta * hwt ** (1.0 / theta)
     else:
+        from functools import partial
+
         from ..ops.contract import lse_matmul
+        lse = partial(lse_matmul, transcendentals=transcendentals)
         log_A2 = jnp.log(A2)
         log_A3 = jnp.log(A3)
 
@@ -203,10 +208,10 @@ def T_ssy_factory(model: SSY,
             # range of theta*ell (a single global shift overflows f32 on
             # wide Rouwenhorst grids — see ops/contract.py).
             a = theta * ell
-            a = lse_matmul(B_lam, a, "lm,mkij->lkij", 0)
-            a = lse_matmul(Qc, a, "km,lmij->lkij", 1)
-            a = lse_matmul(Qhz, a, "im,lkmj->lkij", 2)
-            a = lse_matmul(zP, a, "jm,lkim->lkij", 3)
+            a = lse(B_lam, a, "lm,mkij->lkij", 0)
+            a = lse(Qc, a, "km,lmij->lkij", 1)
+            a = lse(Qhz, a, "im,lkmj->lkij", 2)
+            a = lse(zP, a, "jm,lkim->lkij", 3)
             log_hwt = (a + log_A2[None, :, None, None]
                        + log_A3[None, None, :, :])
             return jnp.log1p(beta * jnp.exp(log_hwt / theta))
@@ -293,7 +298,7 @@ def _ssy_normalized_arrays(model: SSY, disc: SSYDiscretization) -> dict:
 
 
 def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
-                      jit: bool = True):
+                      transcendentals: str = "accurate", jit: bool = True):
     """Log-space operator with the log-linear baseline folded in.
 
     With ell0 the (separable) log-linear approximation of log w*, the
@@ -307,7 +312,10 @@ def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
     range.  Matrices are assembled in host float64 (full exponent range)
     and cast.
     """
+    from functools import partial
+
     from ..ops.contract import lse_matmul
+    lse = partial(lse_matmul, transcendentals=transcendentals)
 
     theta, beta = model.theta, model.beta
     work_dtype = dtype or jnp.float32
@@ -330,10 +338,10 @@ def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
 
     def T(ell):
         a = theta_c * (ell - ell0_j)
-        a = lse_matmul(M1, a, "lm,mkij->lkij", 0)
-        a = lse_matmul(M2, a, "km,lmij->lkij", 1)
-        a = lse_matmul(M3, a, "jim,lkmj->lkij", 2)
-        a = lse_matmul(M4, a, "ijm,lkim->lkij", 3)
+        a = lse(M1, a, "lm,mkij->lkij", 0)
+        a = lse(M2, a, "km,lmij->lkij", 1)
+        a = lse(M3, a, "jim,lkmj->lkij", 2)
+        a = lse(M4, a, "ijm,lkim->lkij", 3)
         log_hwt = (theta_c * ell0_j + a
                    + log_A2[None, :, None, None]
                    + log_A3[None, None, :, :])

@@ -87,6 +87,32 @@ class TwoPhaseOperands:
         return self.sub_row is not None
 
 
+def _warn_ssy_f32_envelope(model, disc) -> None:
+    """Warn when theta * (within-column-group log-w span) exceeds exp's
+    f32 range for the plain SSY operands (the GCY builder's guard,
+    specialized: the SSY log-linear solution's (h_z, z) part is separable
+    from the rows, so the span is exact and row-independent)."""
+    import warnings
+
+    from ..models.ssy import ssy_loglinear_factory
+
+    co = ssy_loglinear_factory(model).coefficients
+    h_z = np.asarray(disc.h_z_states, np.float64)
+    phi_i = co["A_hz"] * (h_z * 2 * model.phi_z**2 + model.phi_z**2)
+    psi_ij = co["A_z"] * np.asarray(disc.z_states, np.float64)   # (i, j)
+    col = phi_i[:, None] + psi_ij
+    span = float(col.max() - col.min())
+    if abs(model.theta) * span > 85.0:
+        warnings.warn(
+            f"theta * (within-column-group log-w span) ~ "
+            f"{abs(model.theta) * span:.0f} exceeds float32's exp range "
+            "(~85): the f32 tiled SSY operator will produce -inf/NaN on "
+            "this grid. Use baseline='loglinear', shrink the z / h_z "
+            "axes (Rouwenhorst spans grow like sqrt(n)), use "
+            "discretization='tauchen', or the float64 XLA chain.",
+            stacklevel=3)
+
+
 def two_phase_operands_ssy(model, disc, baseline: Optional[str] = None
                            ) -> TwoPhaseOperands:
     """Two-phase operands for the discrete SSY operator.
@@ -104,6 +130,13 @@ def two_phase_operands_ssy(model, disc, baseline: Optional[str] = None
         add_row = np.broadcast_to(
             np.log(np.asarray(A2, np.float64))[None, :], (n_l, n_k)).copy()
         add_col = np.log(np.asarray(A3, np.float64))
+        # f32 range guard, mirroring the GCY builder's: the column phase
+        # shifts over the joint (h_z, z) group, so if theta * (log-w span
+        # within a column group) exceeds exp's f32 range, whole rows
+        # underflow to exact zero -> -inf/NaN after one application.
+        # The log-linear solution is the span proxy (its column part is
+        # separable from the rows, so the span is row-independent).
+        _warn_ssy_f32_envelope(model, disc)
         return TwoPhaseOperands(
             shapes=disc.shapes,
             W_r1=np.asarray(B_lam, np.float64),
@@ -114,6 +147,30 @@ def two_phase_operands_ssy(model, disc, baseline: Optional[str] = None
     if baseline != "loglinear":
         raise ValueError(f"unknown baseline {baseline!r}")
     arrs = _ssy_normalized_arrays(model, disc)
+    # f32 range guard for the *normalized* operator: the baseline fold
+    # moves the range pressure into the folded factors M3/M4, whose
+    # entries carry exp(theta * Delta psi) weights.  Corner-probability
+    # *underflow* (log-0 entries) is benign — those contributions are
+    # genuinely negligible — but large positive entries eat the exp-range
+    # headroom the LSE accumulations and the iterate's residual
+    # theta*(ell - ell0) need: the NaN NORTHSTAR config (32,32,32,384)
+    # measures log max(M3) ~ 69 (19 log units of headroom, and the
+    # log-linear baseline is itself ~4.4 log units off at those corners,
+    # so theta*residual ~ 70 overflows after one iteration), while known-
+    # good wide grids measure <= ~22.  Warn above 45 — roughly half the
+    # f32 exp range left as headroom.
+    import warnings
+    fac_max = max(float(np.log(arrs["M3"].max())),
+                  float(np.log(arrs["M4"].max())))
+    if fac_max > 45.0:
+        warnings.warn(
+            f"normalized-operator folded factors reach e^{fac_max:.0f}, "
+            "leaving too little float32 exp-range headroom for the "
+            "iterate's residual: the f32 tiled SSY operator is likely to "
+            "produce inf/NaN on this grid. Shrink the z / h_z axes "
+            "(Rouwenhorst ladders span ±sqrt(n-1) sigma), use "
+            "discretization='tauchen' (fixed ±3 sigma span at any point "
+            "count), or the float64 XLA chain.", stacklevel=2)
     sub_row = theta * (arrs["phi_l"][:, None] + arrs["phi_k"][None, :])
     sub_col = theta * (arrs["A0"] + arrs["phi_i"][:, None] + arrs["psi_ij"])
     ell0 = (arrs["A0"] + arrs["phi_l"][:, None, None, None]

@@ -123,9 +123,11 @@ def _log_f32_impl(u):
         acc = acc * s2 + c
     log_m = np.float32(2.0) * s + s * s2 * acc
     out = (k * _LN2_HI + log_m) + k * _LN2_LO
-    # Subnormal/zero/inf/nan inputs: defer to the hardware implementation
-    # (their accuracy is irrelevant at these extremes).
-    ok = (e > 0) & (e < 255)
+    # Subnormal/zero/inf/nan inputs — and negative inputs (sign bit set),
+    # which must keep jnp.log's NaN semantics (the solvers' divergence
+    # guards key on NaN residuals): defer to the hardware implementation
+    # (its accuracy is irrelevant at these extremes).
+    ok = (e > 0) & (e < 255) & (bits >= 0)
     return jnp.where(ok, out, jnp.log(u))
 
 

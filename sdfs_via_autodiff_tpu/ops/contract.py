@@ -22,7 +22,7 @@ __all__ = ["lse_matmul"]
 
 
 def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
-               axis: int) -> jnp.ndarray:
+               axis: int, transcendentals: str = "accurate") -> jnp.ndarray:
     """log of ``einsum(subscripts, M, exp(log_v))`` with a per-slice shift
     over the contracted ``axis`` of ``log_v``.
 
@@ -33,16 +33,28 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     replaced by the matching current-state axis in place).
 
     All entries of ``M`` must be non-negative.
+
+    ``transcendentals``: "accurate" (default) uses the faithfully-rounded
+    software f32 exp/log (``ops/accurate.py``) — the TPU VPU's hardware
+    f32 log is the dominant error source of the whole chain (~1e-4 abs).
+    "fast" uses the hardware ops: in the *unfused* XLA chain the 10+
+    separate software-polynomial VPU passes cost ~6x wall time (the
+    tiled/fused kernels absorb them into DMA slack and keep accurate at
+    no cost) — an escape hatch for speed-over-accuracy runs of the XLA
+    tier.  No-op for float64 either way.
     """
-    from .accurate import accurate_exp, accurate_log
+    if transcendentals == "fast":
+        exp_, log_ = jnp.exp, jnp.log
+    elif transcendentals == "accurate":
+        from .accurate import accurate_exp as exp_, accurate_log as log_
+    else:
+        raise ValueError(f"unknown transcendentals {transcendentals!r}")
 
     m = jnp.max(log_v, axis=axis, keepdims=True)
     # HIGHEST keeps f32 operands in true f32 on the MXU (the TPU default
     # demotes them to one-pass bf16, a measured ~6x loss on the operator's
     # one-application error); these contractions are bandwidth-bound, so
     # the extra multiplier passes are ~free.  No-op for float64.
-    # accurate_exp/log: the TPU VPU's hardware f32 log is the dominant
-    # error source of the whole chain (~1e-4 abs, see ops/accurate.py).
-    u = jnp.einsum(subscripts, M, accurate_exp(log_v - m),
+    u = jnp.einsum(subscripts, M, exp_(log_v - m),
                    precision=jax.lax.Precision.HIGHEST)
-    return m + accurate_log(u)
+    return m + log_(u)

@@ -105,3 +105,14 @@ def test_exp_f32_infinities():
     assert np.isposinf(vals[1])
     assert vals[2] == 0.0
     assert vals[3] > 0.0 or vals[3] == 0.0  # deep subnormal: flush ok
+
+
+def test_log_f32_negative_is_nan():
+    # Negative normal inputs must keep jnp.log's NaN semantics (the
+    # solvers' divergence guards key on NaN residuals), not silently
+    # return log|u| via the polynomial path.
+    u = jnp.asarray([-1.0, -0.5, -1e30, -1e-30, -np.inf], jnp.float32)
+    got = np.asarray(log_f32(u))
+    assert np.all(np.isnan(got)), got
+    # Positive path unaffected.
+    assert np.isfinite(float(log_f32(jnp.float32(2.0))))

@@ -166,3 +166,79 @@ def test_existence_check_matches_dense_eig(setup):
     np.testing.assert_allclose(rep.spectral_radius, r_dense, rtol=1e-7)
     assert rep.exists_unique           # default calibration satisfies it
     assert "exists_unique=True" in repr(rep)
+
+
+def test_discrete_polish_refines_f32_solve():
+    # f32 fast solve -> f64 Newton polish, mirroring the continuous
+    # driver's two-stage recipe (reference default tol 1e-7,
+    # /root/reference/code/solvers.py:16).
+    from sdfs_via_autodiff_tpu import wc_ratio_discrete
+    model = SSY()
+    shapes = (4, 4, 4, 6)
+    sol = wc_ratio_discrete(model, shapes, algorithm="newton", tol=1e-9,
+                            dtype=jnp.float32, polish=True)
+    assert sol.converged
+    ref = wc_ratio_discrete(model, shapes, algorithm="newton", tol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol.w_star),
+                               np.asarray(ref.w_star), atol=1e-6)
+
+
+def test_fast_transcendentals_escape_hatch(setup, rng):
+    # transcendentals="fast" (hardware exp/log in the XLA chain) agrees
+    # with the accurate default to f32-hardware accuracy and is accepted
+    # by the factory; default stays "accurate".
+    model, disc = setup
+    ell = jnp.asarray(rng.standard_normal(SHAPES) * 0.1 + np.log(800.0),
+                      jnp.float32)
+    T_acc = T_ssy_factory(model, disc, space="log", dtype=jnp.float32)
+    T_fast = T_ssy_factory(model, disc, space="log", dtype=jnp.float32,
+                           transcendentals="fast")
+    a, f = np.asarray(T_acc(ell)), np.asarray(T_fast(ell))
+    assert np.max(np.abs(a - f)) < 5e-3       # hardware-log error scale
+    with pytest.raises(ValueError):
+        T_ssy_factory(model, disc, space="log",
+                      transcendentals="wrong")(ell)
+
+
+def test_f32_envelope_warning_wide_rouwenhorst():
+    # The NaN NORTHSTAR config (32,32,32,384)-class grids must warn
+    # upfront from the two-phase operand builders (plain and normalized)
+    # instead of NaN-ing after a full kernel run.  A narrow grid must not
+    # warn.
+    import warnings
+
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        two_phase_operands_ssy)
+    model = SSY()
+    # Plain operands: theta * within-column-group log-w span ~ 129 > 85.
+    wide = discretize_ssy(model, (4, 4, 32, 96))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        two_phase_operands_ssy(model, wide, baseline=None)
+    assert any("exceeds float32" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+    # Normalized operands at the NaN NORTHSTAR z-width class: the folded
+    # M3 factor reaches e^69 — headroom warning fires.
+    very_wide = discretize_ssy(model, (4, 4, 32, 384))
+    with warnings.catch_warnings(record=True) as rec3:
+        warnings.simplefilter("always")
+        two_phase_operands_ssy(model, very_wide, baseline="loglinear")
+    assert any("headroom" in str(w.message) for w in rec3), \
+        [str(w.message) for w in rec3]
+    narrow = discretize_ssy(model, (4, 4, 4, 6))
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        two_phase_operands_ssy(model, narrow, baseline=None)
+        two_phase_operands_ssy(model, narrow, baseline="loglinear")
+    assert not [w for w in rec2 if "float32" in str(w.message)
+                or "headroom" in str(w.message)]
+
+
+def test_f32_tol_floor_is_theta_aware():
+    from sdfs_via_autodiff_tpu.drivers import f32_tol_floor
+    from sdfs_via_autodiff_tpu import GCY
+    assert f32_tol_floor(SSY().theta) == pytest.approx(5e-6, rel=0.1)
+    # GCY's theta = -36 floor is ~2-3e-5 (scale_demo stalled at 2.2e-5,
+    # converges at 3e-5) — the fixed 5e-6 warning missed it.
+    assert 2e-5 < f32_tol_floor(GCY().theta) < 4e-5
+    assert f32_tol_floor(None) == 5e-6
