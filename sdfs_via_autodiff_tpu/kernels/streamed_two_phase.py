@@ -1,0 +1,481 @@
+"""Streamed big-matmul Pallas kernels for the two-phase log-space operators.
+
+Second-generation fast tier (successor of the strip kernels in
+``tiled_two_phase.py`` for operand sets whose c1 factor is a shared
+matrix).  Hardware attribution on v5e showed the round-2 kernels (and a
+naive streamed rewrite) bound not by HBM but by (a) Mosaic's lowering of
+middle-axis einsum contractions into slivers (0.57 ms/application for
+the c1 contraction alone vs 0.14 ms for the leading-axis form) and (b)
+6-pass HIGHEST-precision matmul emulation on small contraction dims.
+These kernels restructure the same math so that every contraction is a
+leading-axis einsum or a minor-axis 2-D dot — the two forms Mosaic
+compiles into full-width MXU work:
+
+    pass B (column phase): natural-layout row strips (TB, I', J'); per-
+        row (fast) or per-axis (lse) shift; one swap to (I', TB, J');
+        the c1 (h_z) contraction as a leading-axis einsum; the c2 (z)
+        contraction as a single minor-axis (I*TB, J) @ (J, J) dot when
+        the factor is shared.  Writes the midway field in (I, R, J)
+        layout — the swap that the contraction needed anyway doubles as
+        the layout change, so pass C needs no input transpose.
+    pass C (row phase): contiguous (TCI, R, J) blocks of the midway
+        field (TCI current-c1 slices, all rows); per-slice z maps as
+        (R, J) @ (J, J) dots when c2 is batched over the current c1
+        index (continuous SSY); both row contractions as leading-axis
+        einsums around a VMEM swapaxes; separable epilogue -> log T(w),
+        natural layout.
+
+``precision="3x"`` evaluates every contraction as three native-bf16
+MXU passes on hi/lo operand splits (the bf16_3x scheme: a*b ~ ah*bh +
+ah*bl + al*bh with ah = bf16(a), al = bf16(a - ah); the dropped al*bl
+term and split residuals are O(2^-17) relative, and all contraction
+terms here are positive so there is no cancellation amplification) —
+about half the cost of HIGHEST's six passes at near-f32 accuracy.
+
+Exactly two HBM passes of the field per application, layout-stable
+natural input/output.  Reference semantics: the same two-phase operand
+algebra as ``operators/two_phase.py`` (discrete ``T_ssy``,
+``/root/reference/code/ssy/discrete/ssy_wc_ratio.py:82-151``; continuous
+quadrature ``ssy_wc_ratio_continuous.py:125-153``).
+
+Coverage: requires a *shared* (non-batched) c1 factor and a column
+group small enough for whole-(I, J) row strips (true for every SSY
+operand set; the GCY Kronecker grouping's 512x256 column group exceeds
+the strip budget and stays on the round-2 kernels, as does the
+batched-c1 normalized discrete SSY set).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..operators.two_phase import TwoPhaseOperands, make_xla_two_phase_T
+from ..ops.accurate import _exp_f32_impl, _log_f32_impl, _log1p_f32_impl
+
+__all__ = ["make_streamed_T_log", "streamed_supported", "build_b_call",
+           "build_c_call"]
+
+_TRX = {"fast": (jnp.exp, jnp.log, jnp.log1p),
+        "accurate": (_exp_f32_impl, _log_f32_impl, _log1p_f32_impl)}
+
+_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
+              "default": jax.lax.Precision.DEFAULT,
+              "3x": "3x"}
+
+
+def _i32(v):
+    return jnp.asarray(v, jnp.int32)
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_p(A, B, prec):
+    """2-D dot with precision control; ``prec == "3x"`` runs three
+    native-bf16 passes on hi/lo splits (see module docstring).  2-D only:
+    Mosaic cannot shape-cast bf16 vectors, so the callers flatten in f32
+    *before* the casts."""
+    if prec == "3x":
+        Ah, Al = _split_bf16(A)
+        Bh, Bl = _split_bf16(B)
+        d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+        return d(Ah, Bh) + d(Ah, Bl) + d(Al, Bh)
+    return jnp.dot(A, B, preferred_element_type=jnp.float32, precision=prec)
+
+
+def _contract_lead(W, v3, prec):
+    """Contract the leading axis of ``v3`` (m, a, b) with ``W`` (i, m) ->
+    (i, a, b), as an explicit f32 flatten + one 2-D dot (the form Mosaic
+    compiles into a single full-width MXU chain; measured ~4x faster
+    than the middle-axis einsum form, and bf16-split compatible)."""
+    m, a, b = v3.shape
+    out = _dot_p(W, v3.reshape(m, a * b), prec)
+    return out.reshape(W.shape[0], a, b)
+
+
+# Scoped-VMEM budgets (bytes) for one strip/block: the kernels keep
+# ~12-14x the block live (exp/log temporaries, matmul scratch,
+# double-buffered I/O) against Mosaic's 16 MB scoped-vmem limit —
+# measured 21.75 MB at a 1.57 MB pass-B block on v5e, so ~0.9 MB is the
+# sweet spot.
+_B_BLOCK_BYTES = 940_000
+_C_BLOCK_BYTES = 940_000
+
+
+def streamed_supported(ops: TwoPhaseOperands) -> bool:
+    """True when the streamed kernels cover this operand set: shared c1
+    factor and a column group that fits row strips in VMEM."""
+    n_r1, n_r2, n_c1, n_c2 = ops.shapes
+    if ops.c1_batched:
+        return False
+    unit = n_c1 * n_c2 * 4
+    if 8 * unit > _B_BLOCK_BYTES:          # TB >= 8 rows must fit
+        return False
+    if n_r2 % 8:
+        # pass C's free (R, TC) <-> (n_r1, n_r2, TC) reshape splits the
+        # sublane dim R into (n_r1, n_r2): layout-trivial only when the
+        # new sublane dim n_r2 is tile-aligned; SSY grids (56) qualify.
+        return False
+    # Pass C needs a 128-aligned column block (Mosaic's minor-merge rule
+    # applies to the row-contraction flattens too) that fits the VMEM
+    # budget with all rows present.
+    R = n_r1 * n_r2
+    C = n_c1 * n_c2
+    TC = _pick_tc(R, C, n_c2, ops.c2_batched)
+    if TC % 128:
+        return False
+    if R * TC * 4 > 4 * _C_BLOCK_BYTES:
+        return False
+    if ops.c2_batched and (TC % n_c2 or (n_c1 % (TC // n_c2))):
+        return False
+    return True
+
+
+def _pick(n: int, cap: int, mult: int = 1) -> int:
+    best = best_aligned = 0
+    for d in range(1, n + 1):
+        if n % d == 0 and d <= cap:
+            best = d
+            if d % mult == 0:
+                best_aligned = d
+    return best_aligned or best or 1
+
+
+def _b_kernel(theta, prec, trx, mode, has_sub, c2_here, *refs):
+    """Column phase.  refs: ell, W_c1, [W_c2], [sub_row, sub_col]
+    -> mid (TB, I, J) natural [+ s (TB, 1) in fast mode].
+
+    The c1 contraction runs through the minor-axis form: a minor-pair
+    swapaxes brings I' last, a (free) leading merge makes the operand
+    2-D, and one dot contracts it — the only forms Mosaic lowers to
+    full-width MXU work here (minor-dim merges need 128-multiple minors,
+    which J = n_z usually is not; middle-axis einsums cost ~4x,
+    measured)."""
+    _exp, _log, _ = _TRX[trx]
+    idx = 0
+    ell_ref = refs[idx]; idx += 1
+    wc1_ref = refs[idx]; idx += 1
+    wc2_ref = None
+    if c2_here:
+        wc2_ref = refs[idx]; idx += 1
+    if has_sub:
+        subr_ref = refs[idx]; subc_ref = refs[idx + 1]; idx += 2
+    out = refs[idx:]
+
+    a = theta * ell_ref[:]                                   # (TB, I', J')
+    if has_sub:
+        a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
+    TB, I, J = a.shape
+
+    def c1_minor(e):
+        # (TB, I', J') -> contract I': swap minor pair, lead-merge, dot.
+        v = jnp.swapaxes(e, 1, 2)                            # (TB, J', I')
+        u = _dot_p(v.reshape(TB * J, I), wc1_ref[:].T, prec)
+        return jnp.swapaxes(u.reshape(TB, J, I), 1, 2)       # (TB, I, J')
+
+    def c2_minor(e):
+        # J' is already minor: lead-merge + dot.
+        return _dot_p(e.reshape(TB * I, J), wc2_ref[:].T,
+                      prec).reshape(TB, I, J)
+
+    if mode == "fast":
+        s = jnp.max(jnp.max(a, axis=2, keepdims=True), axis=1,
+                    keepdims=True)                           # (TB, 1, 1)
+        u = c1_minor(_exp(a - s))
+        if c2_here:
+            u = c2_minor(u)
+        out[0][:] = u
+        out[1][:] = s[:, :, 0]
+    else:
+        m = jnp.max(a, axis=1, keepdims=True)                # over I'
+        a = m + _log(c1_minor(_exp(a - m)))
+        if c2_here:
+            m = jnp.max(a, axis=2, keepdims=True)
+            a = m + _log(c2_minor(_exp(a - m)))
+        out[0][:] = a                                        # log domain
+
+
+def _c_kernel(theta, beta, prec, trx, mode, shapes, TC, c2_batched,
+              *refs):
+    """Row phase on (R, TC) blocks of the natural midway field (TC
+    128-aligned; for batched c2, TC groups TC/J current-c1 slices whose
+    z maps are one block-diagonal (TC, TC) dot).  refs: mid, [scale],
+    [Z block-diag], W_r1, W_r2, add_row, add_col strip, [S] -> out."""
+    _exp, _log, _log1p = _TRX[trx]
+    L, K, I, J = shapes
+    R = L * K
+    idx = 0
+    mid_ref = refs[idx]; idx += 1
+    if mode == "fast":
+        scale_ref = refs[idx]; idx += 1
+    z_ref = None
+    if c2_batched:
+        z_ref = refs[idx]; idx += 1
+    wr1_ref = refs[idx]; wr2_ref = refs[idx + 1]
+    addr_ref = refs[idx + 2]; addc_ref = refs[idx + 3]
+    idx += 4
+    if mode == "fast":
+        S_ref = refs[idx]; idx += 1
+    out_ref = refs[idx]
+
+    a = mid_ref[:]                                           # (R, TC)
+
+    def zdot(e):
+        return _dot_p(e, z_ref[0].T, prec)                   # (R, TC)
+
+    if mode == "fast":
+        e = a * scale_ref[:]
+        if c2_batched:
+            e = zdot(e)
+        v = e.reshape(L, K, TC)
+        v = _contract_lead(wr1_ref[:], v, prec)
+        v = jnp.swapaxes(v, 0, 1)                            # (K', L, TC)
+        v = _contract_lead(wr2_ref[:], v, prec)
+        v = jnp.swapaxes(v, 0, 1)                            # (L, K, TC)
+        lh = _log(v) + S_ref[0]
+    else:
+        if c2_batched:
+            # Joint shift per row over the TC-column group (coarser than
+            # per-slice but still exact LSE renormalization).
+            m = jnp.max(a, axis=1, keepdims=True)
+            a = m + _log(zdot(_exp(a - m)))
+        v = a.reshape(L, K, TC)
+        m = jnp.max(v, axis=0, keepdims=True)
+        v = m + _log(_contract_lead(wr1_ref[:], _exp(v - m), prec))
+        v = jnp.swapaxes(v, 0, 1)                            # (K', L, TC)
+        m = jnp.max(v, axis=0, keepdims=True)
+        v = m + _log(_contract_lead(wr2_ref[:], _exp(v - m), prec))
+        lh = jnp.swapaxes(v, 0, 1)                           # (L, K, TC)
+    lh = lh + addr_ref[:][:, :, None] + addc_ref[:][0][None, None, :]
+    out_ref[:] = _log1p(beta * _exp(lh / theta)).reshape(R, TC)
+
+
+def build_b_call(*, R_rows: int, I: int, J: int, theta: float, prec, trx,
+                 mode: str, has_sub: bool, c2_here: bool, dtype,
+                 interpret: bool = False):
+    """Pass-B ``pallas_call`` over ``R_rows`` field rows (full columns),
+    natural layout in and out.
+
+    Row-local: builds the per-shard column phase for the sharded tier
+    (``parallel/shard_ops.streamed_shard_map_factory``) as well as the
+    single-device phase.  Returns ``(call, TB)``.
+    """
+    TB = _pick(R_rows, max(1, _B_BLOCK_BYTES // (I * J * 4)), mult=8)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda c, _n=len(shape): tuple(_i32(0) for _ in range(_n)),
+        memory_space=pltpu.VMEM)
+    strip = pl.BlockSpec((TB, I, J),
+                         lambda t: (_i32(t), _i32(0), _i32(0)),
+                         memory_space=pltpu.VMEM)
+    rowvec = pl.BlockSpec((TB, 1), lambda t: (_i32(t), _i32(0)),
+                          memory_space=pltpu.VMEM)
+    in_specs = [strip, full((I, I))]
+    if c2_here:
+        in_specs.append(full((J, J)))
+    if has_sub:
+        in_specs += [rowvec, full((I, J))]
+    fast = mode == "fast"
+    out_shape = ((jax.ShapeDtypeStruct((R_rows, I, J), dtype),
+                  jax.ShapeDtypeStruct((R_rows, 1), dtype)) if fast
+                 else jax.ShapeDtypeStruct((R_rows, I, J), dtype))
+    out_specs = (strip, rowvec) if fast else strip
+    call = pl.pallas_call(
+        partial(_b_kernel, theta, prec, trx, mode, has_sub, c2_here),
+        grid=(R_rows // TB,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )
+    return call, TB
+
+
+def _pick_tc(R: int, C: int, J: int, c2_batched: bool) -> int:
+    """Pass-C column-block width: 128-aligned (Mosaic's minor-merge rule)
+    and, for batched c2, a multiple of J so blocks hold whole slices."""
+    unit = int(np.lcm(J, 128)) if c2_batched else 128
+    if C % unit:
+        return C                       # single whole-C block (small C)
+    cap = max(1, _C_BLOCK_BYTES // (R * 4 * unit))
+    return unit * _pick(C // unit, cap)
+
+
+def build_c_call(*, shapes, C_cols: int, theta: float, beta: float, prec,
+                 trx, mode: str, c2_batched: bool, dtype,
+                 interpret: bool = False):
+    """Pass-C ``pallas_call`` over ``C_cols`` field columns (full rows),
+    natural (R, C_cols) in and out.
+
+    Column-local (the sharded tier's per-shard row phase).  For batched
+    c2 the caller passes the block-diagonal z maps built by
+    :func:`blockdiag_z`.  Returns ``(call, TC)``.
+    """
+    L, K, I, J = shapes
+    R = L * K
+    TC = _pick_tc(R, C_cols, J, c2_batched)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda c, _n=len(shape): tuple(_i32(0) for _ in range(_n)),
+        memory_space=pltpu.VMEM)
+    colstrip = pl.BlockSpec((R, TC), lambda c: (_i32(0), _i32(c)),
+                            memory_space=pltpu.VMEM)
+    fast = mode == "fast"
+    in_specs = [colstrip]
+    if fast:
+        in_specs.append(full((R, 1)))
+    if c2_batched:
+        in_specs.append(pl.BlockSpec(
+            (1, TC, TC), lambda c: (_i32(c), _i32(0), _i32(0)),
+            memory_space=pltpu.VMEM))
+    in_specs += [full((L, L)), full((K, K)), full((L, K)),
+                 pl.BlockSpec((1, TC), lambda c: (_i32(0), _i32(c)),
+                              memory_space=pltpu.VMEM)]
+    if fast:
+        # Explicit shape + i32 index map: a default SMEM spec's identity
+        # map traces i64 under the package x64 config, which Mosaic
+        # cannot legalize.
+        in_specs.append(pl.BlockSpec((1,), lambda c: (_i32(0),),
+                                     memory_space=pltpu.SMEM))
+    call = pl.pallas_call(
+        partial(_c_kernel, theta, beta, prec, trx, mode, shapes, TC,
+                c2_batched),
+        grid=(C_cols // TC,),
+        out_shape=jax.ShapeDtypeStruct((R, C_cols), dtype),
+        in_specs=in_specs,
+        out_specs=colstrip,
+        interpret=interpret,
+    )
+    return call, TC
+
+
+def blockdiag_z(W_c2: np.ndarray, TC: int) -> np.ndarray:
+    """Group the batched (I, J, J) c2 factors into block-diagonal
+    (TC, TC) maps, one per pass-C block: TC/J whole slices per block, so
+    the per-slice z maps become a single full-width dot with the zero
+    padding the MXU would spend on a J-wide contraction anyway."""
+    I, J, _ = W_c2.shape
+    g = TC // J
+    n_blocks = I // g
+    Z = np.zeros((n_blocks, TC, TC), np.float64)
+    for b in range(n_blocks):
+        for ci in range(g):
+            sl = slice(ci * J, (ci + 1) * J)
+            Z[b, sl, sl] = np.asarray(W_c2[b * g + ci], np.float64)
+    return Z
+
+
+def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
+                        mode: str = "auto", precision: str = "3x",
+                        transcendentals: str = "accurate",
+                        interpret: bool = False) -> Callable:
+    """Streamed two-pass operator from a two-phase operand set.
+
+    Maps ell (4-D grid field, natural layout) -> log T(w); differentiable
+    via a custom JVP through the XLA twin (``T.xla_twin``), like the
+    round-2 kernels.
+
+    mode "fast": one shift per field row (exact whenever the iterate's
+    theta-range within a row fits exp's f32 range — plain SSY operands);
+    "lse": per-axis log-sum-exp shifts (safe at any range — required for
+    baseline-normalized operands whose folded factors the LSE steps
+    renormalize); "auto" picks "fast" for plain operand sets.
+
+    precision: "3x" (default — three native-bf16 passes on hi/lo splits,
+    ~2^-17 relative contraction error at half HIGHEST's cost),
+    "highest" (six passes, full f32), or "default" (one bf16 pass,
+    ~1e-3 accuracy — throughput experiments only).
+    """
+    if dtype != jnp.float32:
+        raise ValueError("streamed kernels are the float32 tier")
+    if not streamed_supported(ops):
+        raise ValueError("operand set not covered by the streamed "
+                         "kernels (batched c1 factor or oversized column "
+                         "group); use make_tiled_T_log")
+    if mode == "auto":
+        mode = "lse" if ops.has_sub else "fast"
+    if mode not in ("fast", "lse"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if transcendentals not in _TRX:
+        raise ValueError(f"unknown transcendentals {transcendentals!r}")
+    if precision not in _PRECISION:
+        raise ValueError(f"unknown precision {precision!r}")
+    prec = _PRECISION[precision]
+    trx = transcendentals
+    L, K, I, J = ops.shapes
+    R, C = L * K, I * J
+    theta_f = float(ops.theta)
+    beta_f = float(ops.beta)
+    c2_batched = ops.c2_batched
+
+    cast = lambda a: jnp.asarray(a, dtype)
+    W_r1, W_r2, W_c1 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1))
+    W_c2 = cast(ops.W_c2)
+    add_row = cast(ops.add_row)
+    add_colC = cast(np.asarray(ops.add_col, np.float64).reshape(1, C))
+    has_sub = ops.has_sub
+    if has_sub:
+        sub_row = cast(np.asarray(ops.sub_row, np.float64).reshape(R, 1))
+        sub_col = cast(ops.sub_col)
+
+    fast = mode == "fast"
+    b_args = [W_c1]
+    if not c2_batched:
+        b_args.append(W_c2)
+    if has_sub:
+        b_args += [sub_row, sub_col]
+    b_call, TB = build_b_call(R_rows=R, I=I, J=J, theta=theta_f, prec=prec,
+                              trx=trx, mode=mode, has_sub=has_sub,
+                              c2_here=not c2_batched, dtype=dtype,
+                              interpret=interpret)
+    c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C, theta=theta_f,
+                              beta=beta_f, prec=prec, trx=trx, mode=mode,
+                              c2_batched=c2_batched, dtype=dtype,
+                              interpret=interpret)
+    Z2 = (cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
+          if c2_batched else None)
+
+    def _primal(ell):
+        ell = ell.astype(dtype).reshape(R, I, J)
+        if fast:
+            mid, s = b_call(ell, *b_args)
+            S = jnp.max(s)
+            scale = _TRX[trx][0](s - S)
+            args = [mid.reshape(R, C), scale]
+            if c2_batched:
+                args.append(Z2)
+            args += [W_r1, W_r2, add_row, add_colC, S.reshape(1)]
+        else:
+            mid = b_call(ell, *b_args)
+            args = [mid.reshape(R, C)]
+            if c2_batched:
+                args.append(Z2)
+            args += [W_r1, W_r2, add_row, add_colC]
+        return c_call(*args).reshape(ops.shapes)
+
+    xla_twin = make_xla_two_phase_T(ops, dtype)
+
+    @jax.custom_jvp
+    def T(ell):
+        return _primal(ell)
+
+    @T.defjvp
+    def _jvp(primals, tangents):
+        (ell,), (dell,) = primals, tangents
+        dout = jax.jvp(xla_twin, (ell,), (dell,))[1]
+        return _primal(ell), dout
+
+    T.xla_twin = xla_twin
+    T.strip_sizes = (TB, TC)
+    T.mode = mode
+    if ops.baseline_log_w is not None:
+        T.baseline_log_w = cast(ops.baseline_log_w)
+    return T

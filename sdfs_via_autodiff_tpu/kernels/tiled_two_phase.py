@@ -279,8 +279,15 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                      transcendentals: str = "accurate",
                      strip_bytes: int = _STRIP_BYTES,
                      lazy_bytes: int = 6 * 1024 * 1024,
+                     engine: str = "auto",
                      interpret: bool = False) -> Callable:
     """Tiled two-pass Pallas operator from a two-phase operand set.
+
+    ``engine``: "auto" dispatches to the streamed big-matmul kernels
+    (``streamed_two_phase.py`` — measured ~3x the strip kernels'
+    throughput at 10^7 points) whenever they cover the operand set, and
+    falls back to the strip kernels here otherwise; "strip" / "streamed"
+    force a tier.
 
     Maps ell (4-D grid field) -> log T(w); differentiable via a custom JVP
     whose tangent runs through the XLA twin (transposable, so reverse-mode
@@ -301,6 +308,20 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     if dtype != jnp.float32:
         raise ValueError("tiled kernels are the float32 tier; use the XLA "
                          "operators for float64")
+    if engine not in ("auto", "strip", "streamed"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine != "strip":
+        from .streamed_two_phase import (make_streamed_T_log,
+                                         streamed_supported)
+        if streamed_supported(ops):
+            return make_streamed_T_log(ops, dtype=dtype, mode=mode,
+                                       precision=precision,
+                                       transcendentals=transcendentals,
+                                       interpret=interpret)
+        if engine == "streamed":
+            raise ValueError("operand set not covered by the streamed "
+                             "kernels (batched c1 factor or oversized "
+                             "column group)")
     if mode == "auto":
         mode = "lse" if ops.has_sub else "fast"
     if mode not in ("lse", "fast"):

@@ -33,7 +33,185 @@ from jax import shard_map
 from ..models.ssy import SSY
 from ..operators.discrete_ssy import SSYDiscretization, _ssy_factors
 
-__all__ = ["T_ssy_shard_map_factory", "two_phase_shard_map_factory"]
+__all__ = ["T_ssy_shard_map_factory", "two_phase_shard_map_factory",
+           "streamed_shard_map_factory"]
+
+
+def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
+                               dtype=None, mode: str = "auto",
+                               precision: str = "3x",
+                               transcendentals: str = "accurate",
+                               interpret: bool = False) -> Callable:
+    """Multi-device *Pallas fast tier*: the streamed big-matmul kernels
+    (``kernels/streamed_two_phase.py``) composed over an ICI mesh.
+
+    The two passes have opposite locality, so the composition is
+    shard-local kernels + two all-to-all reshards:
+
+        field sharded over the leading row axis (n_r1) on the mesh ->
+        pass B (column phase) runs the per-shard single-device kernel on
+        local rows (columns are complete per shard);
+        all_to_all reshards rows -> columns (each device trades its
+        column blocks for the full row range of its column shard);
+        pass C (z maps + row phase + epilogue) runs the per-shard kernel
+        on local columns (rows complete);
+        all_to_all reshards back, keeping the operator layout-stable.
+
+    The only other collectives are scalar/vector-sized: a pmax for the
+    global shift S and an all_gather of the (R, 1) per-row scales (fast
+    mode).  Per-device HBM traffic is the single-chip kernels' on 1/n of
+    the field; ICI carries 2 * (n-1)/n of a field pass per application.
+    Per-row/per-column math is identical to the single-device kernels,
+    so results are bit-equal (asserted in tests/test_sharding.py).
+
+    Differentiable via a custom JVP whose tangent runs through the GSPMD
+    XLA twin.  Requires n_r1 and n_c1 divisible by the total mesh size.
+    """
+    import numpy as np
+
+    from ..kernels.streamed_two_phase import (_PRECISION, _TRX,
+                                              blockdiag_z, build_b_call,
+                                              build_c_call,
+                                              streamed_supported)
+    from ..operators.two_phase import make_xla_two_phase_T
+
+    if not streamed_supported(ops):
+        raise ValueError("operand set not covered by the streamed kernels")
+    if axis_names is None:
+        axis_names = tuple(mesh.axis_names)
+    elif isinstance(axis_names, str):
+        axis_names = (axis_names,)
+    else:
+        axis_names = tuple(axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in axis_names]))
+    L, K, I, J = ops.shapes
+    R, C = L * K, I * J
+    if L % n_dev or I % n_dev:
+        raise ValueError(
+            f"row axis n_r1={L} and column axis n_c1={I} must divide the "
+            f"mesh size {n_dev}")
+    L_loc, I_loc = L // n_dev, I // n_dev
+    R_loc, C_loc = L_loc * K, I_loc * J
+
+    if mode == "auto":
+        mode = "lse" if ops.has_sub else "fast"
+    fast = mode == "fast"
+    prec = _PRECISION[precision]
+    trx = transcendentals
+    work = dtype or jnp.float32
+    theta_f, beta_f = float(ops.theta), float(ops.beta)
+    cast = lambda a: jnp.asarray(a, work)
+
+    W_r1, W_r2, W_c1 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1))
+    W_c2 = cast(ops.W_c2)
+    add_row = cast(ops.add_row)
+    add_colC = cast(np.asarray(ops.add_col, np.float64).reshape(1, C))
+    c2_batched = ops.c2_batched
+    has_sub = ops.has_sub
+    if has_sub:
+        sub_row = cast(np.asarray(ops.sub_row, np.float64).reshape(R, 1))
+        sub_col = cast(ops.sub_col)
+
+    b_call, _ = build_b_call(R_rows=R_loc, I=I, J=J, theta=theta_f,
+                             prec=prec, trx=trx, mode=mode, has_sub=has_sub,
+                             c2_here=not c2_batched, dtype=work,
+                             interpret=interpret)
+    c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C_loc,
+                              theta=theta_f, beta=beta_f, prec=prec,
+                              trx=trx, mode=mode, c2_batched=c2_batched,
+                              dtype=work, interpret=interpret)
+    if TC % 128 and not interpret:
+        raise ValueError(
+            f"per-shard column range C/n = {C_loc} has no 128-aligned "
+            "block decomposition (Mosaic's minor-merge rule): choose "
+            "grid sizes with (n_c1*n_c2) % (128*mesh_size) == 0, or a "
+            "smaller mesh")
+    Z2 = (cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
+          if c2_batched else None)
+
+    exp_ = _TRX[trx][0]
+    names = axis_names if len(axis_names) > 1 else axis_names[0]
+
+    def local_T(ell_loc, W_c1_, W_c2_, Z2_loc, W_r1_, W_r2_, add_row_,
+                addc_loc, *maybe_sub):
+        # ell_loc: (L_loc, K, I, J)
+        b_args = [W_c1_]
+        if not c2_batched:
+            b_args.append(W_c2_)
+        if has_sub:
+            sub_row_loc, sub_col_ = maybe_sub
+            b_args += [sub_row_loc.reshape(R_loc, 1), sub_col_]
+        x = ell_loc.astype(work).reshape(R_loc, I, J)
+        if fast:
+            mid, s = b_call(x, *b_args)
+            S = lax.pmax(jnp.max(s), names)
+            scale_loc = exp_(s - S)
+            scale = lax.all_gather(scale_loc, names, axis=0, tiled=True)
+        else:
+            mid = b_call(x, *b_args)
+        # mid (R_loc, C) -> (R, C_loc): trade column blocks for the
+        # full row range of the local column shard.
+        midv = lax.all_to_all(mid.reshape(R_loc, C), names, split_axis=1,
+                              concat_axis=0, tiled=True)
+        c_args = [midv]
+        if fast:
+            c_args.append(scale)
+        if c2_batched:
+            c_args.append(Z2_loc)
+        c_args += [W_r1_, W_r2_, add_row_, addc_loc]
+        if fast:
+            c_args.append(S.reshape(1))
+        out_v = c_call(*c_args)                               # (R, C_loc)
+        out = lax.all_to_all(out_v, names, split_axis=0, concat_axis=1,
+                             tiled=True)                      # (R_loc, C)
+        return out.reshape(L_loc, K, I, J)
+
+    spec = PartitionSpec(axis_names, None, None, None)
+    rep = lambda a: PartitionSpec(*(None,) * a.ndim)
+    # Column-sharded operands feed pass C (the block-diagonal z maps
+    # over their leading block index; the add_col strip over columns).
+    if Z2 is None:
+        Z2 = jnp.zeros((n_dev, 1, 1), work)    # placeholder, unused
+        z2_spec = PartitionSpec(axis_names, None, None)
+    else:
+        z2_spec = PartitionSpec(axis_names, None, None)
+    in_specs = [spec, rep(W_c1), rep(W_c2), z2_spec, rep(W_r1), rep(W_r2),
+                rep(add_row), PartitionSpec(None, axis_names)]
+    args = [W_c1, W_c2, Z2, W_r1, W_r2, add_row, add_colC]
+    if has_sub:
+        # sub_row is per-row (sharded with the field); sub_col feeds the
+        # row-local pass B, whose columns are complete -> replicated.
+        in_specs += [PartitionSpec(axis_names, None), rep(sub_col)]
+        args += [sub_row, sub_col]
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+    # axes annotation, so shard_map's VMA checker cannot type it.
+    mapped = shard_map(local_T, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=spec, check_vma=False)
+
+    xla_twin = make_xla_two_phase_T(ops, work)
+
+    def _primal(ell):
+        return mapped(ell.astype(work), *args)
+
+    @jax.custom_jvp
+    def T(ell):
+        return _primal(ell)
+
+    @T.defjvp
+    def _jvp(primals, tangents):
+        (ell,), (dell,) = primals, tangents
+        dout = jax.jvp(xla_twin_4d, (ell,), (dell,))[1]
+        return _primal(ell), dout
+
+    def xla_twin_4d(ell):
+        return xla_twin(ell.reshape(R, I, J)).reshape(ops.shapes)
+
+    T.input_sharding = NamedSharding(mesh, spec)
+    T.mode = mode
+    T.xla_twin = xla_twin_4d
+    if ops.baseline_log_w is not None:
+        T.baseline_log_w = cast(ops.baseline_log_w)
+    return jax.jit(T)
 
 
 def two_phase_shard_map_factory(ops, mesh: Mesh,

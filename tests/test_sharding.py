@@ -293,3 +293,81 @@ def test_gcy_kron_two_phase_shard_map_matches_single_device(rng):
                        max_iter=30)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_single.x),
                                atol=1e-9, rtol=0)
+
+
+@needs_devices
+class TestStreamedShardMap:
+    """The Pallas fast tier composed over the mesh (VERDICT round-2 #2):
+    shard-local streamed kernels + two all-to-all reshards."""
+
+    SHAPES = (8, 8, 8, 16)
+
+    def _mesh(self):
+        return make_mesh(8)
+
+    def test_discrete_plain_matches_single_device(self, rng):
+        from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+            make_streamed_T_log)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            streamed_shard_map_factory)
+        model = SSY()
+        disc = discretize_ssy(model, self.SHAPES)
+        ops = two_phase_operands_ssy(model, disc)
+        mesh = self._mesh()
+        T_sharded = streamed_shard_map_factory(ops, mesh, interpret=True)
+        assert T_sharded.mode == "fast"
+        T_single = make_streamed_T_log(ops, interpret=True)
+        ell = jnp.asarray(
+            np.log(800.0) + 0.05 * rng.standard_normal(self.SHAPES),
+            jnp.float32)
+        ell_sh = jax.device_put(ell, T_sharded.input_sharding)
+        got = np.asarray(T_sharded(ell_sh))
+        want = np.asarray(T_single(ell))
+        # Per-row / per-column math is identical and reshards only move
+        # data; the only divergence is contraction blocking for the
+        # different strip widths (~1 ulp on a handful of elements).
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_continuous_normalized_matches_single_device(self, rng):
+        from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+            make_streamed_T_log)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy_continuous)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            streamed_shard_map_factory)
+        model = SSY()
+        grids = build_grid_ssy(model, *self.SHAPES)
+        ops = two_phase_operands_ssy_continuous(model, grids, 3,
+                                                baseline="loglinear")
+        assert ops.c2_batched and ops.has_sub
+        mesh = self._mesh()
+        T_sharded = streamed_shard_map_factory(ops, mesh, interpret=True)
+        assert T_sharded.mode == "lse"
+        T_single = make_streamed_T_log(ops, interpret=True)
+        ell = jnp.asarray(T_single.baseline_log_w, jnp.float32) + \
+            jnp.asarray(0.02 * rng.standard_normal(self.SHAPES), jnp.float32)
+        ell_sh = jax.device_put(ell, T_sharded.input_sharding)
+        np.testing.assert_allclose(np.asarray(T_sharded(ell_sh)),
+                                   np.asarray(T_single(ell)), atol=1e-6)
+
+    def test_newton_solve_through_sharded_streamed(self):
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            streamed_shard_map_factory)
+        model = SSY()
+        disc = discretize_ssy(model, self.SHAPES)
+        ops = two_phase_operands_ssy(model, disc)
+        T = streamed_shard_map_factory(ops, self._mesh(), interpret=True)
+        x0 = jax.device_put(
+            jnp.full(self.SHAPES, jnp.log(800.0), jnp.float32),
+            T.input_sharding)
+        res = solve(T, x0, method="newton", tol=2e-5)
+        assert bool(res.converged)
+        ref = solve(T_ssy_factory(model, disc, space="log"),
+                    jnp.full(self.SHAPES, jnp.log(800.0)), method="newton",
+                    tol=1e-11)
+        np.testing.assert_allclose(np.asarray(res.x, np.float64),
+                                   np.asarray(ref.x), atol=2e-4)

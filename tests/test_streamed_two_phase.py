@@ -1,0 +1,128 @@
+"""Streamed two-pass operator: agreement with the XLA operators + autodiff.
+
+Interpret-mode twins of the hardware kernels (see
+``kernels/streamed_two_phase.py``); oracle is the f64 per-axis operator
+chain, itself validated against loop oracles and dense H.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import SSY, discretize_ssy, T_ssy_factory, solve
+from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+    make_streamed_T_log, streamed_supported)
+from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+    T_ssy_continuous_factory, build_grid_ssy)
+from sdfs_via_autodiff_tpu.operators.two_phase import (
+    two_phase_operands_ssy, two_phase_operands_ssy_continuous)
+
+SHAPES = (4, 8, 6, 64)
+
+
+def _rand_ell(shapes, seed=0, scale=0.05):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(np.log(800.0) + scale * rng.standard_normal(shapes))
+
+
+@pytest.fixture(scope="module")
+def ssy_disc():
+    model = SSY()
+    return model, discretize_ssy(model, SHAPES)
+
+
+@pytest.fixture(scope="module")
+def ssy_grids():
+    model = SSY()
+    return model, build_grid_ssy(model, *SHAPES)
+
+
+class TestDiscreteSSY:
+    @pytest.mark.parametrize("mode", ["fast", "lse"])
+    def test_matches_reference_operator(self, ssy_disc, mode):
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc)
+        assert streamed_supported(ops)
+        T = make_streamed_T_log(ops, mode=mode, interpret=True)
+        T_ref = T_ssy_factory(model, disc, space="log")
+        ell = _rand_ell(SHAPES)
+        np.testing.assert_allclose(
+            np.asarray(T(ell), np.float64),
+            np.asarray(T_ref(jnp.asarray(ell, jnp.float64))),
+            atol=5e-6)
+
+    def test_auto_mode_is_fast_for_plain(self, ssy_disc):
+        model, disc = ssy_disc
+        T = make_streamed_T_log(two_phase_operands_ssy(model, disc),
+                                interpret=True)
+        assert T.mode == "fast"
+
+    def test_jvp_through_twin(self, ssy_disc):
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc)
+        T = make_streamed_T_log(ops, interpret=True)
+        ell = jnp.asarray(_rand_ell(SHAPES), jnp.float32)
+        v = jnp.asarray(_rand_ell(SHAPES, seed=1), jnp.float32) * 0.01
+        got = jax.jvp(T, (ell,), (v,))[1]
+        want = jax.jvp(T.xla_twin, (ell,), (v,))[1]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+        # reverse mode works (tangent is transposable)
+        g = jax.grad(lambda x: jnp.sum(T(x)))(ell)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_solve_through_streamed(self, ssy_disc):
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc)
+        T = make_streamed_T_log(ops, interpret=True)
+        res = solve(T, jnp.full(SHAPES, jnp.log(800.0), jnp.float32),
+                    method="newton", tol=2e-5)
+        assert bool(res.converged)
+        T64 = T_ssy_factory(model, disc, space="log")
+        ref = solve(T64, jnp.full(SHAPES, jnp.log(800.0)), method="newton",
+                    tol=1e-11)
+        np.testing.assert_allclose(np.asarray(res.x, np.float64),
+                                   np.asarray(ref.x), atol=2e-4)
+
+    def test_batched_c1_not_supported(self, ssy_disc):
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc, baseline="loglinear")
+        assert ops.c1_batched and not streamed_supported(ops)
+        with pytest.raises(ValueError):
+            make_streamed_T_log(ops, interpret=True)
+
+
+class TestContinuousSSY:
+    @pytest.mark.parametrize("mode", ["fast", "lse"])
+    def test_plain_matches_reference(self, ssy_grids, mode):
+        model, grids = ssy_grids
+        ops = two_phase_operands_ssy_continuous(model, grids, 3)
+        assert ops.c2_batched and streamed_supported(ops)
+        T = make_streamed_T_log(ops, mode=mode, interpret=True)
+        T_ref = T_ssy_continuous_factory(model, grids, method="quadrature",
+                                         interp="pre", space="log",
+                                         quad_degree=3)
+        ell = _rand_ell(SHAPES)
+        np.testing.assert_allclose(
+            np.asarray(T(ell), np.float64),
+            np.asarray(T_ref(jnp.asarray(ell, jnp.float64))),
+            atol=5e-6)
+
+    def test_normalized_matches_reference(self, ssy_grids):
+        model, grids = ssy_grids
+        ops = two_phase_operands_ssy_continuous(model, grids, 3,
+                                                baseline="loglinear")
+        assert ops.has_sub and streamed_supported(ops)
+        T = make_streamed_T_log(ops, interpret=True)
+        assert T.mode == "lse"
+        T_ref = T_ssy_continuous_factory(model, grids, method="quadrature",
+                                         interp="pre", space="log",
+                                         quad_degree=3,
+                                         baseline="loglinear")
+        ell = jnp.asarray(T.baseline_log_w) + 0.02 * jnp.asarray(
+            np.random.default_rng(3).standard_normal(SHAPES))
+        np.testing.assert_allclose(
+            np.asarray(T(ell), np.float64),
+            np.asarray(T_ref(jnp.asarray(ell, jnp.float64))),
+            atol=5e-6)
