@@ -371,3 +371,90 @@ class TestStreamedShardMap:
                     tol=1e-11)
         np.testing.assert_allclose(np.asarray(res.x, np.float64),
                                    np.asarray(ref.x), atol=2e-4)
+
+
+
+def _max_allgather_elems(hlo_txt: str) -> int:
+    """Largest element count produced by any all-gather in compiled HLO
+    (0 if none).  Small gathers (Anderson Gram rows, per-row scale
+    vectors) are legitimate; an iterate-sized one means GSPMD or the
+    program de-sharded the field."""
+    import re
+
+    worst = 0
+    for line in hlo_txt.splitlines():
+        if "all-gather" not in line:
+            continue
+        m = re.search(r"[a-z0-9]+\[([0-9,]*)\]", line)
+        if m:
+            dims = [int(d) for d in m.group(1).split(",") if d]
+            n = int(np.prod(dims)) if dims else 1
+            worst = max(worst, n)
+    return worst
+
+
+@needs_devices
+class TestShardingPreservedInHLO:
+    """Round-2 review item #7: compile the sharded solver loops and
+    assert no all-gather of the iterate appears — a failing test if a
+    future change de-shards the iterate."""
+
+    SHAPES = (8, 8, 6, 6)
+
+    def _lowered_text(self, T, x0, method, **kw):
+        def run(x):
+            return solve(T, x, method=method, jit=False, **kw).x
+        return jax.jit(run).lower(x0).compile().as_text()
+
+    def test_newton_loop_keeps_iterate_sharded(self):
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            two_phase_shard_map_factory)
+        model = SSY()
+        disc = discretize_ssy(model, self.SHAPES)
+        ops = two_phase_operands_ssy(model, disc)
+        mesh = make_mesh(8)
+        T = two_phase_shard_map_factory(ops, mesh, dtype=jnp.float64)
+        x0 = jax.device_put(jnp.full(self.SHAPES, jnp.log(800.0)),
+                            T.input_sharding)
+        txt = self._lowered_text(T, x0, "newton", tol=1e-10, max_iter=5)
+        # Sanity: the program really is partitioned (collectives exist),
+        # so the no-gather assertion below is meaningful.
+        assert any(c in txt for c in
+                   ("reduce-scatter", "all-reduce", "collective-permute")), \
+            "lowered program has no collectives; partitioning didn't happen"
+        n = int(np.prod(self.SHAPES))
+        worst = _max_allgather_elems(txt)
+        assert worst < n, (
+            f"compiled Newton loop all-gathers {worst} elements "
+            f"(iterate is {n}): the iterate lost its sharding")
+
+    def test_anderson_loop_keeps_iterate_sharded(self):
+        model = SSY()
+        disc = discretize_ssy(model, self.SHAPES)
+        T = T_ssy_factory(model, disc, space="log")
+        mesh = make_mesh(8)
+        x0 = shard_grid_array(jnp.full(self.SHAPES, jnp.log(800.0)), mesh)
+        txt = self._lowered_text(T, x0, "anderson", tol=1e-9, max_iter=30)
+        n = int(np.prod(self.SHAPES))
+        worst = _max_allgather_elems(txt)
+        # Anderson gathers only Gram-matrix rows / coefficient vectors
+        # (history_size-scale, << the iterate).
+        assert worst < n, (
+            f"compiled Anderson loop all-gathers {worst} elements "
+            f"(iterate is {n}): the iterate lost its sharding")
+
+    def test_sa_loop_keeps_iterate_sharded(self):
+        model = SSY()
+        disc = discretize_ssy(model, self.SHAPES)
+        T = T_ssy_factory(model, disc, space="log")
+        mesh = make_mesh(8)
+        x0 = shard_grid_array(jnp.full(self.SHAPES, jnp.log(800.0)), mesh)
+        txt = self._lowered_text(T, x0, "successive_approx", tol=1e-9,
+                                 max_iter=50)
+        worst = _max_allgather_elems(txt)
+        n = int(np.prod(self.SHAPES))
+        assert worst < n, (
+            f"compiled SA loop all-gathers {worst} elements "
+            f"(iterate is {n})")
