@@ -100,50 +100,79 @@ def main():
 
 
 def _scale_metric(shapes=(56, 56, 56, 64)):
-    """Tiled-kernel operator throughput at 11.2M points (f32, marginal)."""
+    """Streamed-kernel operator throughput at 11.2M points (f32,
+    marginal): the accurate default (precision="3x", one-application
+    error 2.3e-6 vs f64) plus the throughput mode (bf16 matmuls +
+    hardware transcendentals, ~8e-4).
+
+    Hardware attribution (round 3, docs/status.md): at this size the
+    operator is COMPUTE-bound on v5e, not HBM-bound — accurate
+    transcendentals ~0.3-0.4 ms, matmul emulation passes ~0.35 ms,
+    in-VMEM transposes ~0.25 ms vs a 0.22 ms 4-pass DMA floor — so the
+    "% of HBM roofline" figure understates how close the kernel runs to
+    its real (compute) roofline.
+    """
+    import warnings
+
     from jax import lax
 
     from sdfs_via_autodiff_tpu import SSY, discretize_ssy
-    from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
-        make_tiled_T_log_ssy)
+    from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+        make_streamed_T_log)
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        two_phase_operands_ssy)
 
     if jax.default_backend() == "cpu":
         return {}
     try:
         model = SSY()
         disc = discretize_ssy(model, shapes)
-        T = make_tiled_T_log_ssy(model, disc)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ops = two_phase_operands_ssy(model, disc, None)
         n = 1
         for s in shapes:
             n *= s
         ell0 = jnp.full(shapes, jnp.log(800.0), jnp.float32)
 
-        def mk(K):
-            @jax.jit
-            def many(x):
-                return lax.fori_loop(0, K, lambda i, v: T(v), x)
-            return many
+        def measure(T):
+            def mk(K):
+                @jax.jit
+                def many(x):
+                    return lax.fori_loop(0, K, lambda i, v: T(v), x)
+                return many
 
-        m1, m2 = mk(50), mk(200)
-        jax.block_until_ready(m1(ell0))
-        jax.block_until_ready(m2(ell0))
+            m1, m2 = mk(50), mk(200)
+            jax.block_until_ready(m1(ell0))
+            jax.block_until_ready(m2(ell0))
 
-        def t(f):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(ell0))
-            return time.perf_counter() - t0
+            def t(f):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(ell0))
+                return time.perf_counter() - t0
 
-        dt = (min(t(m2) for _ in range(3))
-              - min(t(m1) for _ in range(3))) / 150
+            return (min(t(m2) for _ in range(3))
+                    - min(t(m1) for _ in range(3))) / 150
+
+        dt = measure(make_streamed_T_log(ops))
+        dt_fast = measure(make_streamed_T_log(ops, precision="default",
+                                              transcendentals="fast"))
         # 4 HBM passes of the f32 field per application (2 per phase).
         bw = 4 * n * 4 / dt / 1e9
+        bw_fast = 4 * n * 4 / dt_fast / 1e9
         return {
-            "scale_metric": "ssy_discrete_tiled_T_56x56x56x64_f32",
+            "scale_metric": "ssy_discrete_streamed_T_56x56x56x64_f32",
             "scale_points": n,
             "scale_ms_per_application": round(dt * 1e3, 3),
             "scale_G_point_updates_per_s": round(n / dt / 1e9, 2),
             "scale_effective_GBps": round(bw),
             "scale_pct_of_hbm_roofline": round(100 * bw / 819, 1),
+            "scale_throughput_mode_ms_per_application":
+                round(dt_fast * 1e3, 3),
+            "scale_throughput_mode_pct_of_hbm_roofline":
+                round(100 * bw_fast / 819, 1),
+            "scale_note": "compute-bound (VPU transcendentals + matmul "
+                          "emulation), not HBM-bound; see docs/status.md",
         }
     except Exception as e:                     # pragma: no cover
         return {"scale_metric_error": str(e)[:200]}

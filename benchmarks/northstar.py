@@ -42,6 +42,7 @@ from sdfs_via_autodiff_tpu.ops.grids import flatten_mesh
 # spends its points on the z axis instead.
 SHAPES_CONT = (56, 56, 56, 64)     # 11_239_424 points; C = 56*64 = 28*128
 SHAPES_DISC = (32, 32, 32, 384)    # 12_582_912 points; C = 32*384 = 96*128
+ALL_CASES = ("continuous", "discrete", "gcy", "gcy_rouwenhorst")
 TOL_CONT = 2e-5     # near the accurate-transcendentals f32 floor (round 2:
                     # was 2e-4 before ops/accurate.py; the solver stall
                     # guard makes an unreachable tol safe regardless)
@@ -94,6 +95,23 @@ def f64_residual(T64, ell):
     return float(jnp.max(jnp.abs(out - ell64)))
 
 
+def f64_polish(entry, T64, x_f32, tol=1e-9, max_iter=6):
+    """Host-CPU float64 Newton refine from the f32 solution — the
+    two-stage recipe of ``wc_ratio_{continuous,discrete}(polish=True)``
+    — recording seconds / iterations / final f64 residual in ``entry``."""
+    cpu = jax.devices("cpu")[0]
+    x64 = jax.device_put(jnp.asarray(np.asarray(x_f32), jnp.float64), cpu)
+    with jax.default_device(cpu):
+        t0 = time.perf_counter()
+        pres = solve(T64, x64, method="newton", tol=tol, max_iter=max_iter,
+                     jit=True)
+        pres.x.block_until_ready()
+        entry["polish_seconds_cpu_f64"] = round(time.perf_counter() - t0, 2)
+    entry["polish_iterations"] = int(pres.iterations)
+    entry["polish_residual_f64"] = float(pres.residual)
+    return pres.x
+
+
 def run_case(name, T, T64, ell_init, n_points, tol):
     entry = {"name": name, "points": n_points, "kernel_mode": T.mode,
              "strips": list(T.strip_sizes), "tol": tol}
@@ -135,18 +153,7 @@ def main(which=("continuous", "discrete")):
         # solution.  The accurate-f32 warm start leaves ~4 Newton
         # iterations (measured 3.4 s at 11.2M points) to reach ~5e-11 —
         # reference-grade 1e-7 accuracy at 10^7 points, end to end.
-        cpu = jax.devices("cpu")[0]
-        x64 = jax.device_put(jnp.asarray(np.asarray(x_f32), jnp.float64),
-                             cpu)
-        with jax.default_device(cpu):
-            t0 = time.perf_counter()
-            pres = solve(Tc64, x64, method="newton", tol=1e-9, max_iter=6,
-                         jit=True)
-            pres.x.block_until_ready()
-            entry["polish_seconds_cpu_f64"] = round(
-                time.perf_counter() - t0, 2)
-        entry["polish_iterations"] = int(pres.iterations)
-        entry["polish_residual_f64"] = float(pres.residual)
+        f64_polish(entry, Tc64, x_f32)
         out["cases"].append(entry)
         print(json.dumps(entry))
 
@@ -173,11 +180,40 @@ def main(which=("continuous", "discrete")):
             + arrs["phi_k"][None, :, None, None]
             + arrs["phi_i"][None, None, :, None]
             + arrs["psi_ij"][None, None, :, :], jnp.float32)
-        entry, _ = run_case("ssy_discrete_tauchen", Td, Td64, warm,
-                            n_points, TOL_DISC)
+        entry, x_f32 = run_case("ssy_discrete_tauchen", Td, Td64, warm,
+                                n_points, TOL_DISC)
         entry["shapes"] = list(SHAPES_DISC)
+        # Reference-default accuracy (tol 1e-7, solvers.py:16) at 12.6M
+        # discrete points: host-f64 Newton polish from the f32 solution.
+        f64_polish(entry, Td64, x_f32)
         out["cases"].append(entry)
         print(json.dumps(entry))
+
+        # The wide-Rouwenhorst twin of the same grid is OUT of the f32
+        # envelope by construction (the z ladder spans ±sqrt(383) sigma);
+        # round 2 recorded it NaN-ing after a full kernel run.  The
+        # operand builders now refuse-by-warning upfront — record that.
+        import warnings as _warnings
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        disc_r = discretize_ssy(model, SHAPES_DISC)
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            two_phase_operands_ssy(model, disc_r, None)
+        msgs = [str(w.message) for w in caught]
+        out["cases"].append({
+            "name": "ssy_discrete_rouwenhorst",
+            "points": n_points, "shapes": list(SHAPES_DISC),
+            "skipped": True,
+            "upfront_envelope_warning": bool(msgs),
+            "warning": (msgs[0][:300] if msgs else None),
+            "note": "wide-Rouwenhorst z ladders (384 points span "
+                    "±19.6 sigma) exceed the f32 exp envelope; the "
+                    "operand builders warn upfront instead of NaN-ing "
+                    "after a full run (round-2 weak item #3).  Fine "
+                    "discrete f32 grids use Tauchen (above) or the "
+                    "f64/CPU tier."})
+        print(json.dumps(out["cases"][-1]))
 
     if "gcy" in which:
         # Six-state GCY at 25.2M points: Tauchen's fixed ±3-sigma span
@@ -210,14 +246,55 @@ def main(which=("continuous", "discrete")):
         x_nat = Tg.from_view(res.x.reshape(
             (big[3], big[5], big[0], big[1], big[2], big[4])))
         disc64 = discretize_gcy(gcy, big, method="tauchen")
-        entry["residual_f64_check"] = f64_residual(
-            T_gcy_factory(gcy, disc64, space="log", jit=False), x_nat)
+        Tg64 = T_gcy_factory(gcy, disc64, space="log", jit=False)
+        entry["residual_f64_check"] = f64_residual(Tg64, x_nat)
+        f64_polish(entry, Tg64, x_nat)
+        out["cases"].append(entry)
+        print(json.dumps(entry))
+
+    if "gcy_rouwenhorst" in which:
+        # Wide-Rouwenhorst GCY in f32 at >=10M points via the normalized
+        # per-axis XLA chain (the round-2 envelope cap was a property of
+        # the Kronecker-grouped tiled kernel's joint column-group shifts,
+        # not of the operator; reference construction
+        # /root/reference/code/gcy/discrete/gcy_wc_ratio.py:109-120).
+        # Anderson acceleration: f32 BiCGStab breaks down at this scale
+        # (the Newton zero-step fix reports that honestly), while AA's
+        # f64 Gram solve is breakdown-free.
+        import warnings as _warnings
+
+        from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+            T_gcy_factory)
+        gcy = GCY()
+        big = (32, 16, 16, 12, 16, 16)
+        n_points = int(np.prod(big))
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            disc = discretize_gcy(gcy, big)
+            T32 = T_gcy_factory(gcy, disc, space="log",
+                                baseline="loglinear", dtype=jnp.float32)
+            x0 = jnp.asarray(T32.baseline_log_w, jnp.float32)
+            t0 = time.perf_counter()
+            res = solve(T32, x0, method="anderson", tol=3e-5,
+                        max_iter=3000)
+            jax.block_until_ready(res.x)
+        entry = {"name": "gcy_discrete_rouwenhorst_f32",
+                 "points": n_points, "shapes": list(big),
+                 "kernel_mode": "xla_normalized", "tol": 3e-5,
+                 "algorithm": "anderson",
+                 "solve_s": round(time.perf_counter() - t0, 1),
+                 "iterations": int(res.iterations),
+                 "residual_f32": float(res.residual),
+                 "converged": bool(res.converged)}
+        T64 = T_gcy_factory(gcy, disc, space="log", baseline="loglinear")
+        entry["residual_f64_check"] = f64_residual(T64, res.x)
         out["cases"].append(entry)
         print(json.dumps(entry))
 
     path = pathlib.Path(__file__).resolve().parent.parent / "NORTHSTAR.json"
     merged = out
-    if path.exists() and which != ("continuous", "discrete", "gcy"):
+    if path.exists() and which != ALL_CASES:
         old = json.loads(path.read_text())
         keep = [c for c in old.get("cases", [])
                 if all(c["name"] != n["name"] for n in out["cases"])]
@@ -230,4 +307,4 @@ def main(which=("continuous", "discrete")):
 
 if __name__ == "__main__":
     import sys
-    main(tuple(sys.argv[1:]) or ("continuous", "discrete", "gcy"))
+    main(tuple(sys.argv[1:]) or ALL_CASES)

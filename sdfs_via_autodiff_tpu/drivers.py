@@ -208,16 +208,17 @@ def wc_ratio_discrete(model,
         return sol
     if baseline is not None:
         solver_opts["baseline"] = baseline   # XLA factories take it below
+    # The discretization is always built in float64: the grid ladders
+    # define the discrete model, and f32-rounded ladders shift its fixed
+    # point by up to ~1e-2 after the beta ~ 1 amplification (measured on
+    # wide GCY grids).  ``dtype`` only selects the operator's working
+    # precision — the factories cast the arrays.
     if isinstance(model, SSY):
-        disc = discretize_ssy(model, tuple(shapes),
-                              dtype=dtype or jnp.float64,
-                              method=discretization)
+        disc = discretize_ssy(model, tuple(shapes), method=discretization)
         T = T_ssy_factory(model, disc, space=space, dtype=dtype,
                           baseline=solver_opts.pop("baseline", None))
     elif isinstance(model, GCY):
-        disc = discretize_gcy(model, tuple(shapes),
-                              dtype=dtype or jnp.float64,
-                              method=discretization)
+        disc = discretize_gcy(model, tuple(shapes), method=discretization)
         T = T_gcy_factory(model, disc, space=space, dtype=dtype,
                           baseline=solver_opts.pop("baseline", None))
     else:

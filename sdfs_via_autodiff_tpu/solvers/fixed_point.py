@@ -33,7 +33,8 @@ STALL_RTOL = 1e-5     # relative residual decrease that counts as progress
 
 
 def _iterate(step: Callable, x0, tol, max_iter, *, verbose=False,
-             trace_len: int = 0, stall_iters: int = STALL_ITERS) -> SolveResult:
+             trace_len: int = 0, stall_iters: int = STALL_ITERS,
+             final_residual: Optional[Callable] = None) -> SolveResult:
     """Run ``x <- step(x)`` until sup-norm convergence, on device.
 
     The loop also stops on a NaN residual (divergence guard; the reference
@@ -76,21 +77,33 @@ def _iterate(step: Callable, x0, tol, max_iter, *, verbose=False,
 
     x, err, it, trace, _, _ = lax.while_loop(
         cond, body, (x0, big, 0, trace0, big, 0))
+    if final_residual is not None:
+        # The loop's error is the STEP size |step(x) - x|.  For plain
+        # successive approximation that equals the operator residual by
+        # construction, but for composite steps (Newton) a degenerate
+        # inner solve can return a zero step far from the solution —
+        # observed on TPU: float32 BiCGStab breakdown at ~10^7 points
+        # returned b = 0, the loop saw error 0.0, and "convergence" was
+        # reported at an iterate whose true residual was ~1e-2.  Verify
+        # and report the actual fixed-point residual instead.
+        err = final_residual(x)
     converged = (err <= tol) & ~jnp.isnan(err)
     return SolveResult(x=x, iterations=it, residual=err, converged=converged,
                        error_trace=trace)
 
 
 def _run(step: Callable, cache_anchor: Callable, cache_key, x0, tol, max_iter,
-         *, verbose, trace_len, jit, stall_iters=STALL_ITERS) -> SolveResult:
+         *, verbose, trace_len, jit, stall_iters=STALL_ITERS,
+         final_residual=None) -> SolveResult:
     if not jit:
         return _iterate(step, x0, tol, max_iter, verbose=verbose,
-                        trace_len=trace_len, stall_iters=stall_iters)
+                        trace_len=trace_len, stall_iters=stall_iters,
+                        final_residual=final_residual)
     fn = cached_build(
         cache_anchor, cache_key,
         lambda: jax.jit(lambda x, t, mi: _iterate(
             step, x, t, mi, verbose=verbose, trace_len=trace_len,
-            stall_iters=stall_iters)))
+            stall_iters=stall_iters, final_residual=final_residual)))
     return fn(x0, jnp.asarray(tol, jnp.result_type(x0)),
               jnp.asarray(max_iter, jnp.int64))
 
@@ -211,4 +224,5 @@ def newton_solver(T: Callable,
     key = ("newton", inner, inner_tol, inner_maxiter, safeguard, verbose,
            trace_len, stall_iters)
     return _run(q, T, key, x0, tol, max_iter, verbose=verbose,
-                trace_len=trace_len, jit=jit, stall_iters=stall_iters)
+                trace_len=trace_len, jit=jit, stall_iters=stall_iters,
+                final_residual=lambda x: jnp.max(jnp.abs(g(x))))

@@ -133,3 +133,46 @@ def test_gcy_tauchen_discretization_solves():
     import numpy as np
     w = np.asarray(sol.w_star)
     assert np.all(w > 1.0) and np.all(np.isfinite(w))
+
+
+def test_wide_rouwenhorst_f32_via_normalized_xla_chain():
+    # Round-2 review item #5: the f32 range cap on wide Rouwenhorst GCY
+    # grids was a property of the Kronecker-grouped tiled kernel's joint
+    # column-group shifts, not of the operator — the normalized per-axis
+    # XLA chain converges in f32 on grids far beyond the kron envelope
+    # and tracks the f64 solution.  (The >=10M-point TPU run is the
+    # NORTHSTAR artifact; this is the correctness oracle at CI scale.)
+    from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+        gcy_loglinear_parts)
+    m = GCY()
+    shapes = (16, 6, 8, 4, 6, 6)
+    disc = discretize_gcy(m, shapes)
+    ell0 = jnp.asarray(gcy_loglinear_parts(m, disc)["ell0"])
+    T64 = T_gcy_factory(m, disc, space="log", baseline="loglinear")
+    r64 = solve(T64, ell0, method="newton", tol=1e-10)
+    T32 = T_gcy_factory(m, disc, space="log", baseline="loglinear",
+                        dtype=jnp.float32)
+    r32 = solve(T32, jnp.asarray(ell0, jnp.float32), method="newton",
+                tol=3e-5)
+    assert bool(r32.converged)
+    sup = float(jnp.max(jnp.abs(jnp.asarray(r32.x, jnp.float64) - r64.x)))
+    # ~1e-4 is the documented f32 solution-fidelity scale (per-app bias
+    # x fixed-point amplification); the guarded failure mode (f32 grid
+    # ladders perturbing the model) is ~1e-2.
+    assert sup < 3e-4, sup
+
+
+def test_driver_discretizes_in_f64_for_f32_operator():
+    # dtype selects the operator working precision only; the grid
+    # ladders stay f64 (f32 ladders perturb the model itself).
+    from sdfs_via_autodiff_tpu import wc_ratio_discrete
+    m = GCY()
+    shapes = (4, 4, 4, 4, 4, 4)
+    sol32 = wc_ratio_discrete(m, shapes, algorithm="newton", tol=3e-5,
+                              dtype=jnp.float32, baseline="loglinear")
+    sol64 = wc_ratio_discrete(m, shapes, algorithm="newton", tol=1e-10)
+    assert sol32.converged and sol64.converged
+    rel = np.max(np.abs(np.asarray(sol32.w_star, np.float64)
+                        - np.asarray(sol64.w_star))
+                 / np.asarray(sol64.w_star))
+    assert rel < 3e-4, rel

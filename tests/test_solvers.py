@@ -177,3 +177,24 @@ def test_stall_guard_does_not_trip_slow_contraction():
     T = lambda x: 0.999 * x
     res = successive_approx(T, jnp.ones((4,)), tol=1e-8, max_iter=100_000)
     assert bool(res.converged)
+
+
+def test_newton_zero_step_is_not_convergence():
+    # A degenerate inner solve (here: an absurd forcing tolerance that
+    # makes the zero vector an acceptable Krylov solution) collapses the
+    # Newton step to zero far from the fixed point.  The result must
+    # report the TRUE operator residual and converged=False — observed
+    # live on TPU where float32 BiCGStab breakdown at ~10^7 points
+    # faked residual 0.0 at a point with true residual ~1e-2.
+    from sdfs_via_autodiff_tpu.solvers.fixed_point import newton_solver
+    A = jnp.asarray(np.diag([0.5, 0.4, 0.3]))
+    b = jnp.ones(3)
+    T = lambda x: A @ x + b
+    x0 = jnp.zeros(3)
+    res = newton_solver(T, x0, tol=1e-10, inner_tol=1e30, max_iter=5)
+    assert not bool(res.converged)
+    assert float(res.residual) > 1e-3
+    # A healthy inner solve still converges and reports the operator
+    # residual.
+    ok = newton_solver(T, x0, tol=1e-10)
+    assert bool(ok.converged) and float(ok.residual) <= 1e-10
