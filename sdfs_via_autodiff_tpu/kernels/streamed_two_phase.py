@@ -39,10 +39,15 @@ algebra as ``operators/two_phase.py`` (discrete ``T_ssy``,
 quadrature ``ssy_wc_ratio_continuous.py:125-153``).
 
 Coverage: requires a *shared* (non-batched) c1 factor and a column
-group small enough for whole-(I, J) row strips (true for every SSY
-operand set; the GCY Kronecker grouping's 512x256 column group exceeds
-the strip budget and stays on the round-2 kernels, as does the
-batched-c1 normalized discrete SSY set).
+group small enough for whole-(I, J) row strips.  Batched factors whose
+conditioning is an exact diagonal conjugation of a shared matrix — the
+baseline-normalized discrete SSY set — enter through
+``operators/two_phase.conjugate_to_shared`` (shared factors + a
+``mid_col`` log-space correction).  The truly-batched
+continuous-SSY quadrature ``P_z`` (conditioning changes the
+interpolation geometry, not just a weight) runs the block-diagonal c2
+path here; the GCY Kronecker grouping's 512x256 column group exceeds
+the strip budget and stays on the round-2 strip kernels.
 """
 
 from __future__ import annotations
@@ -59,8 +64,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..operators.two_phase import TwoPhaseOperands, make_xla_two_phase_T
 from ..ops.accurate import _exp_f32_impl, _log_f32_impl, _log1p_f32_impl
 
-__all__ = ["make_streamed_T_log", "streamed_supported", "build_b_call",
-           "build_c_call"]
+__all__ = ["make_streamed_T_log", "streamed_supported",
+           "streamed_coverable", "build_b_call", "build_c_call"]
 
 _TRX = {"fast": (jnp.exp, jnp.log, jnp.log1p),
         "accurate": (_exp_f32_impl, _log_f32_impl, _log1p_f32_impl)}
@@ -141,6 +146,21 @@ def streamed_supported(ops: TwoPhaseOperands) -> bool:
     return True
 
 
+def streamed_coverable(ops: TwoPhaseOperands):
+    """The operand set the streamed kernels would run for ``ops`` —
+    ``ops`` itself, its conjugated-shared form
+    (``operators/two_phase.conjugate_to_shared``) when that lifts a
+    batched factor into coverage — or None."""
+    from ..operators.two_phase import conjugate_to_shared
+    if streamed_supported(ops):
+        return ops
+    if ops.c1_batched or ops.c2_batched:
+        conj = conjugate_to_shared(ops)
+        if conj is not None and conj is not ops and streamed_supported(conj):
+            return conj
+    return None
+
+
 def _pick(n: int, cap: int, mult: int = 1) -> int:
     best = best_aligned = 0
     for d in range(1, n + 1):
@@ -151,9 +171,9 @@ def _pick(n: int, cap: int, mult: int = 1) -> int:
     return best_aligned or best or 1
 
 
-def _b_kernel(theta, prec, trx, mode, has_sub, c2_here, *refs):
-    """Column phase.  refs: ell, W_c1, [W_c2], [sub_row, sub_col]
-    -> mid (TB, I, J) natural [+ s (TB, 1) in fast mode].
+def _b_kernel(theta, prec, trx, mode, has_sub, has_mid, c2_here, *refs):
+    """Column phase.  refs: ell, W_c1, [W_c2], [sub_row, sub_col],
+    [mid_col] -> mid (TB, I, J) natural [+ s (TB, 1) in fast mode].
 
     The c1 contraction runs through the minor-axis form: a minor-pair
     swapaxes brings I' last, a (free) leading merge makes the operand
@@ -170,6 +190,8 @@ def _b_kernel(theta, prec, trx, mode, has_sub, c2_here, *refs):
         wc2_ref = refs[idx]; idx += 1
     if has_sub:
         subr_ref = refs[idx]; subc_ref = refs[idx + 1]; idx += 2
+    if has_mid:
+        mid_ref = refs[idx]; idx += 1
     out = refs[idx:]
 
     a = theta * ell_ref[:]                                   # (TB, I', J')
@@ -199,6 +221,10 @@ def _b_kernel(theta, prec, trx, mode, has_sub, c2_here, *refs):
     else:
         m = jnp.max(a, axis=1, keepdims=True)                # over I'
         a = m + _log(c1_minor(_exp(a - m)))
+        if has_mid:
+            # Conjugated-shared correction between the two column
+            # contractions (operators/two_phase.conjugate_to_shared).
+            a = a + mid_ref[:][None, :, :]
         if c2_here:
             m = jnp.max(a, axis=2, keepdims=True)
             a = m + _log(c2_minor(_exp(a - m)))
@@ -262,7 +288,7 @@ def _c_kernel(theta, beta, prec, trx, mode, shapes, TC, c2_batched,
 
 def build_b_call(*, R_rows: int, I: int, J: int, theta: float, prec, trx,
                  mode: str, has_sub: bool, c2_here: bool, dtype,
-                 interpret: bool = False):
+                 has_mid: bool = False, interpret: bool = False):
     """Pass-B ``pallas_call`` over ``R_rows`` field rows (full columns),
     natural layout in and out.
 
@@ -284,13 +310,16 @@ def build_b_call(*, R_rows: int, I: int, J: int, theta: float, prec, trx,
         in_specs.append(full((J, J)))
     if has_sub:
         in_specs += [rowvec, full((I, J))]
+    if has_mid:
+        in_specs.append(full((I, J)))
     fast = mode == "fast"
     out_shape = ((jax.ShapeDtypeStruct((R_rows, I, J), dtype),
                   jax.ShapeDtypeStruct((R_rows, 1), dtype)) if fast
                  else jax.ShapeDtypeStruct((R_rows, I, J), dtype))
     out_specs = (strip, rowvec) if fast else strip
     call = pl.pallas_call(
-        partial(_b_kernel, theta, prec, trx, mode, has_sub, c2_here),
+        partial(_b_kernel, theta, prec, trx, mode, has_sub, has_mid,
+                c2_here),
         grid=(R_rows // TB,),
         out_shape=out_shape,
         in_specs=in_specs,
@@ -396,14 +425,19 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     """
     if dtype != jnp.float32:
         raise ValueError("streamed kernels are the float32 tier")
-    if not streamed_supported(ops):
+    covered = streamed_coverable(ops)
+    if covered is None:
         raise ValueError("operand set not covered by the streamed "
                          "kernels (batched c1 factor or oversized column "
                          "group); use make_tiled_T_log")
+    ops = covered
     if mode == "auto":
         mode = "lse" if ops.has_sub else "fast"
     if mode not in ("fast", "lse"):
         raise ValueError(f"unknown mode {mode!r}")
+    if ops.has_mid and mode == "fast":
+        raise ValueError("mid_col (conjugated-shared) operands need the "
+                         "lse mode")
     if transcendentals not in _TRX:
         raise ValueError(f"unknown transcendentals {transcendentals!r}")
     if precision not in _PRECISION:
@@ -425,6 +459,9 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     if has_sub:
         sub_row = cast(np.asarray(ops.sub_row, np.float64).reshape(R, 1))
         sub_col = cast(ops.sub_col)
+    has_mid = ops.has_mid
+    if has_mid:
+        mid_col = cast(ops.mid_col)
 
     fast = mode == "fast"
     b_args = [W_c1]
@@ -432,10 +469,12 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         b_args.append(W_c2)
     if has_sub:
         b_args += [sub_row, sub_col]
+    if has_mid:
+        b_args.append(mid_col)
     b_call, TB = build_b_call(R_rows=R, I=I, J=J, theta=theta_f, prec=prec,
                               trx=trx, mode=mode, has_sub=has_sub,
                               c2_here=not c2_batched, dtype=dtype,
-                              interpret=interpret)
+                              has_mid=has_mid, interpret=interpret)
     c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C, theta=theta_f,
                               beta=beta_f, prec=prec, trx=trx, mode=mode,
                               c2_batched=c2_batched, dtype=dtype,

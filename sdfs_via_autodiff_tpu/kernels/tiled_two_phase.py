@@ -312,8 +312,8 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         raise ValueError(f"unknown engine {engine!r}")
     if engine != "strip":
         from .streamed_two_phase import (make_streamed_T_log,
-                                         streamed_supported)
-        if streamed_supported(ops):
+                                         streamed_coverable)
+        if streamed_coverable(ops) is not None:
             return make_streamed_T_log(ops, dtype=dtype, mode=mode,
                                        precision=precision,
                                        transcendentals=transcendentals,

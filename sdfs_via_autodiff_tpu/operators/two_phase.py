@@ -37,7 +37,7 @@ import numpy as np
 
 __all__ = ["TwoPhaseOperands", "two_phase_operands_ssy",
            "two_phase_operands_ssy_continuous", "two_phase_operands_gcy",
-           "make_xla_two_phase_T"]
+           "conjugate_to_shared", "make_xla_two_phase_T"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +73,9 @@ class TwoPhaseOperands:
     sub_row: Optional[np.ndarray] = None   # (n_r1, n_r2), theta*ell0 row part
     sub_col: Optional[np.ndarray] = None   # (n_c1, n_c2), theta*ell0 col part
     baseline_log_w: Optional[np.ndarray] = None  # full 4-D ell0
+    mid_col: Optional[np.ndarray] = None   # (n_c1, n_c2), added between the
+    #   two column contractions (conjugated-shared form, see
+    #   :func:`conjugate_to_shared`)
 
     @property
     def c1_batched(self) -> bool:
@@ -85,6 +88,10 @@ class TwoPhaseOperands:
     @property
     def has_sub(self) -> bool:
         return self.sub_row is not None
+
+    @property
+    def has_mid(self) -> bool:
+        return self.mid_col is not None
 
 
 def _warn_ssy_f32_envelope(model, disc) -> None:
@@ -329,6 +336,88 @@ def two_phase_operands_gcy(model, disc) -> TwoPhaseOperands:
     return ops
 
 
+def _difference_split(D: np.ndarray, rtol: float = 1e-12):
+    """``u`` with ``D[i, m] = u[m] - u[i]`` (gauge ``u[0] = D[0, 0]``...
+    any gauge — the constant cancels between the pre/post corrections),
+    or None when ``D`` is not difference-separable."""
+    u = np.asarray(D, np.float64)[0, :]
+    resid = np.max(np.abs(D - (u[None, :] - u[:, None])))
+    scale = max(1.0, float(np.max(np.abs(D))))
+    return u if resid <= rtol * scale else None
+
+
+def conjugate_to_shared(ops: TwoPhaseOperands
+                        ) -> Optional[TwoPhaseOperands]:
+    """Exact shared-factor form of a batched operand set whose lazy
+    correction exponents are difference-separable.
+
+    A batched factor of the form ``W[b] = exp(log0 + t[b] * D)`` with
+    ``D[x, x'] = u[x'] - u[x]`` is a diagonal conjugation of the shared
+    matrix ``W0 = exp(log0)``:
+
+        W[b] = diag(e^{-t_b u}) @ W0 @ diag(e^{t_b u})
+
+    so its log-space contraction is (pre-add ``G``, shared contraction,
+    post-subtract ``G``) with the rank-1 correction ``G = u (x) t`` —
+    elementwise adds that fold into ``sub_col`` (before c1), a single
+    ``mid_col`` term (between the contractions), and ``add_col`` (after
+    c2; column-constant adds commute through the row phase's LSE
+    contractions).  For the baseline-normalized discrete SSY operands
+    both corrections equal ``theta * psi`` exactly, so ``mid_col``
+    vanishes and the normalized operator becomes a plain shared-factor
+    two-phase chain — the unlock for the streamed kernel tier (and the
+    wide-z grids whose dense batched factors blow the f32/VMEM budget).
+
+    Returns None when a batched factor carries no difference-separable
+    lazy form (e.g. the continuous-SSY quadrature ``P_z``, whose
+    conditioning changes the interpolation geometry, not just a
+    multiplicative weight).
+    """
+    n_r1, n_r2, n_c1, n_c2 = ops.shapes
+    G1 = G2 = None
+    W_c1, W_c2 = ops.W_c1, ops.W_c2
+    if ops.c1_batched:
+        lazy = getattr(ops, "lazy_c1", None)
+        if lazy is None:
+            return None
+        log0, D, t = lazy
+        u = _difference_split(np.asarray(D, np.float64))
+        if u is None:
+            return None
+        G1 = u[:, None] * np.asarray(t, np.float64)[None, :]  # (c1, c2)
+        W_c1 = np.exp(np.asarray(log0, np.float64))
+    if ops.c2_batched:
+        lazy = getattr(ops, "lazy_c2", None)
+        if lazy is None:
+            return None
+        log0, D, t = lazy
+        u = _difference_split(np.asarray(D, np.float64))
+        if u is None:
+            return None
+        G2 = np.asarray(t, np.float64)[:, None] * u[None, :]  # (c1, c2)
+        W_c2 = np.exp(np.asarray(log0, np.float64))
+    if G1 is None and G2 is None:
+        return ops                      # already shared
+    zero = np.zeros((n_c1, n_c2), np.float64)
+    G1 = zero if G1 is None else G1
+    G2 = zero if G2 is None else G2
+    sub_col = (zero if ops.sub_col is None
+               else np.asarray(ops.sub_col, np.float64)) - G1
+    sub_row = (np.zeros((n_r1, n_r2), np.float64) if ops.sub_row is None
+               else ops.sub_row)
+    mid = G2 - G1
+    if np.max(np.abs(mid)) == 0.0:
+        mid = None
+    conj = dataclasses.replace(
+        ops, W_c1=W_c1, W_c2=W_c2,
+        sub_row=sub_row, sub_col=sub_col, mid_col=mid,
+        add_col=np.asarray(ops.add_col, np.float64) - G2)
+    for attr in ("perm", "inv_perm", "state_shapes"):
+        if hasattr(ops, attr):
+            object.__setattr__(conj, attr, getattr(ops, attr))
+    return conj
+
+
 def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
                          ) -> Callable:
     """Plain-XLA evaluator of a two-phase operand set.
@@ -349,6 +438,7 @@ def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
     if ops.has_sub:
         sub = cast(ops.sub_row.reshape(-1)[:, None, None]
                    + ops.sub_col[None, :, :])                # (R, c1, c2)
+    mid = cast(ops.mid_col[None, :, :]) if ops.has_mid else None
     theta = jnp.asarray(ops.theta, dtype)
     beta = jnp.asarray(ops.beta, dtype)
     c1_sub = "jim,tmj->tij" if ops.c1_batched else "im,tmj->tij"
@@ -367,6 +457,8 @@ def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
         m = jnp.max(a, axis=1, keepdims=True)
         a = m + accurate_log(jnp.einsum(c1_sub, W_c1, accurate_exp(a - m),
                                         precision=hi))
+        if mid is not None:
+            a = a + mid
         m = jnp.max(a, axis=2, keepdims=True)
         a = m + accurate_log(jnp.einsum(c2_sub, W_c2, accurate_exp(a - m),
                                         precision=hi))

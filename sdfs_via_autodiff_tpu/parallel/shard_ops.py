@@ -72,11 +72,13 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     from ..kernels.streamed_two_phase import (_PRECISION, _TRX,
                                               blockdiag_z, build_b_call,
                                               build_c_call,
-                                              streamed_supported)
+                                              streamed_coverable)
     from ..operators.two_phase import make_xla_two_phase_T
 
-    if not streamed_supported(ops):
+    covered = streamed_coverable(ops)
+    if covered is None:
         raise ValueError("operand set not covered by the streamed kernels")
+    ops = covered
     if axis_names is None:
         axis_names = tuple(mesh.axis_names)
     elif isinstance(axis_names, str):
@@ -111,11 +113,17 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     if has_sub:
         sub_row = cast(np.asarray(ops.sub_row, np.float64).reshape(R, 1))
         sub_col = cast(ops.sub_col)
+    has_mid = ops.has_mid
+    if has_mid:
+        mid_col = cast(ops.mid_col)
+        if mode == "fast":
+            raise ValueError("mid_col (conjugated-shared) operands need "
+                             "the lse mode")
 
     b_call, _ = build_b_call(R_rows=R_loc, I=I, J=J, theta=theta_f,
                              prec=prec, trx=trx, mode=mode, has_sub=has_sub,
                              c2_here=not c2_batched, dtype=work,
-                             interpret=interpret)
+                             has_mid=has_mid, interpret=interpret)
     c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C_loc,
                               theta=theta_f, beta=beta_f, prec=prec,
                               trx=trx, mode=mode, c2_batched=c2_batched,
@@ -138,9 +146,13 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         b_args = [W_c1_]
         if not c2_batched:
             b_args.append(W_c2_)
+        extra = list(maybe_sub)
         if has_sub:
-            sub_row_loc, sub_col_ = maybe_sub
+            sub_row_loc, sub_col_ = extra[:2]
+            extra = extra[2:]
             b_args += [sub_row_loc.reshape(R_loc, 1), sub_col_]
+        if has_mid:
+            b_args.append(extra[0])
         x = ell_loc.astype(work).reshape(R_loc, I, J)
         if fast:
             mid, s = b_call(x, *b_args)
@@ -183,6 +195,9 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         # row-local pass B, whose columns are complete -> replicated.
         in_specs += [PartitionSpec(axis_names, None), rep(sub_col)]
         args += [sub_row, sub_col]
+    if has_mid:
+        in_specs.append(rep(mid_col))
+        args.append(mid_col)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-
     # axes annotation, so shard_map's VMA checker cannot type it.
     mapped = shard_map(local_T, mesh=mesh, in_specs=tuple(in_specs),

@@ -352,6 +352,29 @@ class TestStreamedShardMap:
         np.testing.assert_allclose(np.asarray(T_sharded(ell_sh)),
                                    np.asarray(T_single(ell)), atol=1e-6)
 
+    def test_discrete_normalized_conjugated_matches_single_device(self, rng):
+        # Batched-c1 normalized operands enter the sharded streamed tier
+        # through the conjugated-shared form (mid_col operand).
+        from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+            make_streamed_T_log)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            streamed_shard_map_factory)
+        model = SSY()
+        disc = discretize_ssy(model, self.SHAPES)
+        ops = two_phase_operands_ssy(model, disc, baseline="loglinear")
+        assert ops.c1_batched
+        mesh = self._mesh()
+        T_sharded = streamed_shard_map_factory(ops, mesh, interpret=True)
+        assert T_sharded.mode == "lse"
+        T_single = make_streamed_T_log(ops, interpret=True)
+        ell = jnp.asarray(T_single.baseline_log_w, jnp.float32) + \
+            jnp.asarray(0.02 * rng.standard_normal(self.SHAPES), jnp.float32)
+        ell_sh = jax.device_put(ell, T_sharded.input_sharding)
+        np.testing.assert_allclose(np.asarray(T_sharded(ell_sh)),
+                                   np.asarray(T_single(ell)), atol=1e-6)
+
     def test_newton_solve_through_sharded_streamed(self):
         from sdfs_via_autodiff_tpu.operators.two_phase import (
             two_phase_operands_ssy)

@@ -85,12 +85,31 @@ class TestDiscreteSSY:
         np.testing.assert_allclose(np.asarray(res.x, np.float64),
                                    np.asarray(ref.x), atol=2e-4)
 
-    def test_batched_c1_not_supported(self, ssy_disc):
+    def test_batched_c1_via_conjugation(self, ssy_disc):
+        # The normalized operands' batched factors are exact diagonal
+        # conjugations of shared matrices (two_phase.conjugate_to_shared),
+        # so the streamed kernels cover them despite the raw set being
+        # batched-c1.
+        from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+            streamed_coverable)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            conjugate_to_shared, make_xla_two_phase_T)
         model, disc = ssy_disc
         ops = two_phase_operands_ssy(model, disc, baseline="loglinear")
         assert ops.c1_batched and not streamed_supported(ops)
-        with pytest.raises(ValueError):
-            make_streamed_T_log(ops, interpret=True)
+        conj = conjugate_to_shared(ops)
+        # Exact identity in f64 against the dense-batched evaluator.
+        T_dense = make_xla_two_phase_T(ops, jnp.float64)
+        T_conj = make_xla_two_phase_T(conj, jnp.float64)
+        ell = _rand_ell(SHAPES)
+        ell64 = jnp.asarray(ell, jnp.float64)
+        np.testing.assert_allclose(np.asarray(T_conj(ell64)),
+                                   np.asarray(T_dense(ell64)), atol=1e-12)
+        assert streamed_coverable(ops) is not None
+        T = make_streamed_T_log(ops, interpret=True)   # auto-conjugates
+        assert T.mode == "lse"
+        np.testing.assert_allclose(np.asarray(T(ell), np.float64),
+                                   np.asarray(T_dense(ell64)), atol=1e-5)
 
 
 class TestContinuousSSY:
