@@ -134,23 +134,41 @@ def main(argv=None):
             from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
                 make_tiled_T_log_gcy)
             big = (32, 16, 16, 12, 16, 16)
-            discb = discretize_gcy(gcy, big, dtype=jnp.float32)
-            Tb = make_tiled_T_log_gcy(gcy, discb)
+            # Tauchen keeps theta = -36 inside the f32 envelope at this
+            # size (the Rouwenhorst twin warns + NaNs; see NORTHSTAR).
+            discb = discretize_gcy(gcy, big, dtype=jnp.float32,
+                                   method="tauchen")
             n_big = 1
             for v in big:
                 n_big *= v
-            xb = Tb.to_view(jnp.full(big, jnp.log(300.0),
-                                     jnp.float32)).reshape((12, 16, 512,
-                                                            256))
+            xb0 = jnp.full(big, jnp.log(300.0), jnp.float32)
+            for ename, ekw in (("auto", {}), ("strip",
+                                              dict(engine="strip"))):
+                Tb = make_tiled_T_log_gcy(gcy, discb, **ekw)
+                xb = Tb.to_view(xb0).reshape((12, 16, 512, 256))
 
-            def gapps(x0):
-                return jax.lax.fori_loop(0, 20, lambda i, v: Tb.view_T(v),
-                                         x0)
+                def mkg(K, _T=Tb):
+                    @jax.jit
+                    def many(v):
+                        return jax.lax.fori_loop(
+                            0, K, lambda i, u: _T.view_T(u), v)
+                    return many
 
-            s, _ = timed(jax.jit(gapps), xb)
-            add("gcy_discrete_tiled_T_25.2M_f32_20apps", s,
-                dict(points=n_big, ms_per_app=round(s / 20 * 1e3, 3),
-                     G_point_updates_per_s=round(20 * n_big / s / 1e9, 2)))
+                m1, m2 = mkg(10), mkg(40)
+                jax.block_until_ready(m1(xb))
+                jax.block_until_ready(m2(xb))
+
+                def tg(f, _x=xb):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(f(_x))
+                    return time.perf_counter() - t0
+
+                dt = (min(tg(m2) for _ in range(3))
+                      - min(tg(m1) for _ in range(3))) / 30
+                add(f"gcy_discrete_25.2M_f32_engine_{ename}", dt * 30,
+                    dict(points=n_big, ms_per_app=round(dt * 1e3, 3),
+                         G_point_updates_per_s=round(n_big / dt / 1e9, 2),
+                         timing="marginal_fori_30"))
 
             from sdfs_via_autodiff_tpu.drivers import (f32_tol_floor,
                                                         wc_ratio_discrete)
@@ -229,20 +247,39 @@ def main(argv=None):
             for v in big4:
                 n56 *= v
             x56 = jnp.full(big4, jnp.log(800.0), jnp.float32)
+            def marginal(T):
+                # Two-point fori-loop timing cancels dispatch overhead
+                # (bench.py's method; single-call timings through the
+                # axon tunnel measure ~1 ms RPC dispatch, not device
+                # time).
+                def mk(K):
+                    @jax.jit
+                    def many(x):
+                        return jax.lax.fori_loop(0, K,
+                                                 lambda i, v: T(v), x)
+                    return many
+                m1, m2 = mk(50), mk(200)
+                jax.block_until_ready(m1(x56))
+                jax.block_until_ready(m2(x56))
+
+                def t(f):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(f(x56))
+                    return time.perf_counter() - t0
+
+                return (min(t(m2) for _ in range(3))
+                        - min(t(m1) for _ in range(3))) / 150
+
             for name, kw in (
                     ("accurate_3x", {}),
                     ("throughput", dict(precision="default",
                                         transcendentals="fast"))):
-                Ts = make_streamed_T_log(ops56, **kw)
-
-                def sapps(x0, _T=Ts):
-                    return jax.lax.fori_loop(0, 50, lambda i, v: _T(v), x0)
-
-                s, _ = timed(jax.jit(sapps), x56)
-                add(f"ssy_discrete_streamed_11.2M_f32_{name}_50apps", s,
-                    dict(points=n56, ms_per_app=round(s / 50 * 1e3, 3),
+                dt = marginal(make_streamed_T_log(ops56, **kw))
+                add(f"ssy_discrete_streamed_11.2M_f32_{name}", dt * 150,
+                    dict(points=n56, ms_per_app=round(dt * 1e3, 3),
                          pct_hbm_roofline=round(
-                             100 * 4 * n56 * 4 / (s / 50) / 1e9 / 819, 1)))
+                             100 * 4 * n56 * 4 / dt / 1e9 / 819, 1),
+                         timing="marginal_fori_150"))
         except Exception as e:
             add("ssy_discrete_streamed", -1, dict(skipped=str(e)[:160]))
 

@@ -38,16 +38,22 @@ algebra as ``operators/two_phase.py`` (discrete ``T_ssy``,
 ``/root/reference/code/ssy/discrete/ssy_wc_ratio.py:82-151``; continuous
 quadrature ``ssy_wc_ratio_continuous.py:125-153``).
 
-Coverage: requires a *shared* (non-batched) c1 factor and a column
-group small enough for whole-(I, J) row strips.  Batched factors whose
-conditioning is an exact diagonal conjugation of a shared matrix — the
-baseline-normalized discrete SSY set — enter through
+Coverage: requires a *shared* (non-batched) c1 factor.  Batched factors
+whose conditioning is an exact diagonal conjugation of a shared matrix —
+the baseline-normalized discrete SSY set — enter through
 ``operators/two_phase.conjugate_to_shared`` (shared factors + a
-``mid_col`` log-space correction).  The truly-batched
-continuous-SSY quadrature ``P_z`` (conditioning changes the
-interpolation geometry, not just a weight) runs the block-diagonal c2
-path here; the GCY Kronecker grouping's 512x256 column group exceeds
-the strip budget and stays on the round-2 strip kernels.
+``mid_col`` log-space correction).  The truly-batched continuous-SSY
+quadrature ``P_z`` (conditioning changes the interpolation geometry,
+not just a weight) runs the block-diagonal c2 path.  Column groups too
+large for whole-(I, J) row strips — the GCY Kronecker grouping's
+512x256 — run the *deferred-c2* configuration: pass B contracts only
+c1 on (TB, I, TJ) blocks (2-D grid over rows x column-blocks), and the
+shared c2 contraction moves into pass C, where each (R, TC) block holds
+whole J-slices and contracts them as one lead-merged (R*g, J) @ (J, J)
+dot.  Same two HBM passes of the field; per-axis LSE shifts throughout
+(GCY's theta = -36 puts its in-envelope grids near the f32 exp edge —
+theta * column-span ~ 80 at the 25.2M-point Tauchen north star — so the
+single-shift fast mode is not offered for deferred sets).
 """
 
 from __future__ import annotations
@@ -68,6 +74,13 @@ __all__ = ["make_streamed_T_log", "streamed_supported",
            "streamed_coverable", "build_b_call", "build_c_call"]
 
 _TRX = {"fast": (jnp.exp, jnp.log, jnp.log1p),
+        # "mixed": the hardware exp (measured ~6e-6 *relative* on v5e —
+        # it passes through the LSE sums as ~6e-6 absolute in log units)
+        # with the faithfully-rounded log/log1p (the hardware log's
+        # ~1.1e-4 absolute is what sets the f32 one-application floor,
+        # see ops/accurate.py).  ~Half the transcendental cost of
+        # "accurate" at a ~1e-5-class per-application error.
+        "mixed": (jnp.exp, _log_f32_impl, _log1p_f32_impl),
         "accurate": (_exp_f32_impl, _log_f32_impl, _log1p_f32_impl)}
 
 _PRECISION = {"highest": jax.lax.Precision.HIGHEST,
@@ -117,33 +130,80 @@ _B_BLOCK_BYTES = 940_000
 _C_BLOCK_BYTES = 940_000
 
 
-def streamed_supported(ops: TwoPhaseOperands) -> bool:
-    """True when the streamed kernels cover this operand set: shared c1
-    factor and a column group that fits row strips in VMEM."""
+def _deferred_b_config(shapes):
+    """(TB, TJ) for the deferred-c2 pass B — (TB, I, TJ) blocks on a
+    (R/TB, J/TJ) grid — or None.  TJ must be a 128-multiple divisor of J
+    (lane tiling of the block and of pass C's (R, TC) -> (R*g, J)
+    minor-dim split); maximise the block size within the VMEM budget."""
+    n_r1, n_r2, I, J = shapes
+    R = n_r1 * n_r2
+    if J % 128 or I % 8:
+        return None
+    best = None
+    for TJ in range(128, J + 1, 128):
+        if J % TJ:
+            continue
+        unit = I * TJ * 4
+        cap = _B_BLOCK_BYTES // unit
+        if cap < 1:
+            continue
+        TB = _pick(R, cap)
+        if best is None or TB * TJ > best[0] * best[1]:
+            best = (TB, TJ)
+    return best
+
+
+def _streamed_config(ops: TwoPhaseOperands):
+    """Kernel configuration for this operand set, or None when the
+    streamed kernels do not cover it.
+
+    Returns ``{"kind": "full"}`` (pass B holds whole-(I, J) row strips,
+    c2 contracted in B when shared / in C block-diagonally when batched)
+    or ``{"kind": "deferred", "TB": ?, "TJ": ?}`` (shared c2 deferred to
+    pass C; see module docstring).
+    """
     n_r1, n_r2, n_c1, n_c2 = ops.shapes
     if ops.c1_batched:
-        return False
-    unit = n_c1 * n_c2 * 4
-    if 8 * unit > _B_BLOCK_BYTES:          # TB >= 8 rows must fit
-        return False
+        return None
     if n_r2 % 8:
         # pass C's free (R, TC) <-> (n_r1, n_r2, TC) reshape splits the
         # sublane dim R into (n_r1, n_r2): layout-trivial only when the
         # new sublane dim n_r2 is tile-aligned; SSY grids (56) qualify.
-        return False
-    # Pass C needs a 128-aligned column block (Mosaic's minor-merge rule
-    # applies to the row-contraction flattens too) that fits the VMEM
-    # budget with all rows present.
+        return None
     R = n_r1 * n_r2
     C = n_c1 * n_c2
-    TC = _pick_tc(R, C, n_c2, ops.c2_batched)
-    if TC % 128:
-        return False
+    unit = n_c1 * n_c2 * 4
+    if 8 * unit <= _B_BLOCK_BYTES:         # TB >= 8 row strips fit
+        # Pass C needs a 128-aligned column block (Mosaic's minor-merge
+        # rule applies to the row-contraction flattens too) that fits
+        # the VMEM budget with all rows present.
+        TC = _pick_tc(R, C, n_c2, ops.c2_batched)
+        if TC % 128:
+            return None
+        if R * TC * 4 > 4 * _C_BLOCK_BYTES:
+            return None
+        if ops.c2_batched and (TC % n_c2 or (n_c1 % (TC // n_c2))):
+            return None
+        return {"kind": "full"}
+    if ops.c2_batched or ops.has_mid:
+        # Deferred-c2 needs a shared c2 factor; mid_col sits between the
+        # two column contractions and is not plumbed across the passes.
+        return None
+    bcfg = _deferred_b_config(ops.shapes)
+    if bcfg is None:
+        return None
+    TC = _pick_tc(R, C, n_c2, True, pow2_groups=True)  # whole J-slices
+    if TC % 128 or TC % n_c2:
+        return None
     if R * TC * 4 > 4 * _C_BLOCK_BYTES:
-        return False
-    if ops.c2_batched and (TC % n_c2 or (n_c1 % (TC // n_c2))):
-        return False
-    return True
+        return None
+    return {"kind": "deferred", "TB": bcfg[0], "TJ": bcfg[1]}
+
+
+def streamed_supported(ops: TwoPhaseOperands) -> bool:
+    """True when the streamed kernels cover this operand set (either the
+    full-strip or the deferred-c2 configuration)."""
+    return _streamed_config(ops) is not None
 
 
 def streamed_coverable(ops: TwoPhaseOperands):
@@ -231,12 +291,72 @@ def _b_kernel(theta, prec, trx, mode, has_sub, has_mid, c2_here, *refs):
         out[0][:] = a                                        # log domain
 
 
+def _b_kernel_deferred(theta, prec, trx, has_sub, *refs):
+    """Deferred-c2 column phase: contract c1 (I') only, on (TB, I, TJ)
+    blocks of a (R/TB, J/TJ) grid.  refs: ell, W_c1, [sub_row, sub_col]
+    -> log-domain block (per-axis LSE shift over the contracted I').
+
+    Same minor-axis contraction form as :func:`_b_kernel`'s c1 step; the
+    shared c2 contraction happens in pass C (:func:`_c_kernel` with
+    ``c2_deferred``), so this kernel never needs the whole column group
+    resident — the unlock for the GCY Kronecker grouping's 512x256
+    columns."""
+    _exp, _log, _ = _TRX[trx]
+    idx = 0
+    ell_ref = refs[idx]; idx += 1
+    wc1_ref = refs[idx]; idx += 1
+    if has_sub:
+        subr_ref = refs[idx]; subc_ref = refs[idx + 1]; idx += 2
+    out_ref = refs[idx]
+
+    a = theta * ell_ref[:]                                   # (TB, I', TJ)
+    if has_sub:
+        a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
+    TB, I, TJ = a.shape
+    m = jnp.max(a, axis=1, keepdims=True)                    # over I'
+    v = jnp.swapaxes(_exp(a - m), 1, 2)                      # (TB, TJ, I')
+    u = _dot_p(v.reshape(TB * TJ, I), wc1_ref[:].T, prec)
+    u = jnp.swapaxes(u.reshape(TB, TJ, I), 1, 2)             # (TB, I, TJ)
+    out_ref[:] = m + _log(u)
+
+
+def build_b_call_deferred(*, R_rows: int, I: int, J: int, TB: int,
+                          TJ: int, theta: float, prec, trx,
+                          has_sub: bool, dtype,
+                          interpret: bool = False):
+    """Deferred-c2 pass-B ``pallas_call``: 2-D grid over (row blocks,
+    column blocks), natural layout in and out.  Returns ``(call, TB)``."""
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda t, u, _n=len(shape): tuple(_i32(0) for _ in range(_n)),
+        memory_space=pltpu.VMEM)
+    strip = pl.BlockSpec((TB, I, TJ),
+                         lambda t, u: (_i32(t), _i32(0), _i32(u)),
+                         memory_space=pltpu.VMEM)
+    in_specs = [strip, full((I, I))]
+    if has_sub:
+        in_specs += [pl.BlockSpec((TB, 1), lambda t, u: (_i32(t), _i32(0)),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((I, TJ), lambda t, u: (_i32(0), _i32(u)),
+                                  memory_space=pltpu.VMEM)]
+    call = pl.pallas_call(
+        partial(_b_kernel_deferred, theta, prec, trx, has_sub),
+        grid=(R_rows // TB, J // TJ),
+        out_shape=jax.ShapeDtypeStruct((R_rows, I, J), dtype),
+        in_specs=in_specs,
+        out_specs=strip,
+        interpret=interpret,
+    )
+    return call, TB
+
+
 def _c_kernel(theta, beta, prec, trx, mode, shapes, TC, c2_batched,
-              *refs):
+              c2_deferred, *refs):
     """Row phase on (R, TC) blocks of the natural midway field (TC
     128-aligned; for batched c2, TC groups TC/J current-c1 slices whose
-    z maps are one block-diagonal (TC, TC) dot).  refs: mid, [scale],
-    [Z block-diag], W_r1, W_r2, add_row, add_col strip, [S] -> out."""
+    z maps are one block-diagonal (TC, TC) dot; for deferred shared c2,
+    the same TC/J whole slices contract as one lead-merged (R*g, J) @
+    (J, J) dot).  refs: mid, [scale], [Z block-diag | W_c2], W_r1, W_r2,
+    add_row, add_col strip, [S] -> out."""
     _exp, _log, _log1p = _TRX[trx]
     L, K, I, J = shapes
     R = L * K
@@ -245,7 +365,7 @@ def _c_kernel(theta, beta, prec, trx, mode, shapes, TC, c2_batched,
     if mode == "fast":
         scale_ref = refs[idx]; idx += 1
     z_ref = None
-    if c2_batched:
+    if c2_batched or c2_deferred:
         z_ref = refs[idx]; idx += 1
     wr1_ref = refs[idx]; wr2_ref = refs[idx + 1]
     addr_ref = refs[idx + 2]; addc_ref = refs[idx + 3]
@@ -255,13 +375,19 @@ def _c_kernel(theta, beta, prec, trx, mode, shapes, TC, c2_batched,
     out_ref = refs[idx]
 
     a = mid_ref[:]                                           # (R, TC)
+    g = TC // J
 
     def zdot(e):
+        if c2_deferred:
+            # Shared c2 map on g whole J-slices: minor-dim split (TC is
+            # a 128-multiple of J, itself 128-aligned) + one dot.
+            return _dot_p(e.reshape(R * g, J), z_ref[:].T,
+                          prec).reshape(R, TC)
         return _dot_p(e, z_ref[0].T, prec)                   # (R, TC)
 
     if mode == "fast":
         e = a * scale_ref[:]
-        if c2_batched:
+        if c2_batched or c2_deferred:
             e = zdot(e)
         v = e.reshape(L, K, TC)
         v = _contract_lead(wr1_ref[:], v, prec)
@@ -270,18 +396,63 @@ def _c_kernel(theta, beta, prec, trx, mode, shapes, TC, c2_batched,
         v = jnp.swapaxes(v, 0, 1)                            # (L, K, TC)
         lh = _log(v) + S_ref[0]
     else:
-        if c2_batched:
+        # Linear-carry LSE: one elementwise exp into the first
+        # contraction, one log out of the last, with the intermediate
+        # renormalizations as *low-rank rescales* (the shift arrays are
+        # one field axis smaller, so their exps are ~1/L the elementwise
+        # cost) — measured ~2x cheaper than a log/exp pair per stage on
+        # v5e, where the faithfully-rounded transcendentals dominate the
+        # lse row phase.  Exactness: the rescale spreads span only ROW
+        # axes (theta * row-span is a few log units for every operand
+        # set — the column-axis spans, which reach the f32 exp edge on
+        # wide grids, keep their exact per-axis/per-slice shifts), and
+        # the intermediate linear values need only the row factors'
+        # log-magnitude as exp headroom (probabilities or near-unit
+        # folded factors for all current sets).
+        if c2_deferred:
+            # Per-(row, slice) shift over the contracted next-z group.
+            w = a.reshape(R * g, J)
+            m1 = jnp.max(w, axis=1, keepdims=True)           # (R*g, 1)
+            u = _dot_p(_exp(w - m1), z_ref[:].T, prec)       # linear
+            sh = m1.reshape(L, K, g)                         # (L, K, S)
+            M2 = jnp.max(sh, axis=0, keepdims=True)          # (1, K, S)
+            u = (u.reshape(L, K, g, J)
+                 * _exp(sh - M2)[:, :, :, None]).reshape(L, K, TC)
+            u = _contract_lead(wr1_ref[:], u, prec)
+            M3 = jnp.max(M2, axis=1, keepdims=True)          # (1, 1, S)
+            u = (u.reshape(L, K, g, J)
+                 * _exp(M2 - M3)[:, :, :, None]).reshape(L, K, TC)
+            u = jnp.swapaxes(u, 0, 1)                        # (K', L, TC)
+            u = _contract_lead(wr2_ref[:], u, prec)
+            v = jnp.swapaxes(u, 0, 1)                        # (L, K, TC)
+            shift = jnp.broadcast_to(M3[:, :, :, None],
+                                     (1, 1, g, J)).reshape(1, 1, TC)
+            lh = _log(v) + shift
+        elif c2_batched:
             # Joint shift per row over the TC-column group (coarser than
             # per-slice but still exact LSE renormalization).
-            m = jnp.max(a, axis=1, keepdims=True)
-            a = m + _log(zdot(_exp(a - m)))
-        v = a.reshape(L, K, TC)
-        m = jnp.max(v, axis=0, keepdims=True)
-        v = m + _log(_contract_lead(wr1_ref[:], _exp(v - m), prec))
-        v = jnp.swapaxes(v, 0, 1)                            # (K', L, TC)
-        m = jnp.max(v, axis=0, keepdims=True)
-        v = m + _log(_contract_lead(wr2_ref[:], _exp(v - m), prec))
-        lh = jnp.swapaxes(v, 0, 1)                           # (L, K, TC)
+            m1 = jnp.max(a, axis=1, keepdims=True)           # (R, 1)
+            u = zdot(_exp(a - m1))                           # linear
+            sh = m1.reshape(L, K, 1)
+            M2 = jnp.max(sh, axis=0, keepdims=True)          # (1, K, 1)
+            u = u.reshape(L, K, TC) * _exp(sh - M2)
+            u = _contract_lead(wr1_ref[:], u, prec)
+            M3 = jnp.max(M2, axis=1, keepdims=True)          # (1, 1, 1)
+            u = u * _exp(M2 - M3)
+            u = jnp.swapaxes(u, 0, 1)
+            u = _contract_lead(wr2_ref[:], u, prec)
+            v = jnp.swapaxes(u, 0, 1)
+            lh = _log(v) + M3
+        else:
+            v = a.reshape(L, K, TC)
+            m1 = jnp.max(v, axis=0, keepdims=True)           # (1, K, TC)
+            u = _contract_lead(wr1_ref[:], _exp(v - m1), prec)
+            M2 = jnp.max(m1, axis=1, keepdims=True)          # (1, 1, TC)
+            u = u * _exp(m1 - M2)
+            u = jnp.swapaxes(u, 0, 1)
+            u = _contract_lead(wr2_ref[:], u, prec)
+            v = jnp.swapaxes(u, 0, 1)
+            lh = _log(v) + M2
     lh = lh + addr_ref[:][:, :, None] + addc_ref[:][0][None, None, :]
     out_ref[:] = _log1p(beta * _exp(lh / theta)).reshape(R, TC)
 
@@ -329,29 +500,46 @@ def build_b_call(*, R_rows: int, I: int, J: int, theta: float, prec, trx,
     return call, TB
 
 
-def _pick_tc(R: int, C: int, J: int, c2_batched: bool) -> int:
+def _pick_tc(R: int, C: int, J: int, c2_grouped: bool,
+             pow2_groups: bool = False) -> int:
     """Pass-C column-block width: 128-aligned (Mosaic's minor-merge rule)
-    and, for batched c2, a multiple of J so blocks hold whole slices."""
-    unit = int(np.lcm(J, 128)) if c2_batched else 128
+    and, when c2 contracts in pass C (batched or deferred), a multiple of
+    J so blocks hold whole slices.
+
+    ``pow2_groups`` (the deferred-c2 configuration) additionally forces
+    the per-block slice count TC/J to a power of two: Mosaic fails to
+    lower the deferred row stages' (R*g, J) <-> (L, K, g, J) minor-split
+    reshapes with the accurate-exp chain at non-power-of-two g
+    ("Not implemented: Lane broadcast" — measured: g = 4, 8 compile,
+    g = 6, 12 do not, at identical R*g and J)."""
+    unit = int(np.lcm(J, 128)) if c2_grouped else 128
     if C % unit:
         return C                       # single whole-C block (small C)
     cap = max(1, _C_BLOCK_BYTES // (R * 4 * unit))
-    return unit * _pick(C // unit, cap)
+    n = C // unit
+    if pow2_groups:
+        g = 1
+        while g * 2 <= cap and n % (g * 2) == 0:
+            g *= 2
+        return unit * g
+    return unit * _pick(n, cap)
 
 
 def build_c_call(*, shapes, C_cols: int, theta: float, beta: float, prec,
                  trx, mode: str, c2_batched: bool, dtype,
-                 interpret: bool = False):
+                 c2_deferred: bool = False, interpret: bool = False):
     """Pass-C ``pallas_call`` over ``C_cols`` field columns (full rows),
     natural (R, C_cols) in and out.
 
     Column-local (the sharded tier's per-shard row phase).  For batched
     c2 the caller passes the block-diagonal z maps built by
-    :func:`blockdiag_z`.  Returns ``(call, TC)``.
+    :func:`blockdiag_z`; for deferred shared c2 it passes W_c2 itself.
+    Returns ``(call, TC)``.
     """
     L, K, I, J = shapes
     R = L * K
-    TC = _pick_tc(R, C_cols, J, c2_batched)
+    TC = _pick_tc(R, C_cols, J, c2_batched or c2_deferred,
+                  pow2_groups=c2_deferred)
     full = lambda shape: pl.BlockSpec(
         shape, lambda c, _n=len(shape): tuple(_i32(0) for _ in range(_n)),
         memory_space=pltpu.VMEM)
@@ -365,6 +553,8 @@ def build_c_call(*, shapes, C_cols: int, theta: float, beta: float, prec,
         in_specs.append(pl.BlockSpec(
             (1, TC, TC), lambda c: (_i32(c), _i32(0), _i32(0)),
             memory_space=pltpu.VMEM))
+    elif c2_deferred:
+        in_specs.append(full((J, J)))
     in_specs += [full((L, L)), full((K, K)), full((L, K)),
                  pl.BlockSpec((1, TC), lambda c: (_i32(0), _i32(c)),
                               memory_space=pltpu.VMEM)]
@@ -376,7 +566,7 @@ def build_c_call(*, shapes, C_cols: int, theta: float, beta: float, prec,
                                      memory_space=pltpu.SMEM))
     call = pl.pallas_call(
         partial(_c_kernel, theta, beta, prec, trx, mode, shapes, TC,
-                c2_batched),
+                c2_batched, c2_deferred),
         grid=(C_cols // TC,),
         out_shape=jax.ShapeDtypeStruct((R, C_cols), dtype),
         in_specs=in_specs,
@@ -422,6 +612,12 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     ~2^-17 relative contraction error at half HIGHEST's cost),
     "highest" (six passes, full f32), or "default" (one bf16 pass,
     ~1e-3 accuracy — throughput experiments only).
+
+    transcendentals: "accurate" (default — faithfully-rounded f32
+    exp/log, one-application error ~2e-6 vs f64 on the GCY deferred
+    north-star class), "mixed" (hardware exp + accurate log — ~half the
+    transcendental cost at ~6e-6; measured 2.58 vs 3.76 ms/app on the
+    25.2M-point GCY grid), or "fast" (all hardware, ~1.6e-5).
     """
     if dtype != jnp.float32:
         raise ValueError("streamed kernels are the float32 tier")
@@ -431,13 +627,19 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                          "kernels (batched c1 factor or oversized column "
                          "group); use make_tiled_T_log")
     ops = covered
+    cfg = _streamed_config(ops)
+    deferred = cfg["kind"] == "deferred"
     if mode == "auto":
-        mode = "lse" if ops.has_sub else "fast"
+        mode = "lse" if (ops.has_sub or deferred) else "fast"
     if mode not in ("fast", "lse"):
         raise ValueError(f"unknown mode {mode!r}")
     if ops.has_mid and mode == "fast":
         raise ValueError("mid_col (conjugated-shared) operands need the "
                          "lse mode")
+    if deferred and mode == "fast":
+        raise ValueError(
+            "deferred-c2 operand sets run per-axis LSE only (the single-"
+            "shift fast mode is unsafe at their column-group spans)")
     if transcendentals not in _TRX:
         raise ValueError(f"unknown transcendentals {transcendentals!r}")
     if precision not in _PRECISION:
@@ -465,22 +667,29 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
 
     fast = mode == "fast"
     b_args = [W_c1]
-    if not c2_batched:
+    if not (c2_batched or deferred):
         b_args.append(W_c2)
     if has_sub:
         b_args += [sub_row, sub_col]
-    if has_mid:
+    if has_mid and not deferred:
         b_args.append(mid_col)
-    b_call, TB = build_b_call(R_rows=R, I=I, J=J, theta=theta_f, prec=prec,
-                              trx=trx, mode=mode, has_sub=has_sub,
-                              c2_here=not c2_batched, dtype=dtype,
-                              has_mid=has_mid, interpret=interpret)
+    if deferred:
+        b_call, TB = build_b_call_deferred(
+            R_rows=R, I=I, J=J, TB=cfg["TB"], TJ=cfg["TJ"], theta=theta_f,
+            prec=prec, trx=trx, has_sub=has_sub, dtype=dtype,
+            interpret=interpret)
+    else:
+        b_call, TB = build_b_call(R_rows=R, I=I, J=J, theta=theta_f,
+                                  prec=prec, trx=trx, mode=mode,
+                                  has_sub=has_sub,
+                                  c2_here=not c2_batched, dtype=dtype,
+                                  has_mid=has_mid, interpret=interpret)
     c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C, theta=theta_f,
                               beta=beta_f, prec=prec, trx=trx, mode=mode,
-                              c2_batched=c2_batched, dtype=dtype,
-                              interpret=interpret)
+                              c2_batched=c2_batched, c2_deferred=deferred,
+                              dtype=dtype, interpret=interpret)
     Z2 = (cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
-          if c2_batched else None)
+          if c2_batched else (W_c2 if deferred else None))
 
     def _primal(ell):
         ell = ell.astype(dtype).reshape(R, I, J)
@@ -495,7 +704,7 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         else:
             mid = b_call(ell, *b_args)
             args = [mid.reshape(R, C)]
-            if c2_batched:
+            if c2_batched or deferred:
                 args.append(Z2)
             args += [W_r1, W_r2, add_row, add_colC]
         return c_call(*args).reshape(ops.shapes)

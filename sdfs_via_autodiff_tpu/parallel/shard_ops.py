@@ -62,7 +62,9 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     mode).  Per-device HBM traffic is the single-chip kernels' on 1/n of
     the field; ICI carries 2 * (n-1)/n of a field pass per application.
     Per-row/per-column math is identical to the single-device kernels,
-    so results are bit-equal (asserted in tests/test_sharding.py).
+    so shared-c2 results are bit-equal and batched-c2 results agree to a
+    few ulp (their joint per-row shift spans the pass-C column block,
+    whose width differs per shard) — asserted in tests/test_sharding.py.
 
     Differentiable via a custom JVP whose tangent runs through the GSPMD
     XLA twin.  Requires n_r1 and n_c1 divisible by the total mesh size.
@@ -70,6 +72,7 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     import numpy as np
 
     from ..kernels.streamed_two_phase import (_PRECISION, _TRX,
+                                              _streamed_config,
                                               blockdiag_z, build_b_call,
                                               build_c_call,
                                               streamed_coverable)
@@ -79,6 +82,12 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     if covered is None:
         raise ValueError("operand set not covered by the streamed kernels")
     ops = covered
+    if _streamed_config(ops)["kind"] != "full":
+        raise ValueError(
+            "deferred-c2 operand sets (oversized column group, e.g. the "
+            "GCY Kronecker grouping) are not wired into the sharded "
+            "streamed tier yet; use two_phase_shard_map_factory or the "
+            "GSPMD XLA chain for multi-device GCY")
     if axis_names is None:
         axis_names = tuple(mesh.axis_names)
     elif isinstance(axis_names, str):

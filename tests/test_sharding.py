@@ -349,8 +349,14 @@ class TestStreamedShardMap:
         ell = jnp.asarray(T_single.baseline_log_w, jnp.float32) + \
             jnp.asarray(0.02 * rng.standard_normal(self.SHAPES), jnp.float32)
         ell_sh = jax.device_put(ell, T_sharded.input_sharding)
+        # Batched-c2 sets use a joint per-row shift over the pass-C
+        # column block, whose width differs between the single-device
+        # and per-shard kernels — with the linear-carry row phase that
+        # shift's rounding reaches the output, so agreement is a few
+        # ulp rather than bit-exact (shared-c2 sets stay bit-equal:
+        # their shift arrays are per-element, block-independent).
         np.testing.assert_allclose(np.asarray(T_sharded(ell_sh)),
-                                   np.asarray(T_single(ell)), atol=1e-6)
+                                   np.asarray(T_single(ell)), atol=5e-6)
 
     def test_discrete_normalized_conjugated_matches_single_device(self, rng):
         # Batched-c1 normalized operands enter the sharded streamed tier

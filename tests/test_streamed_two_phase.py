@@ -112,6 +112,74 @@ class TestDiscreteSSY:
                                    np.asarray(T_dense(ell64)), atol=1e-5)
 
 
+class TestDeferredC2GCY:
+    # GCY-like Kronecker column groups exceed the whole-(I, J) strip
+    # budget; the deferred-c2 configuration contracts c1 on (TB, I, TJ)
+    # blocks and moves the shared c2 map into pass C.
+    SHAPES6 = (30, 8, 16, 4, 8, 8)     # (z, z_pi, h_z, h_c, h_zpi, h_lam)
+
+    @pytest.fixture(scope="class")
+    def gcy_ops(self):
+        from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_gcy)
+        model = GCY()
+        disc = discretize_gcy(model, self.SHAPES6)
+        return model, disc, two_phase_operands_gcy(model, disc)
+
+    def test_config_is_deferred(self, gcy_ops):
+        from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+            _streamed_config)
+        _, _, ops = gcy_ops
+        cfg = _streamed_config(ops)
+        assert cfg is not None and cfg["kind"] == "deferred"
+        assert streamed_supported(ops)
+
+    def test_matches_xla_twin(self, gcy_ops):
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            make_xla_two_phase_T)
+        _, _, ops = gcy_ops
+        T = make_streamed_T_log(ops, interpret=True)
+        assert T.mode == "lse"
+        T64 = make_xla_two_phase_T(ops, jnp.float64)
+        ell = _rand_ell(ops.shapes, seed=5)
+        np.testing.assert_allclose(
+            np.asarray(T(ell), np.float64),
+            np.asarray(T64(jnp.asarray(ell, jnp.float64))), atol=5e-6)
+
+    def test_fast_mode_rejected(self, gcy_ops):
+        _, _, ops = gcy_ops
+        with pytest.raises(ValueError):
+            make_streamed_T_log(ops, mode="fast", interpret=True)
+
+    def test_gcy_wrapper_routes_to_streamed(self, gcy_ops):
+        # make_tiled_T_log_gcy's engine="auto" dispatch now reaches the
+        # deferred streamed tier; agreement against the natural-layout
+        # f64 per-axis chain (itself oracle-checked in test_discrete_gcy).
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy)
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+            T_gcy_factory)
+        model, disc, ops = gcy_ops
+        T = make_tiled_T_log_gcy(model, disc, interpret=True)
+        assert T.mode == "lse"
+        T64 = T_gcy_factory(model, disc, space="log", jit=False)
+        ell = _rand_ell(self.SHAPES6, seed=6)
+        np.testing.assert_allclose(
+            np.asarray(T(ell), np.float64),
+            np.asarray(T64(jnp.asarray(ell, jnp.float64))), atol=5e-6)
+
+    def test_sharded_tier_rejects_deferred(self, gcy_ops):
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            streamed_shard_map_factory)
+        from jax.sharding import Mesh
+        _, _, ops = gcy_ops
+        devs = np.array(jax.devices()[:1])
+        mesh = Mesh(devs, ("dp",))
+        with pytest.raises(ValueError, match="deferred"):
+            streamed_shard_map_factory(ops, mesh, interpret=True)
+
+
 class TestContinuousSSY:
     @pytest.mark.parametrize("mode", ["fast", "lse"])
     def test_plain_matches_reference(self, ssy_grids, mode):
