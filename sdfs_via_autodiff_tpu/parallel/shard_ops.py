@@ -62,7 +62,9 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     mode).  Per-device HBM traffic is the single-chip kernels' on 1/n of
     the field; ICI carries 2 * (n-1)/n of a field pass per application.
     Per-row/per-column math is identical to the single-device kernels,
-    so shared-c2 results are bit-equal and batched-c2 results agree to a
+    so shared-c2 results (full-strip and deferred-c2 — the GCY Kronecker
+    grouping's configuration, whose per-slice LSE shifts are
+    block-independent) are bit-equal, and batched-c2 results agree to a
     few ulp (their joint per-row shift spans the pass-C column block,
     whose width differs per shard) — asserted in tests/test_sharding.py.
 
@@ -72,8 +74,10 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     import numpy as np
 
     from ..kernels.streamed_two_phase import (_PRECISION, _TRX,
+                                              _deferred_b_config,
                                               _streamed_config,
                                               blockdiag_z, build_b_call,
+                                              build_b_call_deferred,
                                               build_c_call,
                                               streamed_coverable)
     from ..operators.two_phase import make_xla_two_phase_T
@@ -82,12 +86,7 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     if covered is None:
         raise ValueError("operand set not covered by the streamed kernels")
     ops = covered
-    if _streamed_config(ops)["kind"] != "full":
-        raise ValueError(
-            "deferred-c2 operand sets (oversized column group, e.g. the "
-            "GCY Kronecker grouping) are not wired into the sharded "
-            "streamed tier yet; use two_phase_shard_map_factory or the "
-            "GSPMD XLA chain for multi-device GCY")
+    deferred = _streamed_config(ops)["kind"] == "deferred"
     if axis_names is None:
         axis_names = tuple(mesh.axis_names)
     elif isinstance(axis_names, str):
@@ -105,7 +104,9 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     R_loc, C_loc = L_loc * K, I_loc * J
 
     if mode == "auto":
-        mode = "lse" if ops.has_sub else "fast"
+        mode = "lse" if (ops.has_sub or deferred) else "fast"
+    if deferred and mode == "fast":
+        raise ValueError("deferred-c2 operand sets run per-axis LSE only")
     fast = mode == "fast"
     prec = _PRECISION[precision]
     trx = transcendentals
@@ -129,22 +130,47 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
             raise ValueError("mid_col (conjugated-shared) operands need "
                              "the lse mode")
 
-    b_call, _ = build_b_call(R_rows=R_loc, I=I, J=J, theta=theta_f,
-                             prec=prec, trx=trx, mode=mode, has_sub=has_sub,
-                             c2_here=not c2_batched, dtype=work,
-                             has_mid=has_mid, interpret=interpret)
+    if deferred:
+        # Deferred-c2 (oversized column group, e.g. the GCY Kronecker
+        # grouping): per-shard pass B contracts only c1 on (TB, I, TJ)
+        # blocks of the local rows; the shared c2 map rides into the
+        # per-shard pass C (replicated (J, J) operand).  Same two
+        # all-to-all reshards as the full-strip composition; the
+        # per-slice LSE shifts are block-independent, so results stay
+        # bit-equal to the single-device deferred kernel.
+        bcfg = _deferred_b_config((L_loc, K, I, J))
+        if bcfg is None:
+            raise ValueError(
+                f"per-shard row range R/n = {R_loc} has no deferred "
+                "pass-B block decomposition; choose grid sizes with "
+                "more rows per device or a smaller mesh")
+        b_call, _ = build_b_call_deferred(
+            R_rows=R_loc, I=I, J=J, TB=bcfg[0], TJ=bcfg[1],
+            theta=theta_f, prec=prec, trx=trx, has_sub=has_sub,
+            dtype=work, interpret=interpret)
+    else:
+        b_call, _ = build_b_call(R_rows=R_loc, I=I, J=J, theta=theta_f,
+                                 prec=prec, trx=trx, mode=mode,
+                                 has_sub=has_sub, c2_here=not c2_batched,
+                                 dtype=work, has_mid=has_mid,
+                                 interpret=interpret)
     c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C_loc,
                               theta=theta_f, beta=beta_f, prec=prec,
                               trx=trx, mode=mode, c2_batched=c2_batched,
-                              dtype=work, interpret=interpret)
+                              c2_deferred=deferred, dtype=work,
+                              interpret=interpret)
     if TC % 128 and not interpret:
         raise ValueError(
             f"per-shard column range C/n = {C_loc} has no 128-aligned "
             "block decomposition (Mosaic's minor-merge rule): choose "
             "grid sizes with (n_c1*n_c2) % (128*mesh_size) == 0, or a "
             "smaller mesh")
-    Z2 = (cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
-          if c2_batched else None)
+    if c2_batched:
+        Z2 = cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
+    elif deferred:
+        Z2 = W_c2                       # shared map, contracted in pass C
+    else:
+        Z2 = None
 
     exp_ = _TRX[trx][0]
     names = axis_names if len(axis_names) > 1 else axis_names[0]
@@ -153,7 +179,7 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
                 addc_loc, *maybe_sub):
         # ell_loc: (L_loc, K, I, J)
         b_args = [W_c1_]
-        if not c2_batched:
+        if not (c2_batched or deferred):
             b_args.append(W_c2_)
         extra = list(maybe_sub)
         if has_sub:
@@ -177,7 +203,7 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         c_args = [midv]
         if fast:
             c_args.append(scale)
-        if c2_batched:
+        if c2_batched or deferred:
             c_args.append(Z2_loc)
         c_args += [W_r1_, W_r2_, add_row_, addc_loc]
         if fast:
@@ -194,6 +220,8 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     if Z2 is None:
         Z2 = jnp.zeros((n_dev, 1, 1), work)    # placeholder, unused
         z2_spec = PartitionSpec(axis_names, None, None)
+    elif deferred:
+        z2_spec = rep(Z2)                      # shared (J, J) c2 map
     else:
         z2_spec = PartitionSpec(axis_names, None, None)
     in_specs = [spec, rep(W_c1), rep(W_c2), z2_spec, rep(W_r1), rep(W_r2),

@@ -169,15 +169,24 @@ class TestDeferredC2GCY:
             np.asarray(T(ell), np.float64),
             np.asarray(T64(jnp.asarray(ell, jnp.float64))), atol=5e-6)
 
-    def test_sharded_tier_rejects_deferred(self, gcy_ops):
+    def test_sharded_tier_matches_single_device(self, gcy_ops):
+        # Deferred-c2 composed over a 4-device mesh: per-slice LSE
+        # shifts are block-independent, so the per-shard kernels are
+        # bit-equal to the single-device deferred kernel.
         from sdfs_via_autodiff_tpu.parallel.shard_ops import (
             streamed_shard_map_factory)
         from jax.sharding import Mesh
         _, _, ops = gcy_ops
-        devs = np.array(jax.devices()[:1])
+        devs = np.array(jax.devices()[:4])
         mesh = Mesh(devs, ("dp",))
-        with pytest.raises(ValueError, match="deferred"):
-            streamed_shard_map_factory(ops, mesh, interpret=True)
+        T_sh = streamed_shard_map_factory(ops, mesh, interpret=True)
+        assert T_sh.mode == "lse"
+        T_1d = make_streamed_T_log(ops, interpret=True)
+        ell = _rand_ell(ops.shapes, seed=7)
+        ell_sh = jax.device_put(ell, T_sh.input_sharding)
+        got = np.asarray(T_sh(ell_sh))
+        want = np.asarray(T_1d(ell))
+        np.testing.assert_array_equal(got, want)
 
 
 class TestContinuousSSY:
