@@ -586,9 +586,14 @@ def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
     column groups to the streamed kernels' *deferred-c2* configuration
     (``streamed_two_phase.py``): pass B contracts the (z (x) z_pi) Kron
     factor on (TB, I, TJ) blocks and the (h_z (x) h_zpi) map moves into
-    pass C — measured ~2.4x the strip kernels' throughput at the
-    25.2M-point north-star grid.  Grids whose (n_hz*n_hzpi) group is not
-    a multiple of 128 stay on the strip kernels.
+    pass C.  At the 25.2M-point north-star grid both engines land within
+    a few percent at the accurate tier (3.79 vs 3.93 ms/app,
+    BENCH_SUITE — the linear-carry row phase lifted the strip kernels
+    too); the deferred engine's margin grows with the cheaper
+    transcendental tiers (``transcendentals="mixed"`` measured
+    2.6 ms/app) and it is the configuration the sharded streamed tier
+    runs.  Grids whose (n_hz*n_hzpi) group is not a multiple of 128 stay
+    on the strip kernels.
     """
     from ..operators.two_phase import two_phase_operands_gcy
     ops = two_phase_operands_gcy(model, disc)
