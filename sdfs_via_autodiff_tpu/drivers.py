@@ -133,9 +133,11 @@ def wc_ratio_discrete(model,
     ``kernel="tiled"`` (float32, log space) runs the operator through the
     strip-streamed Pallas kernels — the large-grid fast tier (no VMEM
     size cap; see ``kernels/tiled_two_phase.py``).  SSY uses the native
-    4-D two-phase grouping (``baseline="loglinear"`` supported); GCY
-    folds its six axes into the same structure by Kronecker grouping
-    (plain operator only — per-axis-LSE mode is range-safe).
+    4-D two-phase grouping; GCY folds its six axes into the same
+    structure by Kronecker grouping.  ``baseline="loglinear"`` is
+    supported for both: for GCY it conjugates the log-linear baseline
+    into the factors (rank-2 lazy batched column factors) — the f32
+    recipe for wide-Rouwenhorst grids whose plain operands warn/NaN.
 
     ``discretization="tauchen"`` swaps the Rouwenhorst construction for
     Tauchen's: its grid spans a fixed ±3 unconditional std at ANY point
@@ -178,15 +180,15 @@ def wc_ratio_discrete(model,
                                   method=discretization)
             T = make_tiled_T_log_ssy(model, disc, baseline=baseline)
         elif isinstance(model, GCY):
-            if baseline is not None:
-                raise ValueError("the GCY Kronecker-grouped tiled kernel "
-                                 "covers the plain operator; its LSE mode "
-                                 "is range-safe without a baseline")
             from .kernels.tiled_two_phase import make_tiled_T_log_gcy
             from .operators.discrete_gcy import gcy_loglinear_parts
             disc = discretize_gcy(model, tuple(shapes),
                                   method=discretization)
-            T = make_tiled_T_log_gcy(model, disc)
+            # baseline="loglinear" runs the normalized operand set
+            # (rank-2 lazy conjugated column factors) — the range-safe
+            # f32 recipe for wide-Rouwenhorst grids whose plain
+            # operands warn/NaN.
+            T = make_tiled_T_log_gcy(model, disc, baseline=baseline)
             if w_init is None:
                 # Log-linear warm start (reference test_newton.md:60-66
                 # practice): beta = 0.9987 makes cold starts crawl.

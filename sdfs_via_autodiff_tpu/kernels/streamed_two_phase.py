@@ -310,9 +310,14 @@ def _b_kernel_deferred(theta, prec, trx, has_sub, *refs):
     out_ref = refs[idx]
 
     a = theta * ell_ref[:]                                   # (TB, I', TJ)
-    if has_sub:
-        a = a - subr_ref[:][:, :, None] - subc_ref[:][None, :, :]
     TB, I, TJ = a.shape
+    if has_sub:
+        # sub_row arrives as the WHOLE (R, 1) array (a (TB, 1) block
+        # would violate Mosaic's 8-sublane block rule at the small TB
+        # the deferred VMEM budget forces); slice the local rows here.
+        t = pl.program_id(0)
+        subr = subr_ref[pl.ds(t * TB, TB), :]                # (TB, 1)
+        a = a - subr[:, :, None] - subc_ref[:][None, :, :]
     m = jnp.max(a, axis=1, keepdims=True)                    # over I'
     v = jnp.swapaxes(_exp(a - m), 1, 2)                      # (TB, TJ, I')
     u = _dot_p(v.reshape(TB * TJ, I), wc1_ref[:].T, prec)
@@ -334,8 +339,7 @@ def build_b_call_deferred(*, R_rows: int, I: int, J: int, TB: int,
                          memory_space=pltpu.VMEM)
     in_specs = [strip, full((I, I))]
     if has_sub:
-        in_specs += [pl.BlockSpec((TB, 1), lambda t, u: (_i32(t), _i32(0)),
-                                  memory_space=pltpu.VMEM),
+        in_specs += [full((R_rows, 1)),
                      pl.BlockSpec((I, TJ), lambda t, u: (_i32(0), _i32(u)),
                                   memory_space=pltpu.VMEM)]
     call = pl.pallas_call(

@@ -83,14 +83,19 @@ def _pick_strip(n: int, unit_bytes: int, budget: int = _STRIP_BYTES,
 
 def _slice_W(W, b, exp_fn=_exp_f32_impl):
     """Slice b of a batched factor: dense (B, n, n) array, or the lazy
-    (logW0, D, t) triple with W[b] = exp(logW0 + t[b] * D) — materialized
-    on the fly so the (B, n, n) tensor never has to be VMEM-resident (the
-    unlock for wide-z normalized grids; see ``two_phase.TwoPhaseOperands``
-    lazy attributes).  ``exp_fn`` follows the kernel's transcendentals
-    setting."""
+    (logW0, D (K, n, n), t (K, B)) triple with
+    W[b] = exp(logW0 + sum_k t[k, b] * D[k]) — materialized on the fly so
+    the (B, n, n) tensor never has to be VMEM-resident (the unlock for
+    wide-z normalized grids — rank 1 for SSY, rank 2 for the normalized
+    GCY fold whose z chain carries a z_pi mean shift on top of the
+    sigma_z scale; see ``two_phase.TwoPhaseOperands`` lazy attributes).
+    ``exp_fn`` follows the kernel's transcendentals setting."""
     if isinstance(W, tuple):
         log0, D, t = W
-        return exp_fn(log0 + t[0, b] * D)
+        a = log0
+        for k in range(D.shape[0]):
+            a = a + t[k, b] * D[k]
+        return exp_fn(a)
     return W[b]
 
 
@@ -399,8 +404,8 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                  and W_c2.size * itemsize > lazy_bytes)
 
     def lazy_operands(triple):
-        log0, D, t = triple
-        return (cast(log0), cast(D), cast(np.asarray(t).reshape(1, -1)))
+        log0, D, t = triple                  # D (K, n, n), t (K, B)
+        return (cast(log0), cast(D), cast(t))
 
     has_sub = ops.has_sub
     if has_sub:
@@ -564,6 +569,8 @@ def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
                          mode: str = "auto", precision: str = "highest",
                          transcendentals: str = "accurate",
                          engine: str = "auto",
+                         baseline: "Optional[str]" = None,
+                         lazy_bytes: int = 6 * 1024 * 1024,
                          interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *discrete six-state GCY*
     operator (reference ``gcy_wc_ratio.py:134-238``) via Kronecker
@@ -579,8 +586,12 @@ def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
 
     GCY's theta = -36 gives the plain operator a wide dynamic range, so
     "auto" mode resolves to the per-axis-LSE kernel (range-safe at any
-    grid span); the baseline-normalized GCY variant does not fold into
-    shared-matrix Kronecker form and stays on the XLA chain.
+    grid span).  ``baseline="loglinear"`` runs the *normalized* operand
+    set (``two_phase_operands_gcy(baseline="loglinear")``): the
+    log-linear baseline conjugates into the factors — shared row
+    factors plus rank-2 lazy batched column factors — which keeps the
+    f32 kernels in range on wide-Rouwenhorst grids whose plain operands
+    warn/NaN, and exposes ``T.baseline_log_w`` as the warm start.
 
     engine="auto" (the ``make_tiled_T_log`` dispatch) routes 128-aligned
     column groups to the streamed kernels' *deferred-c2* configuration
@@ -596,13 +607,28 @@ def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
     on the strip kernels.
     """
     from ..operators.two_phase import two_phase_operands_gcy
-    ops = two_phase_operands_gcy(model, disc)
+    if baseline is not None and engine != "strip":
+        # Probe with dense=False: when the conjugated-shared streamed
+        # tier covers the set (it uses only the lazy triples), the
+        # dense (B, n, n) batched factors are never touched — skipping
+        # them saves O(minutes) of host time at 10^7-point grids and
+        # avoids building arrays that overflow f32 at wide-Rouwenhorst
+        # spans.  The strip tier (dense or lazy-batched + dense twin)
+        # rebuilds with dense=True below.
+        from .streamed_two_phase import streamed_coverable
+        ops = two_phase_operands_gcy(model, disc, baseline=baseline,
+                                     dense=False)
+        if streamed_coverable(ops) is None:
+            ops = two_phase_operands_gcy(model, disc, baseline=baseline)
+    else:
+        ops = two_phase_operands_gcy(model, disc, baseline=baseline)
     if mode == "auto":
         mode = "lse"
     view_T = make_tiled_T_log(ops, dtype=dtype, mode=mode,
                               precision=precision,
                               transcendentals=transcendentals,
-                              engine=engine, interpret=interpret)
+                              engine=engine, lazy_bytes=lazy_bytes,
+                              interpret=interpret)
     perm, inv_perm = ops.perm, ops.inv_perm
     state_shapes = ops.state_shapes
     view_shapes = tuple(state_shapes[p] for p in perm)
@@ -625,4 +651,7 @@ def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
         .reshape(view_shapes))
     T.strip_sizes = view_T.strip_sizes
     T.mode = view_T.mode
+    if getattr(view_T, "baseline_log_w", None) is not None:
+        T.baseline_log_w = from_view(
+            jnp.asarray(view_T.baseline_log_w).reshape(view_shapes))
     return T

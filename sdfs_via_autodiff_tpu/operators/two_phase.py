@@ -195,11 +195,11 @@ def two_phase_operands_ssy(model, disc, baseline: Optional[str] = None
     # multiplicatively separable (z_states = sigma_z[i] * ladder[j]), so
     # psi_ij = A_z sigma_i lambda_j and both folded factors are shared
     # matrices with a scalar-scaled exponent correction,
-    #     W[b] = exp(logW0 + t[b] * D).
-    # The tiled kernel materializes slices from these (n, n)+(n,) arrays
-    # on the fly instead of holding the (B, n, n) tensor in VMEM — the
-    # unlock for wide-z normalized grids (e.g. 384 z-points, where the
-    # dense batched factor alone is ~19 MB).
+    #     W[b] = exp(logW0 + sum_k t_k[b] * D_k)      (rank 1 here).
+    # The tiled kernel materializes slices from these (K, n, n)+(K, B)
+    # arrays on the fly instead of holding the (B, n, n) tensor in VMEM —
+    # the unlock for wide-z normalized grids (e.g. 384 z-points, where
+    # the dense batched factor alone is ~19 MB).
     with np.errstate(divide="ignore"):
         log_Qhz = np.log(np.asarray(disc.h_z_Q, np.float64))
         log_zP = np.log(np.asarray(disc.z_P, np.float64))
@@ -209,12 +209,12 @@ def two_phase_operands_ssy(model, disc, baseline: Optional[str] = None
     Az_theta = theta * arrs["A_z"]
     object.__setattr__(ops, "lazy_c1", (
         log_Qhz + theta * (phi_i[None, :] - phi_i[:, None]),
-        Az_theta * (sigma[None, :] - sigma[:, None]),
-        lam))
+        (Az_theta * (sigma[None, :] - sigma[:, None]))[None],
+        lam[None]))
     object.__setattr__(ops, "lazy_c2", (
         log_zP,
-        Az_theta * (lam[None, :] - lam[:, None]),
-        sigma))
+        (Az_theta * (lam[None, :] - lam[:, None]))[None],
+        sigma[None]))
     return ops
 
 
@@ -253,7 +253,8 @@ def two_phase_operands_ssy_continuous(model, grids, degree: int = 5,
         sub_row=sub_row, sub_col=sub_col, baseline_log_w=ell0)
 
 
-def two_phase_operands_gcy(model, disc) -> TwoPhaseOperands:
+def two_phase_operands_gcy(model, disc, baseline: Optional[str] = None,
+                           dense: bool = True) -> TwoPhaseOperands:
     """Two-phase operands for the *discrete six-state GCY* operator via
     Kronecker grouping.
 
@@ -281,12 +282,36 @@ def two_phase_operands_gcy(model, disc) -> TwoPhaseOperands:
     ``ops.perm`` / ``ops.inv_perm`` carry the transposition from the
     natural ``(z, z_pi, h_z, h_c, h_zpi, h_lam)`` layout.
 
-    The baseline-normalized GCY variant does NOT fold this way (its
-    per-axis factors gain cross-group conditioning) and stays on the XLA
-    chain; the tiled kernel's per-axis LSE mode ("lse") is range-safe
-    for the plain operator at any grid span.
+    ``baseline="loglinear"`` builds the *normalized* operand set: the
+    log-linear baseline ell0 (``discrete_gcy.gcy_loglinear_parts``) is a
+    sum of row-separable terms (phi_d, phi_l — conjugated into the
+    shared row factors), pure-column terms (A0, phi_c, phi_e — carried
+    by sub_col/add_col and the shared part of the c2 factor), and a
+    (c1, c2)-coupled part that is exactly RANK-2 separable over the
+    grouping,
+
+        g(p, q) = (A_z k_pi + A_zpi) sigma_zpi(e) * ladpi(b)
+                  + A_z sigma_z(c) * zlad(a),
+        p = (a, b) = (z, z_pi),  q = (c, e) = (h_z, h_zpi),
+
+    because ``discretize_gcy`` builds z_states = centers(e, b) +
+    sigma_z(c) * ladder(a) (both Rouwenhorst and Tauchen;
+    reference twin ``gcy_wc_ratio.py:109-120``).  The coupled part rides
+    the column factors as diagonal conjugations batched the two
+    supported ways (c1 over next c2, c2 over current c1) with rank-2
+    lazy forms W[b] = exp(logW0 + t1[b] D1 + t2[b] D2) — the
+    generalization of the SSY rank-1 machinery — so the f32 tiled tier
+    covers wide-Rouwenhorst GCY grids whose plain operands NaN
+    (``conjugate_to_shared`` further lifts this set to shared factors
+    for the streamed tier, with the residual range pressure gated by
+    the factor-headroom warning).
     """
     from .discrete_gcy import _gcy_factors
+
+    if baseline is not None:
+        if baseline != "loglinear":
+            raise ValueError(f"unknown baseline {baseline!r}")
+        return _two_phase_operands_gcy_normalized(model, disc, dense=dense)
 
     n_a, n_b, n_c, n_d, n_e, n_l = disc.shapes
     B_lam, A2, A3 = _gcy_factors(model, disc)
@@ -336,6 +361,170 @@ def two_phase_operands_gcy(model, disc) -> TwoPhaseOperands:
     return ops
 
 
+def _two_phase_operands_gcy_normalized(model, disc,
+                                       dense: bool = True
+                                       ) -> TwoPhaseOperands:
+    """Baseline-normalized GCY operand set (see
+    :func:`two_phase_operands_gcy` for the derivation).  Equivalent math
+    to the per-axis chain ``discrete_gcy._T_gcy_normalized`` regrouped
+    into the 4-D two-phase form; exactness is asserted against it in
+    tests/test_tiled_two_phase.py.
+
+    ``dense=False`` skips materializing the (B, n, n) batched column
+    factors (O(n_states^{4/3}) memory and host time — and above the f32
+    overflow line at wide-Rouwenhorst grids, where only the
+    conjugated-shared route is evaluable anyway): ``W_c1``/``W_c2`` are
+    broadcast *placeholders* carrying only the shape, flagged via
+    ``ops.dense_placeholder`` so :func:`make_xla_two_phase_T` rejects
+    them; :func:`conjugate_to_shared` (the streamed tier's entry) uses
+    only the lazy triples and never touches them."""
+    import warnings
+
+    from .discrete_gcy import _gcy_factors, gcy_loglinear_parts
+
+    n_a, n_b, n_c, n_d, n_e, n_l = disc.shapes
+    P, Q = n_a * n_b, n_c * n_e
+    theta = float(model.theta)
+    parts = gcy_loglinear_parts(model, disc)
+    co = parts["co"]
+
+    # Rank-2 coupled column baseline from the discretization's ladder
+    # structure (z_states = centers(e, b) + sigma_z(c) * zlad(a)).
+    sigma_zpi = np.asarray(disc.sigma_zpi_states, np.float64)   # (e,)
+    sigma_z = np.asarray(disc.sigma_z_states, np.float64)       # (c,)
+    ladpi = np.asarray(disc.z_pi_states, np.float64)[0] / sigma_zpi[0]
+    kpi = model.rho_pi / (1.0 - model.rho)
+    zst = np.asarray(disc.z_states, np.float64)                 # (b,c,e,a)
+    c00 = kpi * sigma_zpi[0] * ladpi[0]
+    zlad = (zst[0, 0, 0, :] - c00) / sigma_z[0]                 # (a,)
+    u1 = np.broadcast_to(ladpi[None, :], (n_a, n_b)).reshape(P)
+    u2 = np.broadcast_to(zlad[:, None], (n_a, n_b)).reshape(P)
+    t1 = np.broadcast_to(
+        ((co["A_z"] * kpi + co["A_zpi"]) * sigma_zpi)[None, :],
+        (n_c, n_e)).reshape(Q)
+    t2 = np.broadcast_to((co["A_z"] * sigma_z)[:, None],
+                         (n_c, n_e)).reshape(Q)
+    g = u1[:, None] * t1[None, :] + u2[:, None] * t2[None, :]   # (P, Q)
+    # Verify against the evaluated baseline: psi_z + psi_pi as (P, Q).
+    psi_z_PQ = (co["A_z"] * zst).transpose(3, 0, 1, 2).reshape(P, Q)
+    psi_pi_PQ = np.broadcast_to(
+        (co["A_zpi"] * np.asarray(disc.z_pi_states, np.float64)
+         ).T[None, :, None, :],
+        (n_a, n_b, n_c, n_e)).reshape(P, Q)
+    target = psi_z_PQ + psi_pi_PQ
+    scale = max(1.0, float(np.max(np.abs(target))))
+    if np.max(np.abs(g - target)) > 1e-9 * scale:
+        raise ValueError(
+            "normalized GCY fold requires the separable z-ladder "
+            "structure (z_states = centers(e, b) + sigma_z(c) * "
+            "ladder(a)); this discretization does not match — use the "
+            "per-axis XLA chain (T_gcy_factory baseline='loglinear')")
+
+    # Row factors: per-axis-separable baseline parts conjugate into the
+    # shared matrices (h_c with phi_d; B_lam/h_lam with phi_l).
+    phi_d, phi_l = parts["phi_d"], parts["phi_l"]
+    B_lam, A2, A3 = _gcy_factors(model, disc)
+    W_r1 = (np.asarray(disc.h_c_Q, np.float64)
+            * np.exp(theta * (phi_d[None, :] - phi_d[:, None])))
+    W_r2 = (np.asarray(B_lam, np.float64)
+            * np.exp(theta * (phi_l[None, :] - phi_l[:, None])))
+
+    # Column factors: W_c1[q'] = kron(zP, zpiP) conjugated by
+    # e^{theta g(., q')} (batched over NEXT c2); W_c2[p] = kron(Qhz,
+    # Qhzpi) conjugated by e^{theta g(p, .)} (batched over CURRENT c1),
+    # with the pure-q parts phi_c + phi_e as a batch-constant
+    # conjugation folded into the shared log0.
+    kron = lambda X, Y: np.einsum(
+        "aA,bB->abAB", np.asarray(X, np.float64),
+        np.asarray(Y, np.float64)).reshape(X.shape[0] * Y.shape[0],
+                                           X.shape[1] * Y.shape[1])
+    with np.errstate(divide="ignore"):
+        logWc1 = np.log(kron(disc.z_P, disc.z_pi_P))            # (P, P')
+        logWc2 = np.log(kron(disc.h_z_Q, disc.h_zpi_Q))         # (Q, Q')
+    phi_ce = np.broadcast_to(parts["phi_c_"][:, None],
+                             (n_c, n_e)).copy()
+    phi_ce = (phi_ce + parts["phi_e"][None, :]).reshape(Q)
+    D1 = theta * (u1[None, :] - u1[:, None])                    # (P, P')
+    D2 = theta * (u2[None, :] - u2[:, None])
+    E1 = theta * (t1[None, :] - t1[:, None])                    # (Q, Q')
+    E2 = theta * (t2[None, :] - t2[:, None])
+    log0_c2 = logWc2 + theta * (phi_ce[None, :] - phi_ce[:, None])
+
+    # Dense batched factors: the XLA twin / JVP tangent path and
+    # dense-resident strip kernels at small grids (the tiled kernel
+    # switches to the lazy form above ``lazy_bytes``).  One vectorized
+    # pass per factor (exp in place over the log argument), with the
+    # f32 exp-headroom measured from the same buffer.  dense=False
+    # skips all of it — wide grids route through conjugate_to_shared,
+    # whose shared factors never see these entries (which overflow f32
+    # outright at wide-Rouwenhorst spans, e.g. e^146 at the 8.4M
+    # (32,16,16,8,16,8) grid).
+    if dense:
+        # Per-slice loop with preallocated output: the equivalent
+        # one-shot broadcast expression hits a ~300x-slower numpy
+        # iteration path on large leading-broadcast temporaries
+        # (measured 132 s vs 0.44 s at (256, 512, 512) on this host).
+        W_c1 = np.empty((Q, P, P), np.float64)
+        for q in range(Q):
+            np.multiply(D1, t1[q], out=W_c1[q])
+            W_c1[q] += t2[q] * D2
+            W_c1[q] += logWc1
+        fac_max = float(W_c1.max())
+        np.exp(W_c1, out=W_c1)
+        W_c2 = np.empty((P, Q, Q), np.float64)
+        for p in range(P):
+            np.multiply(E1, u1[p], out=W_c2[p])
+            W_c2[p] += u2[p] * E2
+            W_c2[p] += log0_c2
+        fac_max = max(fac_max, float(W_c2.max()))
+        np.exp(W_c2, out=W_c2)
+        if fac_max > 45.0:
+            warnings.warn(
+                f"normalized-operator folded factors reach "
+                f"e^{fac_max:.0f}, beyond float32's exp-range headroom: "
+                "the dense/lazy-batched f32 strip kernels and the f32 "
+                "XLA twin will produce inf/NaN on this grid.  The "
+                "conjugated-shared streamed tier (engine='auto' routes "
+                "there when the column group is 128-aligned) carries "
+                "the corrections in log space and stays finite; "
+                "otherwise shrink the z / h_z axes, use "
+                "discretization='tauchen', or the float64 XLA chain.",
+                stacklevel=3)
+    else:
+        W_c1 = np.broadcast_to(np.exp(logWc1)[None], (Q, P, P))
+        W_c2 = np.broadcast_to(np.exp(log0_c2)[None], (P, Q, Q))
+
+    # sub/add: theta * ell0 split over (rows, columns); add restores it
+    # plus the true epilogue terms.
+    E_col = (co["A0"] + phi_ce[None, :] + g)                    # (P, Q)
+    sub_row = theta * (phi_d[:, None] + phi_l[None, :])         # (d, l)
+    sub_col = theta * E_col
+    add_row = (np.broadcast_to(
+        np.log(np.asarray(A2, np.float64))[:, None], (n_d, n_l)).copy()
+        + sub_row)
+    logA3 = np.log(np.asarray(A3, np.float64)).reshape(P, Q)
+    add_col = logA3 + sub_col
+    ell0_view = np.transpose(parts["ell0"],
+                             (3, 5, 0, 1, 2, 4)).reshape(n_d, n_l, P, Q)
+
+    ops = TwoPhaseOperands(
+        shapes=(n_d, n_l, P, Q),
+        W_r1=W_r1, W_r2=W_r2, W_c1=W_c1, W_c2=W_c2,
+        add_row=add_row, add_col=add_col,
+        theta=theta, beta=float(model.beta),
+        sub_row=sub_row, sub_col=sub_col, baseline_log_w=ell0_view)
+    object.__setattr__(ops, "perm", (3, 5, 0, 1, 2, 4))
+    object.__setattr__(ops, "inv_perm", (2, 3, 4, 0, 5, 1))
+    object.__setattr__(ops, "state_shapes", tuple(disc.shapes))
+    object.__setattr__(ops, "lazy_c1",
+                       (logWc1, np.stack([D1, D2]), np.stack([t1, t2])))
+    object.__setattr__(ops, "lazy_c2",
+                       (log0_c2, np.stack([E1, E2]), np.stack([u1, u2])))
+    if not dense:
+        object.__setattr__(ops, "dense_placeholder", True)
+    return ops
+
+
 def _difference_split(D: np.ndarray, rtol: float = 1e-12):
     """``u`` with ``D[i, m] = u[m] - u[i]`` (gauge ``u[0] = D[0, 0]``...
     any gauge — the constant cancels between the pre/post corrections),
@@ -351,14 +540,15 @@ def conjugate_to_shared(ops: TwoPhaseOperands
     """Exact shared-factor form of a batched operand set whose lazy
     correction exponents are difference-separable.
 
-    A batched factor of the form ``W[b] = exp(log0 + t[b] * D)`` with
-    ``D[x, x'] = u[x'] - u[x]`` is a diagonal conjugation of the shared
-    matrix ``W0 = exp(log0)``:
+    A batched factor of the form ``W[b] = exp(log0 + sum_k t_k[b] D_k)``
+    with every ``D_k[x, x'] = u_k[x'] - u_k[x]`` is a diagonal
+    conjugation of the shared matrix ``W0 = exp(log0)``:
 
-        W[b] = diag(e^{-t_b u}) @ W0 @ diag(e^{t_b u})
+        W[b] = diag(e^{-g(., b)}) @ W0 @ diag(e^{g(., b)}),
+        g(x, b) = sum_k u_k[x] t_k[b]
 
     so its log-space contraction is (pre-add ``G``, shared contraction,
-    post-subtract ``G``) with the rank-1 correction ``G = u (x) t`` —
+    post-subtract ``G``) with the rank-K correction ``G = sum u_k (x) t_k`` —
     elementwise adds that fold into ``sub_col`` (before c1), a single
     ``mid_col`` term (between the contractions), and ``add_col`` (after
     c2; column-constant adds commute through the row phase's LSE
@@ -381,20 +571,26 @@ def conjugate_to_shared(ops: TwoPhaseOperands
         if lazy is None:
             return None
         log0, D, t = lazy
-        u = _difference_split(np.asarray(D, np.float64))
-        if u is None:
-            return None
-        G1 = u[:, None] * np.asarray(t, np.float64)[None, :]  # (c1, c2)
+        G1 = np.zeros((n_c1, n_c2), np.float64)
+        for D_k, t_k in zip(np.asarray(D, np.float64),
+                            np.asarray(t, np.float64)):
+            u = _difference_split(D_k)
+            if u is None:
+                return None
+            G1 = G1 + u[:, None] * t_k[None, :]               # (c1, c2)
         W_c1 = np.exp(np.asarray(log0, np.float64))
     if ops.c2_batched:
         lazy = getattr(ops, "lazy_c2", None)
         if lazy is None:
             return None
         log0, D, t = lazy
-        u = _difference_split(np.asarray(D, np.float64))
-        if u is None:
-            return None
-        G2 = np.asarray(t, np.float64)[:, None] * u[None, :]  # (c1, c2)
+        G2 = np.zeros((n_c1, n_c2), np.float64)
+        for D_k, t_k in zip(np.asarray(D, np.float64),
+                            np.asarray(t, np.float64)):
+            u = _difference_split(D_k)
+            if u is None:
+                return None
+            G2 = G2 + t_k[:, None] * u[None, :]               # (c1, c2)
         W_c2 = np.exp(np.asarray(log0, np.float64))
     if G1 is None and G2 is None:
         return ops                      # already shared
@@ -405,13 +601,28 @@ def conjugate_to_shared(ops: TwoPhaseOperands
                else np.asarray(ops.sub_col, np.float64)) - G1
     sub_row = (np.zeros((n_r1, n_r2), np.float64) if ops.sub_row is None
                else ops.sub_row)
+    add_col = np.asarray(ops.add_col, np.float64) - G2
     mid = G2 - G1
-    if np.max(np.abs(mid)) == 0.0:
+    # Fold mid's separable parts out of the stage boundary: a pure-c2
+    # part h(q') commutes with the c1 contraction (move it before ->
+    # sub_col), a pure-c1 part f(p) with the c2 contraction (move it
+    # after -> add_col).  Gauge constants from the per-component
+    # difference splits land exactly here, so exactly-conjugated sets
+    # (normalized SSY *and* GCY) come out mid-free — streamed-tier
+    # coverage (the deferred configuration does not plumb mid_col).
+    h_q = mid[0, :]
+    f_p = mid[:, 0] - mid[0, 0]
+    if np.allclose(mid, f_p[:, None] + h_q[None, :],
+                   rtol=0.0, atol=1e-12 * max(1.0, np.max(np.abs(mid)))):
+        sub_col = sub_col - h_q[None, :]
+        add_col = add_col + f_p[:, None]
+        mid = None
+    elif np.max(np.abs(mid)) == 0.0:
         mid = None
     conj = dataclasses.replace(
         ops, W_c1=W_c1, W_c2=W_c2,
         sub_row=sub_row, sub_col=sub_col, mid_col=mid,
-        add_col=np.asarray(ops.add_col, np.float64) - G2)
+        add_col=add_col)
     for attr in ("perm", "inv_perm", "state_shapes"):
         if hasattr(ops, attr):
             object.__setattr__(conj, attr, getattr(ops, attr))
@@ -427,6 +638,11 @@ def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
     tangent body for the kernels' custom JVP, and the GSPMD-shardable
     fallback at sizes/backends the kernels don't cover.
     """
+    if getattr(ops, "dense_placeholder", False):
+        raise ValueError(
+            "operand set was built with dense=False (batched column "
+            "factors not materialized); conjugate_to_shared it for the "
+            "streamed tier, or rebuild with dense=True")
     n_r1, n_r2, n_c1, n_c2 = ops.shapes
     R, C = n_r1 * n_r2, n_c1 * n_c2
     cast = lambda a: jnp.asarray(a, dtype)

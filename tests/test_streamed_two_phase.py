@@ -169,6 +169,41 @@ class TestDeferredC2GCY:
             np.asarray(T(ell), np.float64),
             np.asarray(T64(jnp.asarray(ell, jnp.float64))), atol=5e-6)
 
+    def test_normalized_conjugated_deferred_with_sub(self):
+        # The baseline-normalized GCY set conjugates to shared factors
+        # (rank-2 full-matrix corrections, mid-free) and runs the
+        # deferred configuration WITH sub_row/sub_col — the sub_row
+        # plumbing uses a whole-(R, 1) block + in-kernel dynamic row
+        # slice (a (TB, 1) block violates Mosaic's 8-sublane rule at
+        # deferred TB).
+        from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+            T_gcy_factory)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            conjugate_to_shared, two_phase_operands_gcy)
+        from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+            _streamed_config)
+        model = GCY()
+        shapes = (30, 8, 16, 4, 8, 8)
+        disc = discretize_gcy(model, shapes)
+        ops = two_phase_operands_gcy(model, disc, baseline="loglinear")
+        conj = conjugate_to_shared(ops)
+        assert conj is not None and conj.has_sub and not conj.has_mid
+        assert _streamed_config(conj)["kind"] == "deferred"
+        T = make_streamed_T_log(conj, interpret=True)
+        Tp = T_gcy_factory(model, disc, space="log", dtype=jnp.float64,
+                           jit=False)
+        rng = np.random.default_rng(3)
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.2 * rng.standard_normal(shapes))
+        vs = tuple(shapes[p] for p in conj.perm)
+        ell_v = jnp.transpose(ell, conj.perm).reshape(
+            conj.shapes).astype(jnp.float32)
+        out = jnp.transpose(
+            jnp.asarray(T(ell_v), jnp.float64).reshape(vs), conj.inv_perm)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(Tp(ell)), atol=5e-6)
+
     def test_sharded_tier_matches_single_device(self, gcy_ops):
         # Deferred-c2 composed over a 4-device mesh: per-slice LSE
         # shifts are block-independent, so the per-shard kernels are

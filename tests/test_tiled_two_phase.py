@@ -243,6 +243,129 @@ class TestGCYKron:
         assert bool(res.converged)
 
 
+class TestGCYNormalized:
+    """Baseline-normalized GCY folded into the two-phase grouping: the
+    log-linear baseline conjugates into shared row factors + rank-2 lazy
+    batched column factors (the z chain's sigma_z scale AND z_pi mean
+    shift), exact vs both the per-axis normalized chain and the plain
+    operator."""
+
+    SHAPES = (6, 5, 4, 3, 4, 3)
+
+    @pytest.fixture(scope="class", params=["rouwenhorst", "tauchen"])
+    def gcy_norm(self, request):
+        from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_gcy)
+        model = GCY()
+        disc = discretize_gcy(model, self.SHAPES, method=request.param)
+        ops = two_phase_operands_gcy(model, disc, baseline="loglinear")
+        return model, disc, ops, request.param
+
+    def _natural(self, ops, out_v):
+        view_shapes = tuple(self.SHAPES[p] for p in ops.perm)
+        return jnp.transpose(out_v.reshape(view_shapes), ops.inv_perm)
+
+    def test_twin_matches_plain_and_normalized_chain(self, gcy_norm, rng):
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+            T_gcy_factory)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            make_xla_two_phase_T)
+        model, disc, ops, _ = gcy_norm
+        assert ops.c1_batched and ops.c2_batched and ops.has_sub
+        T64 = make_xla_two_phase_T(ops, jnp.float64)
+        Tn = T_gcy_factory(model, disc, space="log", baseline="loglinear",
+                           dtype=jnp.float64, jit=False)
+        Tp = T_gcy_factory(model, disc, space="log", dtype=jnp.float64,
+                           jit=False)
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.3 * rng.standard_normal(self.SHAPES))
+        got = self._natural(
+            ops, T64(jnp.transpose(ell, ops.perm).reshape(ops.shapes)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(Tn(ell)),
+                                   atol=1e-12, rtol=0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(Tp(ell)),
+                                   atol=1e-12, rtol=0)
+
+    def test_rank2_lazy_matches_dense(self, gcy_norm):
+        _, _, ops, _ = gcy_norm
+        dense = lambda lz: np.exp(
+            lz[0][None] + np.einsum("kb,kxy->bxy", lz[2], lz[1]))
+        assert ops.lazy_c1[1].shape[0] == 2      # rank 2
+        np.testing.assert_allclose(dense(ops.lazy_c1), ops.W_c1,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(dense(ops.lazy_c2), ops.W_c2,
+                                   rtol=1e-12)
+
+    def test_conjugates_to_shared_mid_free(self, gcy_norm, rng):
+        # The full-matrix rank-2 conjugation lifts to shared factors
+        # with NO mid_col (gauge residue folds into sub/add) -> the
+        # streamed tier covers normalized GCY.
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+            T_gcy_factory)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            conjugate_to_shared, make_xla_two_phase_T)
+        model, disc, ops, _ = gcy_norm
+        conj = conjugate_to_shared(ops)
+        assert conj is not None
+        assert not conj.c1_batched and not conj.c2_batched
+        assert not conj.has_mid
+        Tc = make_xla_two_phase_T(conj, jnp.float64)
+        Tp = T_gcy_factory(model, disc, space="log", dtype=jnp.float64,
+                           jit=False)
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.3 * rng.standard_normal(self.SHAPES))
+        got = self._natural(
+            conj, Tc(jnp.transpose(ell, conj.perm).reshape(conj.shapes)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(Tp(ell)),
+                                   atol=1e-12, rtol=0)
+
+    def test_tiled_kernel_lazy_and_dense(self, gcy_norm, rng):
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy)
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+            T_gcy_factory)
+        model, disc, ops, _ = gcy_norm
+        T_ref = T_gcy_factory(model, disc, space="log", dtype=jnp.float64,
+                              jit=False)
+        ell = jnp.asarray(np.asarray(ops.baseline_log_w).reshape(
+            tuple(self.SHAPES[p] for p in ops.perm)), jnp.float64)
+        ell = jnp.transpose(ell, ops.inv_perm)
+        ell = ell + jnp.asarray(0.05 * rng.standard_normal(self.SHAPES))
+        want = np.asarray(T_ref(ell))
+        for kw in (dict(engine="strip"), dict(engine="strip",
+                                              lazy_bytes=0), {}):
+            Tk = make_tiled_T_log_gcy(model, disc, baseline="loglinear",
+                                      interpret=True, **kw)
+            np.testing.assert_allclose(
+                np.asarray(Tk(ell), np.float64), want, atol=5e-6, rtol=0)
+        assert np.allclose(np.asarray(Tk.baseline_log_w),
+                           np.asarray(jnp.transpose(
+                               jnp.asarray(ops.baseline_log_w).reshape(
+                                   tuple(self.SHAPES[p] for p in ops.perm)),
+                               ops.inv_perm)))
+
+    def test_solve_normalized(self, gcy_norm):
+        # Newton on the Rouwenhorst fixture; Anderson on Tauchen (tiny
+        # +-3-sigma tauchen grids give Newton's f32 inner BiCGStab an
+        # ill-conditioned Jacobian — the PLAIN operator stalls there
+        # identically, so it is a property of the discretized problem,
+        # not of the normalized fold).
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy)
+        from sdfs_via_autodiff_tpu.solvers.api import solve
+        model, disc, _, method = gcy_norm
+        Tk = make_tiled_T_log_gcy(model, disc, baseline="loglinear",
+                                  interpret=True)
+        ell0 = jnp.asarray(Tk.baseline_log_w, jnp.float32)
+        if method == "tauchen":
+            res = solve(Tk, ell0, method="anderson", tol=5e-5,
+                        max_iter=400)
+        else:
+            res = solve(Tk, ell0, method="newton", tol=5e-5, max_iter=20)
+        assert bool(res.converged)
+
+
 def test_lazy_batched_factors_match_dense(rng):
     # Force the lazy (logW0, D, t) slice materialization of the
     # normalized operator's batched column factors and check it against
@@ -256,13 +379,12 @@ def test_lazy_batched_factors_match_dense(rng):
     model = SSY()
     disc = discretize_ssy(model, (6, 5, 6, 16))
     ops = two_phase_operands_ssy(model, disc, baseline="loglinear")
-    # lazy decomposition reproduces the dense batched factors exactly
-    log0, D, t = ops.lazy_c2
-    W2 = np.exp(log0[None] + t[:, None, None] * D[None])
-    np.testing.assert_allclose(W2, ops.W_c2, rtol=1e-12)
-    log0, D, t = ops.lazy_c1
-    W1 = np.exp(log0[None] + t[:, None, None] * D[None])
-    np.testing.assert_allclose(W1, ops.W_c1, rtol=1e-12)
+    # rank-k lazy decomposition reproduces the dense batched factors
+    # exactly: W[b] = exp(log0 + sum_k t[k, b] * D[k])
+    dense = lambda lz: np.exp(lz[0][None]
+                              + np.einsum("kb,kxy->bxy", lz[2], lz[1]))
+    np.testing.assert_allclose(dense(ops.lazy_c2), ops.W_c2, rtol=1e-12)
+    np.testing.assert_allclose(dense(ops.lazy_c1), ops.W_c1, rtol=1e-12)
 
     T_lazy = make_tiled_T_log_ssy(model, disc, baseline="loglinear",
                                   lazy_bytes=0, interpret=True)
