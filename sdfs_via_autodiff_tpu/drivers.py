@@ -136,8 +136,13 @@ def wc_ratio_discrete(model,
     4-D two-phase grouping; GCY folds its six axes into the same
     structure by Kronecker grouping.  ``baseline="loglinear"`` is
     supported for both: for GCY it conjugates the log-linear baseline
-    into the factors (rank-2 lazy batched column factors) — the f32
-    recipe for wide-Rouwenhorst grids whose plain operands warn/NaN.
+    into the factors (rank-2 lazy batched column factors), extending
+    f32 coverage to moderately wide Rouwenhorst grids whose plain
+    operands warn/NaN.  The conjugated route has its own, later f32
+    envelope (shared-factor entries below f32's floor flush to zero;
+    the factory warns past factor log-range -150, docs/math.md §6b) —
+    beyond it use ``kernel="xla"`` with ``baseline="loglinear"`` (the
+    per-axis normalized chain) or ``discretization="tauchen"``.
 
     ``discretization="tauchen"`` swaps the Rouwenhorst construction for
     Tauchen's: its grid spans a fixed ±3 unconditional std at ANY point

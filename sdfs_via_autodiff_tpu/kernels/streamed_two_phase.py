@@ -221,6 +221,39 @@ def streamed_coverable(ops: TwoPhaseOperands):
     return None
 
 
+def _warn_conjugated_f32_floor(conj: TwoPhaseOperands,
+                               floor: float = -150.0) -> None:
+    """Accuracy-envelope warning for conjugated-shared operand sets.
+
+    The shared column factors are stored as f32 *linear-space* matrices,
+    so entries whose log sits below f32's representable floor (~-87
+    normal, ~-103 subnormal) flush to zero.  For a plain operator those
+    entries are negligible transition probabilities, but a conjugated
+    set's surrounding sub/add corrections (up to hundreds of log units
+    on wide-Rouwenhorst GCY grids) can make them significant again, so a
+    very wide factor log-range silently degrades f32 accuracy.  Measured
+    one-application sup error vs f64 (normalized GCY, Rouwenhorst
+    ladder): 1.3e-6 at factor log-range -144, 1.8e-4 at -182, 0.22 at
+    -221 — warn past -150."""
+    import warnings
+    lo = 0.0
+    for W in (conj.W_c1, conj.W_c2):
+        W = np.asarray(W, np.float64)
+        pos = W[W > 0]
+        if pos.size:
+            lo = min(lo, float(np.log(pos.min())))
+    if lo < floor:
+        warnings.warn(
+            f"conjugated-shared factors span e^{lo:.0f}..e^0: entries "
+            "below float32's representable floor flush to zero, and the "
+            "conjugation corrections can make them significant — f32 "
+            "accuracy degrades on this grid (measured: ~1e-6 sup error "
+            "at factor log-range -144, 1.8e-4 at -182, 0.22 at -221). "
+            "Use the per-axis normalized XLA chain (kernel='xla', "
+            "baseline='loglinear'), discretization='tauchen', or "
+            "float64.", stacklevel=3)
+
+
 def _pick(n: int, cap: int, mult: int = 1) -> int:
     best = best_aligned = 0
     for d in range(1, n + 1):
@@ -630,7 +663,10 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         raise ValueError("operand set not covered by the streamed "
                          "kernels (batched c1 factor or oversized column "
                          "group); use make_tiled_T_log")
+    conjugated = ops is not covered
     ops = covered
+    if conjugated:
+        _warn_conjugated_f32_floor(ops)
     cfg = _streamed_config(ops)
     deferred = cfg["kind"] == "deferred"
     if mode == "auto":

@@ -365,6 +365,30 @@ class TestGCYNormalized:
             res = solve(Tk, ell0, method="newton", tol=5e-5, max_iter=20)
         assert bool(res.converged)
 
+    def test_wide_rouwenhorst_conjugated_floor_warning(self):
+        # Wide-Rouwenhorst spans push the conjugated-shared factors'
+        # log range below f32's representable floor, where flushed
+        # entries (re-amplified by the conjugation corrections) degrade
+        # accuracy; the factory warns with the measured ladder instead
+        # of silently returning a wrong operator (docs/math.md §6b:
+        # sup error 1.2e-6 above factor log-range -144, 0.22 at -221).
+        import warnings
+        from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy)
+        model = GCY()
+        disc = discretize_gcy(model, (32, 16, 16, 4, 16, 8))
+        with pytest.warns(UserWarning, match="flush to zero"):
+            T = make_tiled_T_log_gcy(model, disc, baseline="loglinear")
+        assert T.mode == "lse"
+        # The in-envelope fixture grids must NOT warn.
+        disc_ok = discretize_gcy(model, (12, 8, 8, 4, 8, 8))
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            make_tiled_T_log_gcy(model, disc_ok, baseline="loglinear")
+        assert not [w for w in caught
+                    if "flush to zero" in str(w.message)]
+
 
 def test_lazy_batched_factors_match_dense(rng):
     # Force the lazy (logW0, D, t) slice materialization of the
