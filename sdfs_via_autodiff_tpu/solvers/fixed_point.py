@@ -149,7 +149,11 @@ def newton_solver(T: Callable,
     never materialized — ``jax.jvp`` provides the linear map ``v -> J(x) v``
     (reference ``solvers.py:87``) fed to a matrix-free Krylov solver.
 
-    inner: "bicgstab" (reference default, ``solvers.py:91``), "gmres", or
+    inner: "bicgstab" (reference default, ``solvers.py:91`` — here the
+    mixed-precision implementation of ``solvers/krylov.py``: vectors and
+    matvecs in the iterate dtype, recurrence scalars and dot products in
+    float64, which survives the 10^7-point f32 grids where vector-dtype
+    BiCGStab breaks down to a zero step), "gmres" (jax.scipy), or
     "dense" (explicit ``jacfwd`` + LU solve; small grids on CPU only — TPU
     lacks an f64 LU, and the reference measured the dense path to be slower
     anyway, ``temp_ssy.py:198-226``).
@@ -189,9 +193,24 @@ def newton_solver(T: Callable,
             J = jax.jacfwd(gf)(flat)
             return x - jnp.linalg.solve(J, gf(flat)).reshape(shape)
     elif inner in ("bicgstab", "gmres"):
-        krylov = (jax.scipy.sparse.linalg.bicgstab if inner == "bicgstab"
-                  else jax.scipy.sparse.linalg.gmres)
-        kw = {} if inner_maxiter is None else {"maxiter": inner_maxiter}
+        if inner == "bicgstab":
+            # Mixed-precision BiCGStab (f32 vectors/matvecs, float64
+            # recurrence scalars and reductions — solvers/krylov.py):
+            # jax.scipy's vector-dtype scalars break down at ~10^7-point
+            # f32 grids (dot-product noise collapses rho/omega, the
+            # inner solve returns a zero step).
+            from .krylov import bicgstab_mixed
+
+            def krylov(mv, rhs, atol):
+                mi = (inner_maxiter if inner_maxiter is not None
+                      else 10 * rhs.size)
+                return bicgstab_mixed(mv, rhs, atol=atol, maxiter=mi)
+        else:
+            def krylov(mv, rhs, atol):
+                kw = {} if inner_maxiter is None else {
+                    "maxiter": inner_maxiter}
+                return jax.scipy.sparse.linalg.gmres(mv, rhs, atol=atol,
+                                                     **kw)
 
         def q(x):
             # linearize, not per-matvec jvp: the reference re-runs the
@@ -201,7 +220,7 @@ def newton_solver(T: Callable,
             # residuals, so each matvec is the pure tangent-linear chain.
             gx, jac_prod = jax.linearize(g, x)
             atol = inner_tol * jnp.linalg.norm(gx.reshape(-1))
-            b, _ = krylov(jac_prod, gx, atol=atol, **kw)
+            b, _ = krylov(jac_prod, gx, atol)
             x_new = x - b
             # Non-finite residuals silently stall Krylov at a zero step
             # (NaN > atol is False), which would report convergence at a
