@@ -132,6 +132,26 @@ def run_case(name, T, T64, ell_init, n_points, tol):
     return entry, res.x
 
 
+def _flush(out):
+    """Merge the cases recorded so far into NORTHSTAR.json by name.
+
+    Called after EVERY case: the axon TPU worker can crash mid-run
+    (observed repeatedly at 10^7-point scale), and a trailing-only write
+    would lose every completed case with it.
+    """
+    path = pathlib.Path(__file__).resolve().parent.parent / "NORTHSTAR.json"
+    merged = out
+    if path.exists():
+        old = json.loads(path.read_text())
+        keep = [c for c in old.get("cases", [])
+                if all(c["name"] != n["name"] for n in out["cases"])]
+        merged = dict(old, cases=keep + out["cases"],
+                      device=out["device"],
+                      reference_largest_recorded_points=160_000)
+    path.write_text(json.dumps(merged, indent=1))
+    print(f"wrote {path}")
+
+
 def main(which=("continuous", "discrete")):
     model = SSY()
     out = {"device": str(jax.devices()[0]).split(":")[0],
@@ -150,12 +170,14 @@ def main(which=("continuous", "discrete")):
                                 warm, n_points, TOL_CONT)
         entry["shapes"] = list(SHAPES_CONT)
         # Full-accuracy polish: float64 Newton on host CPU from the f32
-        # solution.  The accurate-f32 warm start leaves ~4 Newton
-        # iterations (measured 3.4 s at 11.2M points) to reach ~5e-11 —
-        # reference-grade 1e-7 accuracy at 10^7 points, end to end.
+        # solution — ~4 Newton iterations to ~5e-11, i.e. reference-grade
+        # 1e-7 accuracy at 10^7 points end to end.  Honest cost: the host
+        # f64 stage is minutes, not seconds, at 11.2M points (each inner
+        # BiCGStab matvec is a full CPU operator application).
         f64_polish(entry, Tc64, x_f32)
         out["cases"].append(entry)
         print(json.dumps(entry))
+        _flush(out)
 
     if "discrete" in which:
         # Discrete tensor grid at 10^7 points via TAUCHEN discretization:
@@ -188,6 +210,7 @@ def main(which=("continuous", "discrete")):
         f64_polish(entry, Td64, x_f32)
         out["cases"].append(entry)
         print(json.dumps(entry))
+        _flush(out)
 
         # The wide-Rouwenhorst twin of the same grid is OUT of the f32
         # envelope by construction (the z ladder spans ±sqrt(383) sigma);
@@ -214,6 +237,7 @@ def main(which=("continuous", "discrete")):
                     "discrete f32 grids use Tauchen (above) or the "
                     "f64/CPU tier."})
         print(json.dumps(out["cases"][-1]))
+        _flush(out)
 
     if "gcy" in which:
         # Six-state GCY at 25.2M points: Tauchen's fixed ±3-sigma span
@@ -251,6 +275,7 @@ def main(which=("continuous", "discrete")):
         f64_polish(entry, Tg64, x_nat)
         out["cases"].append(entry)
         print(json.dumps(entry))
+        _flush(out)
 
     if "gcy_rouwenhorst" in which:
         # Wide-Rouwenhorst GCY in f32 at >=10M points via the normalized
@@ -258,9 +283,12 @@ def main(which=("continuous", "discrete")):
         # the Kronecker-grouped tiled kernel's joint column-group shifts,
         # not of the operator; reference construction
         # /root/reference/code/gcy/discrete/gcy_wc_ratio.py:109-120).
-        # Anderson acceleration: f32 BiCGStab breaks down at this scale
-        # (the Newton zero-step fix reports that honestly), while AA's
-        # f64 Gram solve is breakdown-free.
+        # Newton with the mixed-precision BiCGStab (solvers/krylov.py):
+        # vector-dtype BiCGStab broke down at this scale (f32 dot-product
+        # noise collapsed rho/omega to a zero step, which forced this case
+        # onto Anderson); f64 recurrence scalars remove the breakdown.
+        # Anderson (f64 Gram solve) remains the recorded fallback if
+        # Newton still stalls.
         import warnings as _warnings
 
         from sdfs_via_autodiff_tpu import GCY, discretize_gcy
@@ -276,13 +304,19 @@ def main(which=("continuous", "discrete")):
                                 baseline="loglinear", dtype=jnp.float32)
             x0 = jnp.asarray(T32.baseline_log_w, jnp.float32)
             t0 = time.perf_counter()
-            res = solve(T32, x0, method="anderson", tol=3e-5,
-                        max_iter=3000)
+            res = solve(T32, x0, method="newton", tol=3e-5, max_iter=25)
             jax.block_until_ready(res.x)
+            algo = "newton(bicgstab_mixed)"
+            if not bool(res.converged):
+                t0 = time.perf_counter()
+                res = solve(T32, x0, method="anderson", tol=3e-5,
+                            max_iter=3000)
+                jax.block_until_ready(res.x)
+                algo = "anderson"
         entry = {"name": "gcy_discrete_rouwenhorst_f32",
                  "points": n_points, "shapes": list(big),
                  "kernel_mode": "xla_normalized", "tol": 3e-5,
-                 "algorithm": "anderson",
+                 "algorithm": algo,
                  "solve_s": round(time.perf_counter() - t0, 1),
                  "iterations": int(res.iterations),
                  "residual_f32": float(res.residual),
@@ -292,17 +326,7 @@ def main(which=("continuous", "discrete")):
         out["cases"].append(entry)
         print(json.dumps(entry))
 
-    path = pathlib.Path(__file__).resolve().parent.parent / "NORTHSTAR.json"
-    merged = out
-    if path.exists() and which != ALL_CASES:
-        old = json.loads(path.read_text())
-        keep = [c for c in old.get("cases", [])
-                if all(c["name"] != n["name"] for n in out["cases"])]
-        merged = dict(old, cases=keep + out["cases"],
-                      device=out["device"],
-                      reference_largest_recorded_points=160_000)
-    path.write_text(json.dumps(merged, indent=1))
-    print(f"wrote {path}")
+    _flush(out)
 
 
 if __name__ == "__main__":
