@@ -95,18 +95,45 @@ def f64_residual(T64, ell):
     return float(jnp.max(jnp.abs(out - ell64)))
 
 
+def _tpu_keepalive(stop_event, period_s=60.0):
+    """Ping the accelerator with a tiny op while the host is busy.
+
+    The axon TPU tunnel has dropped after long device-idle stretches
+    (observed: worker unreachable right after a ~8-minute host-CPU f64
+    polish), killing every later case in the run.  A trivial reduction
+    every minute keeps the connection warm; errors are swallowed — if
+    the worker is already down the main thread's next device op reports
+    it properly.
+    """
+    dev = jax.devices()[0]
+    while not stop_event.wait(period_s):
+        try:
+            jax.device_put(jnp.ones(3), dev).sum().block_until_ready()
+        except Exception:
+            pass
+
+
 def f64_polish(entry, T64, x_f32, tol=1e-9, max_iter=6):
     """Host-CPU float64 Newton refine from the f32 solution — the
     two-stage recipe of ``wc_ratio_{continuous,discrete}(polish=True)``
     — recording seconds / iterations / final f64 residual in ``entry``."""
+    import threading
     cpu = jax.devices("cpu")[0]
     x64 = jax.device_put(jnp.asarray(np.asarray(x_f32), jnp.float64), cpu)
-    with jax.default_device(cpu):
-        t0 = time.perf_counter()
-        pres = solve(T64, x64, method="newton", tol=tol, max_iter=max_iter,
-                     jit=True)
-        pres.x.block_until_ready()
-        entry["polish_seconds_cpu_f64"] = round(time.perf_counter() - t0, 2)
+    stop = threading.Event()
+    ka = threading.Thread(target=_tpu_keepalive, args=(stop,), daemon=True)
+    ka.start()
+    try:
+        with jax.default_device(cpu):
+            t0 = time.perf_counter()
+            pres = solve(T64, x64, method="newton", tol=tol,
+                         max_iter=max_iter, jit=True)
+            pres.x.block_until_ready()
+            entry["polish_seconds_cpu_f64"] = round(
+                time.perf_counter() - t0, 2)
+    finally:
+        stop.set()
+        ka.join(timeout=120)
     entry["polish_iterations"] = int(pres.iterations)
     entry["polish_residual_f64"] = float(pres.residual)
     return pres.x
