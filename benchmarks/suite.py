@@ -188,6 +188,60 @@ def main(argv=None):
         except Exception as e:
             add("gcy_discrete_tiled", -1, dict(skipped=str(e)[:120]))
 
+        # 7b. Normalized (baseline="loglinear") six-state operator on the
+        #     same fast tier via the rank-2 conjugated-shared rewrite
+        #     (round 3): the log-linear baseline conjugates into shared
+        #     factors, so the normalized operator runs the streamed/
+        #     deferred kernels too.  The fold reads the ladder structure
+        #     off the f64-constructed grids (an f32 discretization fails
+        #     its separability check); Tauchen keeps the conjugated
+        #     factors in the f32 envelope at this width, making the
+        #     entry accuracy-comparable to the plain auto/strip ones.
+        try:
+            import warnings
+
+            from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+                make_tiled_T_log_gcy)
+            big = (32, 16, 16, 12, 16, 16)
+            n_big = 1
+            for v in big:
+                n_big *= v
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                discr = discretize_gcy(gcy, big, method="tauchen")
+                Tb = make_tiled_T_log_gcy(gcy, discr,
+                                          baseline="loglinear")
+            xb = Tb.to_view(jnp.asarray(Tb.baseline_log_w, jnp.float32)
+                            ).reshape((12, 16, 512, 256))
+
+            def mkg(K, _T=Tb):
+                @jax.jit
+                def many(v):
+                    return jax.lax.fori_loop(
+                        0, K, lambda i, u: _T.view_T(u), v)
+                return many
+
+            m1, m2 = mkg(10), mkg(40)
+            jax.block_until_ready(m1(xb))
+            jax.block_until_ready(m2(xb))
+
+            def tg(f, _x=xb):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(_x))
+                return time.perf_counter() - t0
+
+            dt = (min(tg(m2) for _ in range(3))
+                  - min(tg(m1) for _ in range(3))) / 30
+            add("gcy_discrete_25.2M_f32_normalized_conjugated", dt * 30,
+                dict(points=n_big, ms_per_app=round(dt * 1e3, 3),
+                     G_point_updates_per_s=round(n_big / dt / 1e9, 2),
+                     discretization="tauchen",
+                     f32_envelope_warning=bool(caught),
+                     timing="marginal_fori_30"))
+        except Exception as e:
+            add("gcy_discrete_normalized_conjugated", -1,
+                dict(skipped=str(e)[:160]))
+
     # 8. GCY *continuous* operator timings (round-2 review item #8) at
     #    above the reference's 15^4-equivalent scale: factored-quadrature
     #    pre-interp (normalized for f32 range) and the Monte Carlo
@@ -247,11 +301,13 @@ def main(argv=None):
             for v in big4:
                 n56 *= v
             x56 = jnp.full(big4, jnp.log(800.0), jnp.float32)
-            def marginal(T):
+            def marginal(T, x0=None):
                 # Two-point fori-loop timing cancels dispatch overhead
                 # (bench.py's method; single-call timings through the
                 # axon tunnel measure ~1 ms RPC dispatch, not device
                 # time).
+                x0 = x56 if x0 is None else x0
+
                 def mk(K):
                     @jax.jit
                     def many(x):
@@ -259,12 +315,12 @@ def main(argv=None):
                                                  lambda i, v: T(v), x)
                     return many
                 m1, m2 = mk(50), mk(200)
-                jax.block_until_ready(m1(x56))
-                jax.block_until_ready(m2(x56))
+                jax.block_until_ready(m1(x0))
+                jax.block_until_ready(m2(x0))
 
                 def t(f):
                     t0 = time.perf_counter()
-                    jax.block_until_ready(f(x56))
+                    jax.block_until_ready(f(x0))
                     return time.perf_counter() - t0
 
                 return (min(t(m2) for _ in range(3))
@@ -280,6 +336,23 @@ def main(argv=None):
                          pct_hbm_roofline=round(
                              100 * 4 * n56 * 4 / dt / 1e9 / 819, 1),
                          timing="marginal_fori_150"))
+
+            # Normalized (baseline="loglinear") on the same streamed
+            # tier via the conjugated-shared rewrite (round 3): the
+            # batched factors reduce to pre/post log-space adds around
+            # the shared contraction, so normalization costs only the
+            # extra elementwise work.
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                ops56n = two_phase_operands_ssy(ssy, disc56,
+                                                baseline="loglinear")
+            xb56 = jnp.asarray(ops56n.baseline_log_w, jnp.float32)
+            dt = marginal(make_streamed_T_log(ops56n), xb56)
+            add("ssy_discrete_streamed_normalized_11.2M_f32", dt * 150,
+                dict(points=n56, ms_per_app=round(dt * 1e3, 3),
+                     pct_hbm_roofline=round(
+                         100 * 4 * n56 * 4 / dt / 1e9 / 819, 1),
+                     timing="marginal_fori_150"))
         except Exception as e:
             add("ssy_discrete_streamed", -1, dict(skipped=str(e)[:160]))
 
