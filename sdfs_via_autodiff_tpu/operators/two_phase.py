@@ -413,7 +413,16 @@ def _two_phase_operands_gcy_normalized(model, disc,
         (n_a, n_b, n_c, n_e)).reshape(P, Q)
     target = psi_z_PQ + psi_pi_PQ
     scale = max(1.0, float(np.max(np.abs(target))))
-    if np.max(np.abs(g - target)) > 1e-9 * scale:
+    # Tolerance scales with the grids' storage precision: an f32-built
+    # discretization (discretize_gcy(dtype=jnp.float32)) rounds a truly
+    # separable ladder by ~eps(f32) per entry.  Accepting it is exact —
+    # the fold uses the rank-2 reconstruction g consistently in both the
+    # sub and add corrections, so ANY g yields an exact normalized
+    # operator; g only needs to approximate the baseline well for range
+    # reduction, and an O(1e-6)-off reconstruction is immaterial there.
+    # Truly non-separable grids differ at O(1) and are still rejected.
+    eps = float(np.finfo(np.asarray(disc.z_states).dtype).eps)
+    if np.max(np.abs(g - target)) > max(1e-9, 100.0 * eps) * scale:
         raise ValueError(
             "normalized GCY fold requires the separable z-ladder "
             "structure (z_states = centers(e, b) + sigma_z(c) * "

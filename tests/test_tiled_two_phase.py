@@ -287,6 +287,34 @@ class TestGCYNormalized:
         np.testing.assert_allclose(np.asarray(got), np.asarray(Tp(ell)),
                                    atol=1e-12, rtol=0)
 
+    def test_fold_accepts_f32_built_grids(self, rng):
+        # An f32-built discretization rounds the (truly separable)
+        # z ladder by ~eps(f32); the fold's separability check is
+        # dtype-aware, and accepting it is exact — the rank-2
+        # reconstruction g is used consistently in both sub and add
+        # corrections, so the operator value is baseline-independent.
+        from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+        from sdfs_via_autodiff_tpu.operators.discrete_gcy import (
+            T_gcy_factory)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            make_xla_two_phase_T, two_phase_operands_gcy)
+        model = GCY()
+        ell = jnp.asarray(np.log(300.0)
+                          + 0.3 * rng.standard_normal(self.SHAPES))
+        for method in ("rouwenhorst", "tauchen"):
+            disc32 = discretize_gcy(model, self.SHAPES,
+                                    dtype=jnp.float32, method=method)
+            ops = two_phase_operands_gcy(model, disc32,
+                                         baseline="loglinear")
+            T64 = make_xla_two_phase_T(ops, jnp.float64)
+            Tp = T_gcy_factory(model, disc32, space="log",
+                               dtype=jnp.float64, jit=False)
+            got = self._natural(
+                ops, T64(jnp.transpose(ell, ops.perm).reshape(ops.shapes)))
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(Tp(ell)),
+                                       atol=1e-9, rtol=0)
+
     def test_rank2_lazy_matches_dense(self, gcy_norm):
         _, _, ops, _ = gcy_norm
         dense = lambda lz: np.exp(
