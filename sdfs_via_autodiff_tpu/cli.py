@@ -46,7 +46,8 @@ def cmd_solve(args):
         sol = wc_ratio_discrete(
             model, shapes, algorithm=args.algorithm, tol=args.tol,
             space=args.space, kernel=args.kernel, baseline=args.baseline,
-            discretization=args.discretization, polish=args.polish,
+            discretization=args.discretization,
+            polish=args.polish or False,
             checkpoint_path=args.checkpoint)
     else:
         sol = wc_ratio_continuous(
@@ -54,7 +55,7 @@ def cmd_solve(args):
             space=args.space, method=args.method, interp=args.interp,
             quad_degree=args.quad_degree, num_std_devs=args.num_std_devs,
             kernel=args.kernel, baseline=args.baseline,
-            engine=args.engine, polish=args.polish,
+            engine=args.engine, polish=args.polish or False,
             checkpoint_path=args.checkpoint)
     wall = time.time() - t0
     out = dict(model=args.model, kind=args.kind, shapes=list(shapes),
@@ -154,8 +155,12 @@ def main(argv=None) -> int:
     ps.add_argument("--engine", choices=["auto", "node_chain", "gather"],
                     default="auto",
                     help="evaluation strategy for post/loglin interp")
-    ps.add_argument("--polish", action="store_true",
-                    help="refine the fast solve with float64 Newton")
+    ps.add_argument("--polish", nargs="?", const="host", default=None,
+                    choices=["host", "device"],
+                    help="refine the fast solve with float64 Newton: "
+                         "'host' (default when the flag is bare; true "
+                         "IEEE f64 on CPU) or 'device' (the "
+                         "accelerator's f64 emulation)")
     ps.add_argument("--discretization",
                     choices=["rouwenhorst", "tauchen"],
                     default="rouwenhorst",

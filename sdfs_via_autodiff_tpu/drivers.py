@@ -74,6 +74,21 @@ def f32_tol_floor(theta: Optional[float]) -> float:
     return 5e-6 * max(1.0, (abs(float(theta)) / 16.0) ** 2)
 
 
+def _polish_stage(polish) -> str:
+    """Normalize the ``polish`` kwarg to a stage placement.
+
+    ``True``/``"host"`` -> f64 refine on the host CPU (true IEEE f64);
+    ``"device"`` -> f64 refine on the default backend (on TPU: the
+    float32-range double-float emulation, which the log-space operators
+    stay inside by construction)."""
+    if polish is True:
+        return "host"
+    if polish in ("host", "device"):
+        return polish
+    raise ValueError(f"polish must be True, 'host', or 'device', "
+                     f"got {polish!r}")
+
+
 def _newton_applicable(solver_opts: dict) -> dict:
     """Subset of user solver options accepted by the Newton solver — the
     polish stages always refine with Newton, whatever the fast stage ran."""
@@ -115,7 +130,7 @@ def wc_ratio_discrete(model,
                       kernel: str = "xla",
                       baseline: Optional[str] = None,
                       discretization: str = "rouwenhorst",
-                      polish: bool = False,
+                      polish=False,  # True | 'host' | 'device'
                       checkpoint_path: Optional[str] = None,
                       **solver_opts) -> WCSolution:
     """Solve the discretized (Rouwenhorst tensor-grid) model.
@@ -129,6 +144,12 @@ def wc_ratio_discrete(model,
     is an accelerator — the same two-stage recipe as the continuous
     driver's polish (reference default tol 1e-7, ``solvers.py:16``, at
     10^7-point grids despite the f32 fast tier's ~1e-5 floor).
+    ``polish="device"`` runs the f64 stage on the default accelerator
+    instead: on TPU that is the double-float "f64" emulation — array
+    exp/log/matmul at ~1e-15 but float32 *range*, which the log-space
+    operator stays inside by construction — trading the host stage's
+    minutes at 10^7 points for emulated-f64 device speed.
+    ``polish="host"`` is the explicit spelling of ``True``.
 
     ``kernel="tiled"`` (float32, log space) runs the operator through the
     strip-streamed Pallas kernels — the large-grid fast tier (no VMEM
@@ -158,13 +179,14 @@ def wc_ratio_discrete(model,
 
         import jax
 
+        stage = _polish_stage(polish)
         fast = wc_ratio_discrete(
             model, shapes, algorithm=algorithm, tol=max(tol, 1e-4),
             space=space, w_init=w_init, dtype=dtype, kernel=kernel,
             baseline=baseline, discretization=discretization,
             **solver_opts)
         ctx = contextlib.nullcontext()
-        if jax.default_backend() != "cpu":
+        if stage == "host" and jax.default_backend() != "cpu":
             ctx = jax.default_device(jax.devices("cpu")[0])
         with ctx:
             # f64 Newton refine through the XLA operator (the tiled
@@ -262,7 +284,7 @@ def wc_ratio_continuous(model,
                         dtype=None,
                         kernel: str = "xla",
                         engine: str = "auto",
-                        polish: bool = False,
+                        polish=False,  # True | 'host' | 'device'
                         checkpoint_path: Optional[str] = None,
                         **solver_opts) -> WCSolution:
     """Solve the continuous-state model on interpolation grids.
@@ -296,10 +318,15 @@ def wc_ratio_continuous(model,
     fast solve, refine with float64 Newton warm-started from it — the
     f32 tier's speed with the f64 tier's accuracy.  The polish stage
     runs on the host CPU when the default backend is an accelerator:
-    the TPU's "f64" is a float32-range double-float emulation (slow and
-    range-limited; docs/precision.md), while true-f64 CPU Newton from
-    the accurate-f32 warm start is ~4 iterations — measured 3.4 s to
-    5.6e-11 residual even at 11.2M points (NORTHSTAR).
+    the TPU's "f64" is a float32-range double-float emulation
+    (docs/precision.md), while true-f64 CPU Newton from the
+    accurate-f32 warm start is ~4 iterations to ~5e-11 residual — at a
+    minutes-scale cost at 10^7 points (each inner Krylov matvec is a
+    full CPU operator application; NORTHSTAR records the honest
+    timing).  ``polish="device"`` runs the f64 stage on the default
+    accelerator via that emulation instead — the log-space operator
+    stays inside the emulation's float32 range by construction — and
+    ``polish="host"`` is the explicit spelling of ``True``.
     """
     space = space or _auto_space()
     gdtype = dtype or jnp.float64
@@ -308,6 +335,7 @@ def wc_ratio_continuous(model,
 
         import jax
 
+        stage = _polish_stage(polish)
         fast = wc_ratio_continuous(
             model, grid_sizes, num_std_devs=num_std_devs, method=method,
             interp=interp, quad_degree=quad_degree,
@@ -316,7 +344,7 @@ def wc_ratio_continuous(model,
             batch_size=batch_size, baseline=baseline, dtype=dtype,
             kernel=kernel, engine=engine, **solver_opts)
         ctx = contextlib.nullcontext()
-        if jax.default_backend() != "cpu":
+        if stage == "host" and jax.default_backend() != "cpu":
             ctx = jax.default_device(jax.devices("cpu")[0])
         with ctx:
             # The polish stage reruns the same configuration at float64

@@ -183,6 +183,24 @@ def test_discrete_polish_refines_f32_solve():
                                np.asarray(ref.w_star), atol=1e-6)
 
 
+def test_discrete_polish_stage_placements():
+    # polish accepts True | "host" | "device" (on the CPU backend the
+    # placements coincide; the "device" option exists for the TPU's f64
+    # emulation) and rejects anything else.
+    import pytest
+
+    from sdfs_via_autodiff_tpu import wc_ratio_discrete
+    model = SSY()
+    shapes = (4, 4, 4, 6)
+    for stage in ("host", "device"):
+        sol = wc_ratio_discrete(model, shapes, algorithm="newton",
+                                tol=1e-9, dtype=jnp.float32, polish=stage)
+        assert sol.converged
+        assert float(sol.result.residual) < 1e-9
+    with pytest.raises(ValueError, match="polish"):
+        wc_ratio_discrete(model, shapes, tol=1e-9, polish="gpu")
+
+
 def test_fast_transcendentals_escape_hatch(setup, rng):
     # transcendentals="fast" (hardware exp/log in the XLA chain) agrees
     # with the accurate default to f32-hardware accuracy and is accepted
