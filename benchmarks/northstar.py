@@ -42,7 +42,11 @@ from sdfs_via_autodiff_tpu.ops.grids import flatten_mesh
 # spends its points on the z axis instead.
 SHAPES_CONT = (56, 56, 56, 64)     # 11_239_424 points; C = 56*64 = 28*128
 SHAPES_DISC = (32, 32, 32, 384)    # 12_582_912 points; C = 32*384 = 96*128
-ALL_CASES = ("continuous", "discrete", "gcy", "gcy_rouwenhorst")
+# device_polish goes LAST: it exercises f64-emulated Newton on the TPU at
+# 10^7 points for the first time, and a worker fault must not take out
+# the main cases (each case is separately flushed regardless).
+ALL_CASES = ("continuous", "discrete", "gcy", "gcy_rouwenhorst",
+             "device_polish")
 TOL_CONT = 2e-5     # near the accurate-transcendentals f32 floor (round 2:
                     # was 2e-4 before ops/accurate.py; the solver stall
                     # guard makes an unreachable tol safe regardless)
@@ -352,6 +356,48 @@ def main(which=("continuous", "discrete")):
         entry["residual_f64_check"] = f64_residual(T64, res.x)
         out["cases"].append(entry)
         print(json.dumps(entry))
+
+    if "device_polish" in which:
+        # On-device f64 refine (polish="device", drivers.py): the f32
+        # tiled solve's warm start + Newton through the XLA operator in
+        # the TPU's double-float "f64" emulation — array exp/log/matmul
+        # ~1e-15, f32 range, which the log-space operator stays inside.
+        # The host-CPU stage costs minutes at this size (see the
+        # discrete case's polish_seconds_cpu_f64); this measures the
+        # on-device alternative end to end, with the final residual
+        # still checked in TRUE f64 on the host.
+        n_points = int(np.prod(SHAPES_DISC))
+        disc = discretize_ssy(model, SHAPES_DISC, method="tauchen")
+        Td = make_tiled_T_log_ssy(model, disc)
+        Td64 = T_ssy_factory(model, disc, space="log", jit=False)
+        from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
+            _ssy_normalized_arrays)
+        arrs = _ssy_normalized_arrays(model, disc)
+        warm = jnp.asarray(
+            arrs["A0"] + arrs["phi_l"][:, None, None, None]
+            + arrs["phi_k"][None, :, None, None]
+            + arrs["phi_i"][None, None, :, None]
+            + arrs["psi_ij"][None, None, :, :], jnp.float32)
+        res32 = solve(Td, warm, method="newton", tol=TOL_DISC, max_iter=60)
+        jax.block_until_ready(res32.x)
+        x64 = jnp.asarray(res32.x, jnp.float64)     # default device
+        t0 = time.perf_counter()
+        pres = solve(Td64, x64, method="newton", tol=1e-9, max_iter=6,
+                     jit=True)
+        jax.block_until_ready(pres.x)
+        entry = {"name": "ssy_discrete_tauchen_device_polish",
+                 "points": n_points, "shapes": list(SHAPES_DISC),
+                 "device_polish_seconds": round(time.perf_counter() - t0, 2),
+                 "device_polish_iterations": int(pres.iterations),
+                 "device_polish_residual_emulated_f64":
+                     float(pres.residual),
+                 "residual_true_f64_check": f64_residual(Td64, pres.x),
+                 "note": "f64 stage on the TPU double-float emulation "
+                         "(polish='device'); compare "
+                         "polish_seconds_cpu_f64 in ssy_discrete_tauchen"}
+        out["cases"].append(entry)
+        print(json.dumps(entry))
+        _flush(out)
 
     _flush(out)
 
