@@ -51,6 +51,10 @@ TOL_CONT = 2e-5     # near the accurate-transcendentals f32 floor (round 2:
                     # was 2e-4 before ops/accurate.py; the solver stall
                     # guard makes an unreachable tol safe regardless)
 TOL_DISC = 2e-5     # in-envelope (Tauchen) f32 floor
+# The discrete case stashes its f32 solution here (host scratch) so the
+# device_polish case can reuse it instead of re-running the 12.6M-point
+# f32 solve; keyed by shape in the filename to avoid stale reuse.
+_X32_STASH = f"/tmp/northstar_ssy_disc_x32_{'x'.join(map(str, SHAPES_DISC))}.npy"
 
 
 def loglinear_warm_start(model, grids):
@@ -163,23 +167,36 @@ def run_case(name, T, T64, ell_init, n_points, tol):
     return entry, res.x
 
 
-def _flush(out):
+def _flush(out, replace=False):
     """Merge the cases recorded so far into NORTHSTAR.json by name.
 
     Called after EVERY case: the axon TPU worker can crash mid-run
     (observed repeatedly at 10^7-point scale), and a trailing-only write
     would lose every completed case with it.
+
+    ``replace=True`` (the final flush of a successful full run) drops
+    cases not produced this run, so renamed/removed cases cannot linger
+    as stale numbers.  The write is atomic (temp file + os.replace) and
+    a corrupt existing file is treated as absent rather than bricking
+    every later run at its first flush.
     """
+    import os
+
     path = pathlib.Path(__file__).resolve().parent.parent / "NORTHSTAR.json"
     merged = out
-    if path.exists():
-        old = json.loads(path.read_text())
+    if path.exists() and not replace:
+        try:
+            old = json.loads(path.read_text())
+        except (json.JSONDecodeError, OSError):
+            old = {}
         keep = [c for c in old.get("cases", [])
                 if all(c["name"] != n["name"] for n in out["cases"])]
         merged = dict(old, cases=keep + out["cases"],
                       device=out["device"],
                       reference_largest_recorded_points=160_000)
-    path.write_text(json.dumps(merged, indent=1))
+    tmp = path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(merged, indent=1))
+    os.replace(tmp, path)
     print(f"wrote {path}")
 
 
@@ -236,6 +253,9 @@ def main(which=("continuous", "discrete")):
         entry, x_f32 = run_case("ssy_discrete_tauchen", Td, Td64, warm,
                                 n_points, TOL_DISC)
         entry["shapes"] = list(SHAPES_DISC)
+        # Stash the f32 solution so the device_polish case (often run as
+        # its own process for crash isolation) can skip re-solving.
+        np.save(_X32_STASH, np.asarray(x_f32))
         # Reference-default accuracy (tol 1e-7, solvers.py:16) at 12.6M
         # discrete points: host-f64 Newton polish from the f32 solution.
         f64_polish(entry, Td64, x_f32)
@@ -334,11 +354,19 @@ def main(which=("continuous", "discrete")):
             T32 = T_gcy_factory(gcy, disc, space="log",
                                 baseline="loglinear", dtype=jnp.float32)
             x0 = jnp.asarray(T32.baseline_log_w, jnp.float32)
+            newton_attempt = None
             t0 = time.perf_counter()
             res = solve(T32, x0, method="newton", tol=3e-5, max_iter=25)
             jax.block_until_ready(res.x)
             algo = "newton(bicgstab_mixed)"
             if not bool(res.converged):
+                # Keep the failed attempt on the record: this case
+                # exists to monitor the mixed-precision inner solver at
+                # scale, so a silent fallback would hide its regression.
+                newton_attempt = {
+                    "seconds": round(time.perf_counter() - t0, 1),
+                    "iterations": int(res.iterations),
+                    "residual_f32": float(res.residual)}
                 t0 = time.perf_counter()
                 res = solve(T32, x0, method="anderson", tol=3e-5,
                             max_iter=3000)
@@ -352,10 +380,13 @@ def main(which=("continuous", "discrete")):
                  "iterations": int(res.iterations),
                  "residual_f32": float(res.residual),
                  "converged": bool(res.converged)}
+        if newton_attempt is not None:
+            entry["newton_attempt_failed"] = newton_attempt
         T64 = T_gcy_factory(gcy, disc, space="log", baseline="loglinear")
         entry["residual_f64_check"] = f64_residual(T64, res.x)
         out["cases"].append(entry)
         print(json.dumps(entry))
+        _flush(out)
 
     if "device_polish" in which:
         # On-device f64 refine (polish="device", drivers.py): the f32
@@ -366,21 +397,28 @@ def main(which=("continuous", "discrete")):
         # discrete case's polish_seconds_cpu_f64); this measures the
         # on-device alternative end to end, with the final residual
         # still checked in TRUE f64 on the host.
+        import os
         n_points = int(np.prod(SHAPES_DISC))
         disc = discretize_ssy(model, SHAPES_DISC, method="tauchen")
-        Td = make_tiled_T_log_ssy(model, disc)
         Td64 = T_ssy_factory(model, disc, space="log", jit=False)
-        from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
-            _ssy_normalized_arrays)
-        arrs = _ssy_normalized_arrays(model, disc)
-        warm = jnp.asarray(
-            arrs["A0"] + arrs["phi_l"][:, None, None, None]
-            + arrs["phi_k"][None, :, None, None]
-            + arrs["phi_i"][None, None, :, None]
-            + arrs["psi_ij"][None, None, :, :], jnp.float32)
-        res32 = solve(Td, warm, method="newton", tol=TOL_DISC, max_iter=60)
-        jax.block_until_ready(res32.x)
-        x64 = jnp.asarray(res32.x, jnp.float64)     # default device
+        if os.path.exists(_X32_STASH):
+            x_f32 = jnp.asarray(np.load(_X32_STASH), jnp.float32)
+        else:
+            # No stash from a prior 'discrete' case run: solve fresh.
+            Td = make_tiled_T_log_ssy(model, disc)
+            from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
+                _ssy_normalized_arrays)
+            arrs = _ssy_normalized_arrays(model, disc)
+            warm = jnp.asarray(
+                arrs["A0"] + arrs["phi_l"][:, None, None, None]
+                + arrs["phi_k"][None, :, None, None]
+                + arrs["phi_i"][None, None, :, None]
+                + arrs["psi_ij"][None, None, :, :], jnp.float32)
+            res32 = solve(Td, warm, method="newton", tol=TOL_DISC,
+                          max_iter=60)
+            jax.block_until_ready(res32.x)
+            x_f32 = res32.x
+        x64 = jnp.asarray(x_f32, jnp.float64)       # default device
         t0 = time.perf_counter()
         pres = solve(Td64, x64, method="newton", tol=1e-9, max_iter=6,
                      jit=True)
@@ -399,7 +437,10 @@ def main(which=("continuous", "discrete")):
         print(json.dumps(entry))
         _flush(out)
 
-    _flush(out)
+    if set(which) >= set(ALL_CASES):
+        # Successful FULL run: rewrite wholesale so renamed/removed
+        # cases cannot linger as stale numbers (partial runs merge).
+        _flush(out, replace=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,32 @@ def timed(fn, *args):
     return time.perf_counter() - t0, out
 
 
+def marginal_time(T, x0, k1, k2, reps=3):
+    """Marginal per-application seconds of ``T`` via two fori-loop
+    lengths: (time(k2 apps) - time(k1 apps)) / (k2 - k1), min-of-reps.
+
+    Cancels dispatch overhead — single-call timings through the axon
+    tunnel measure ~1 ms RPC dispatch, not device time (bench.py's
+    method, docs/status.md #5)."""
+    def mk(K):
+        @jax.jit
+        def many(x):
+            return jax.lax.fori_loop(0, K, lambda i, v: T(v), x)
+        return many
+
+    m1, m2 = mk(k1), mk(k2)
+    jax.block_until_ready(m1(x0))
+    jax.block_until_ready(m2(x0))
+
+    def t(f):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x0))
+        return time.perf_counter() - t0
+
+    return (min(t(m2) for _ in range(reps))
+            - min(t(m1) for _ in range(reps))) / (k2 - k1)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -146,25 +172,7 @@ def main(argv=None):
                                               dict(engine="strip"))):
                 Tb = make_tiled_T_log_gcy(gcy, discb, **ekw)
                 xb = Tb.to_view(xb0).reshape((12, 16, 512, 256))
-
-                def mkg(K, _T=Tb):
-                    @jax.jit
-                    def many(v):
-                        return jax.lax.fori_loop(
-                            0, K, lambda i, u: _T.view_T(u), v)
-                    return many
-
-                m1, m2 = mkg(10), mkg(40)
-                jax.block_until_ready(m1(xb))
-                jax.block_until_ready(m2(xb))
-
-                def tg(f, _x=xb):
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(f(_x))
-                    return time.perf_counter() - t0
-
-                dt = (min(tg(m2) for _ in range(3))
-                      - min(tg(m1) for _ in range(3))) / 30
+                dt = marginal_time(Tb.view_T, xb, 10, 40)
                 add(f"gcy_discrete_25.2M_f32_engine_{ename}", dt * 30,
                     dict(points=n_big, ms_per_app=round(dt * 1e3, 3),
                          G_point_updates_per_s=round(n_big / dt / 1e9, 2),
@@ -192,11 +200,12 @@ def main(argv=None):
         #     same fast tier via the rank-2 conjugated-shared rewrite
         #     (round 3): the log-linear baseline conjugates into shared
         #     factors, so the normalized operator runs the streamed/
-        #     deferred kernels too.  The fold reads the ladder structure
-        #     off the f64-constructed grids (an f32 discretization fails
-        #     its separability check); Tauchen keeps the conjugated
-        #     factors in the f32 envelope at this width, making the
-        #     entry accuracy-comparable to the plain auto/strip ones.
+        #     deferred kernels too.  Grids are built at the default f64
+        #     (the discretization defines the model; the fold's
+        #     separability check is dtype-aware either way); Tauchen
+        #     keeps the conjugated factors in the f32 envelope at this
+        #     width, making the entry accuracy-comparable to the plain
+        #     auto/strip ones.
         try:
             import warnings
 
@@ -213,25 +222,7 @@ def main(argv=None):
                                           baseline="loglinear")
             xb = Tb.to_view(jnp.asarray(Tb.baseline_log_w, jnp.float32)
                             ).reshape((12, 16, 512, 256))
-
-            def mkg(K, _T=Tb):
-                @jax.jit
-                def many(v):
-                    return jax.lax.fori_loop(
-                        0, K, lambda i, u: _T.view_T(u), v)
-                return many
-
-            m1, m2 = mkg(10), mkg(40)
-            jax.block_until_ready(m1(xb))
-            jax.block_until_ready(m2(xb))
-
-            def tg(f, _x=xb):
-                t0 = time.perf_counter()
-                jax.block_until_ready(f(_x))
-                return time.perf_counter() - t0
-
-            dt = (min(tg(m2) for _ in range(3))
-                  - min(tg(m1) for _ in range(3))) / 30
+            dt = marginal_time(Tb.view_T, xb, 10, 40)
             add("gcy_discrete_25.2M_f32_normalized_conjugated", dt * 30,
                 dict(points=n_big, ms_per_app=round(dt * 1e3, 3),
                      G_point_updates_per_s=round(n_big / dt / 1e9, 2),
@@ -301,60 +292,52 @@ def main(argv=None):
             for v in big4:
                 n56 *= v
             x56 = jnp.full(big4, jnp.log(800.0), jnp.float32)
-            def marginal(T, x0=None):
-                # Two-point fori-loop timing cancels dispatch overhead
-                # (bench.py's method; single-call timings through the
-                # axon tunnel measure ~1 ms RPC dispatch, not device
-                # time).
-                x0 = x56 if x0 is None else x0
-
-                def mk(K):
-                    @jax.jit
-                    def many(x):
-                        return jax.lax.fori_loop(0, K,
-                                                 lambda i, v: T(v), x)
-                    return many
-                m1, m2 = mk(50), mk(200)
-                jax.block_until_ready(m1(x0))
-                jax.block_until_ready(m2(x0))
-
-                def t(f):
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(f(x0))
-                    return time.perf_counter() - t0
-
-                return (min(t(m2) for _ in range(3))
-                        - min(t(m1) for _ in range(3))) / 150
-
             for name, kw in (
                     ("accurate_3x", {}),
                     ("throughput", dict(precision="default",
                                         transcendentals="fast"))):
-                dt = marginal(make_streamed_T_log(ops56, **kw))
+                dt = marginal_time(make_streamed_T_log(ops56, **kw),
+                                   x56, 50, 200)
                 add(f"ssy_discrete_streamed_11.2M_f32_{name}", dt * 150,
                     dict(points=n56, ms_per_app=round(dt * 1e3, 3),
                          pct_hbm_roofline=round(
                              100 * 4 * n56 * 4 / dt / 1e9 / 819, 1),
                          timing="marginal_fori_150"))
+        except Exception as e:
+            add("ssy_discrete_streamed", -1, dict(skipped=str(e)[:160]))
 
-            # Normalized (baseline="loglinear") on the same streamed
-            # tier via the conjugated-shared rewrite (round 3): the
-            # batched factors reduce to pre/post log-space adds around
-            # the shared contraction, so normalization costs only the
-            # extra elementwise work.
+        # 9b. Normalized (baseline="loglinear") on the same streamed
+        #     tier via the conjugated-shared rewrite (round 3): the
+        #     batched factors reduce to pre/post log-space adds around
+        #     the shared contraction, so normalization costs only the
+        #     extra elementwise work.  Own guard: a failure here must
+        #     not be recorded against the (already added) plain entries.
+        try:
+            import warnings
+
+            from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+                make_streamed_T_log)
+            from sdfs_via_autodiff_tpu.operators.two_phase import (
+                two_phase_operands_ssy)
+            big4 = (56, 56, 56, 64)
+            disc56 = discretize_ssy(ssy, big4)
+            n56 = 1
+            for v in big4:
+                n56 *= v
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 ops56n = two_phase_operands_ssy(ssy, disc56,
                                                 baseline="loglinear")
             xb56 = jnp.asarray(ops56n.baseline_log_w, jnp.float32)
-            dt = marginal(make_streamed_T_log(ops56n), xb56)
+            dt = marginal_time(make_streamed_T_log(ops56n), xb56, 50, 200)
             add("ssy_discrete_streamed_normalized_11.2M_f32", dt * 150,
                 dict(points=n56, ms_per_app=round(dt * 1e3, 3),
                      pct_hbm_roofline=round(
                          100 * 4 * n56 * 4 / dt / 1e9 / 819, 1),
                      timing="marginal_fori_150"))
         except Exception as e:
-            add("ssy_discrete_streamed", -1, dict(skipped=str(e)[:160]))
+            add("ssy_discrete_streamed_normalized", -1,
+                dict(skipped=str(e)[:160]))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
