@@ -114,8 +114,7 @@ def _scale_metric(shapes=(56, 56, 56, 64)):
     """
     import warnings
 
-    from jax import lax
-
+    from benchmarks.timing import marginal_time
     from sdfs_via_autodiff_tpu import SSY, discretize_ssy
     from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
         make_streamed_T_log)
@@ -135,28 +134,10 @@ def _scale_metric(shapes=(56, 56, 56, 64)):
             n *= s
         ell0 = jnp.full(shapes, jnp.log(800.0), jnp.float32)
 
-        def measure(T):
-            def mk(K):
-                @jax.jit
-                def many(x):
-                    return lax.fori_loop(0, K, lambda i, v: T(v), x)
-                return many
-
-            m1, m2 = mk(50), mk(200)
-            jax.block_until_ready(m1(ell0))
-            jax.block_until_ready(m2(ell0))
-
-            def t(f):
-                t0 = time.perf_counter()
-                jax.block_until_ready(f(ell0))
-                return time.perf_counter() - t0
-
-            return (min(t(m2) for _ in range(3))
-                    - min(t(m1) for _ in range(3))) / 150
-
-        dt = measure(make_streamed_T_log(ops))
-        dt_fast = measure(make_streamed_T_log(ops, precision="default",
-                                              transcendentals="fast"))
+        dt = marginal_time(make_streamed_T_log(ops), ell0, 50, 200)
+        dt_fast = marginal_time(
+            make_streamed_T_log(ops, precision="default",
+                                transcendentals="fast"), ell0, 50, 200)
         # 4 HBM passes of the f32 field per application (2 per phase).
         bw = 4 * n * 4 / dt / 1e9
         bw_fast = 4 * n * 4 / dt_fast / 1e9

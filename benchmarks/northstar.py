@@ -22,7 +22,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from sdfs_via_autodiff_tpu import SSY, discretize_ssy, solve
 from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
@@ -66,22 +65,8 @@ def loglinear_warm_start(model, grids):
 
 
 def sa_throughput(T, x0, k1=50, k2=250):
-    def mk(K):
-        @jax.jit
-        def many(x):
-            return lax.fori_loop(0, K, lambda i, v: T(v), x)
-        return many
-    m1, m2 = mk(k1), mk(k2)
-    jax.block_until_ready(m1(x0))
-    jax.block_until_ready(m2(x0))
-
-    def t(f):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x0))
-        return time.perf_counter() - t0
-
-    dt = (min(t(m2) for _ in range(3)) - min(t(m1) for _ in range(3)))
-    return dt / (k2 - k1)
+    from benchmarks.timing import marginal_time
+    return marginal_time(T, x0, k1, k2)
 
 
 def newton_step_time(T, x0):
@@ -382,7 +367,11 @@ def main(which=("continuous", "discrete")):
                  "converged": bool(res.converged)}
         if newton_attempt is not None:
             entry["newton_attempt_failed"] = newton_attempt
-        T64 = T_gcy_factory(gcy, disc, space="log", baseline="loglinear")
+        # dtype must be explicit: the normalized chain's working dtype
+        # defaults to float32, which would make this "f64 check" rerun
+        # the same f32-rounded folded factors the solve used.
+        T64 = T_gcy_factory(gcy, disc, space="log", baseline="loglinear",
+                            dtype=jnp.float64)
         entry["residual_f64_check"] = f64_residual(T64, res.x)
         out["cases"].append(entry)
         print(json.dumps(entry))

@@ -17,38 +17,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+from benchmarks.timing import marginal_time
+
 
 def timed(fn, *args):
     out = jax.block_until_ready(fn(*args))   # compile
     t0 = time.perf_counter()
     out = jax.block_until_ready(fn(*args))
     return time.perf_counter() - t0, out
-
-
-def marginal_time(T, x0, k1, k2, reps=3):
-    """Marginal per-application seconds of ``T`` via two fori-loop
-    lengths: (time(k2 apps) - time(k1 apps)) / (k2 - k1), min-of-reps.
-
-    Cancels dispatch overhead — single-call timings through the axon
-    tunnel measure ~1 ms RPC dispatch, not device time (bench.py's
-    method, docs/status.md #5)."""
-    def mk(K):
-        @jax.jit
-        def many(x):
-            return jax.lax.fori_loop(0, K, lambda i, v: T(v), x)
-        return many
-
-    m1, m2 = mk(k1), mk(k2)
-    jax.block_until_ready(m1(x0))
-    jax.block_until_ready(m2(x0))
-
-    def t(f):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x0))
-        return time.perf_counter() - t0
-
-    return (min(t(m2) for _ in range(reps))
-            - min(t(m1) for _ in range(reps))) / (k2 - k1)
 
 
 def main(argv=None):

@@ -219,8 +219,13 @@ def wc_ratio_discrete(model,
             if w_init is None:
                 # Log-linear warm start (reference test_newton.md:60-66
                 # practice): beta = 0.9987 makes cold starts crawl.
-                w_init = jnp.exp(jnp.asarray(
-                    gcy_loglinear_parts(model, disc)["ell0"], jnp.float32))
+                # baseline="loglinear" already built the full-grid ell0
+                # inside the normalized operand factory — reuse it
+                # rather than recomputing the ~O(N)-sized f64 field.
+                ell0 = getattr(T, "baseline_log_w", None)
+                if ell0 is None:
+                    ell0 = gcy_loglinear_parts(model, disc)["ell0"]
+                w_init = jnp.exp(jnp.asarray(ell0, jnp.float32))
         else:
             raise TypeError(f"unsupported model {type(model).__name__}")
         w0 = (jnp.full(tuple(shapes), DEFAULT_INIT_W, jnp.float32)

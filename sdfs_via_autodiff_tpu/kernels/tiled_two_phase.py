@@ -280,7 +280,7 @@ def _row_phase_fast_kernel(theta, beta, prec, trx, u_ref, s_ref, wr1_ref,
 
 
 def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
-                     mode: str = "auto", precision: str = "highest",
+                     mode: str = "auto", precision: str = "auto",
                      transcendentals: str = "accurate",
                      strip_bytes: int = _STRIP_BYTES,
                      lazy_bytes: int = 6 * 1024 * 1024,
@@ -319,8 +319,12 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         from .streamed_two_phase import (make_streamed_T_log,
                                          streamed_coverable)
         if streamed_coverable(ops) is not None:
+            # Each tier resolves "auto" to its own documented default:
+            # streamed -> "3x" (three bf16 passes, ~HIGHEST accuracy at
+            # half the cost), strips below -> "highest" (no 3x there).
             return make_streamed_T_log(ops, dtype=dtype, mode=mode,
-                                       precision=precision,
+                                       precision=("3x" if precision ==
+                                                  "auto" else precision),
                                        transcendentals=transcendentals,
                                        interpret=interpret)
         if engine == "streamed":
@@ -337,6 +341,13 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     # precision="highest" keeps f32 operands in true f32 on the MXU (~6x
     # better one-application accuracy, measured 1.1e-4 vs 8e-4 sup);
     # "default" lets the MXU demote to one-pass bf16 (~2x faster kernel).
+    if precision == "auto":
+        precision = "highest"
+    if precision not in _PRECISION:
+        raise ValueError(
+            f"unknown precision {precision!r} for the strip kernels "
+            "(choose 'highest' or 'default'; '3x' exists only on the "
+            "streamed tier)")
     prec = _PRECISION[precision]
     n_r1, n_r2, n_c1, n_c2 = ops.shapes
     R, C = n_r1 * n_r2, n_c1 * n_c2
@@ -531,7 +542,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
 
 
 def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
-                         mode: str = "auto", precision: str = "highest",
+                         mode: str = "auto", precision: str = "auto",
                          transcendentals: str = "accurate",
                          strip_bytes: int = _STRIP_BYTES,
                          lazy_bytes: int = 6 * 1024 * 1024,
@@ -550,7 +561,7 @@ def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
 def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
                                     baseline=None, dtype=jnp.float32,
                                     mode: str = "auto",
-                                    precision: str = "highest",
+                                    precision: str = "auto",
                                     transcendentals: str = "accurate",
                                     strip_bytes: int = _STRIP_BYTES,
                                     interpret: bool = False) -> Callable:
@@ -566,7 +577,7 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
 
 
 def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
-                         mode: str = "auto", precision: str = "highest",
+                         mode: str = "auto", precision: str = "auto",
                          transcendentals: str = "accurate",
                          engine: str = "auto",
                          baseline: "Optional[str]" = None,

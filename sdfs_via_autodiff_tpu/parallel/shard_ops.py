@@ -76,6 +76,7 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     from ..kernels.streamed_two_phase import (_PRECISION, _TRX,
                                               _deferred_b_config,
                                               _streamed_config,
+                                              _warn_conjugated_f32_floor,
                                               blockdiag_z, build_b_call,
                                               build_b_call_deferred,
                                               build_c_call,
@@ -85,6 +86,12 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     covered = streamed_coverable(ops)
     if covered is None:
         raise ValueError("operand set not covered by the streamed kernels")
+    if covered is not ops:
+        # Same accuracy-envelope warning the single-device factory emits
+        # for conjugated-shared operand sets (shared-factor entries
+        # below f32's floor flush to zero and the conjugation
+        # corrections can re-amplify them).
+        _warn_conjugated_f32_floor(covered)
     ops = covered
     deferred = _streamed_config(ops)["kind"] == "deferred"
     if axis_names is None:
@@ -98,13 +105,15 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     R, C = L * K, I * J
     if L % n_dev or I % n_dev:
         raise ValueError(
-            f"row axis n_r1={L} and column axis n_c1={I} must divide the "
-            f"mesh size {n_dev}")
+            f"row axis n_r1={L} and column axis n_c1={I} must each be "
+            f"divisible by the mesh size {n_dev}")
     L_loc, I_loc = L // n_dev, I // n_dev
     R_loc, C_loc = L_loc * K, I_loc * J
 
     if mode == "auto":
         mode = "lse" if (ops.has_sub or deferred) else "fast"
+    if mode not in ("fast", "lse"):
+        raise ValueError(f"unknown mode {mode!r}")
     if deferred and mode == "fast":
         raise ValueError("deferred-c2 operand sets run per-axis LSE only")
     fast = mode == "fast"
@@ -115,7 +124,10 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     cast = lambda a: jnp.asarray(a, work)
 
     W_r1, W_r2, W_c1 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1))
-    W_c2 = cast(ops.W_c2)
+    # Batched c2 is shipped only as the block-diagonal Z2 (built from
+    # the host array below), so skip materializing the (I, J, J) dense
+    # tensor on device in that configuration.
+    W_c2 = None if ops.c2_batched else cast(ops.W_c2)
     add_row = cast(ops.add_row)
     add_colC = cast(np.asarray(ops.add_col, np.float64).reshape(1, C))
     c2_batched = ops.c2_batched
@@ -224,9 +236,15 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         z2_spec = rep(Z2)                      # shared (J, J) c2 map
     else:
         z2_spec = PartitionSpec(axis_names, None, None)
-    in_specs = [spec, rep(W_c1), rep(W_c2), z2_spec, rep(W_r1), rep(W_r2),
-                rep(add_row), PartitionSpec(None, axis_names)]
-    args = [W_c1, W_c2, Z2, W_r1, W_r2, add_row, add_colC]
+    # W_c2 feeds pass B only in the shared-c2 full-strip configuration;
+    # batched c2 ships as the block-diagonal Z2 and deferred c2 as the
+    # shared Z2 map, so don't replicate the (possibly (I, J, J)-sized)
+    # dense tensor to every device in those configurations.
+    W_c2_ship = (jnp.zeros((1, 1), work)
+                 if (c2_batched or deferred) else W_c2)
+    in_specs = [spec, rep(W_c1), rep(W_c2_ship), z2_spec, rep(W_r1),
+                rep(W_r2), rep(add_row), PartitionSpec(None, axis_names)]
+    args = [W_c1, W_c2_ship, Z2, W_r1, W_r2, add_row, add_colC]
     if has_sub:
         # sub_row is per-row (sharded with the field); sub_col feeds the
         # row-local pass B, whose columns are complete -> replicated.
