@@ -764,6 +764,9 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     T.xla_twin = xla_twin
     T.strip_sizes = (TB, TC)
     T.mode = mode
+    T.engine = "streamed-deferred" if deferred else "streamed"
+    T.precision = precision
+    T.transcendentals = transcendentals
     if ops.baseline_log_w is not None:
         T.baseline_log_w = cast(ops.baseline_log_w)
     return T

@@ -536,6 +536,9 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     T.xla_twin = xla_twin
     T.strip_sizes = (TB, TC)
     T.mode = mode
+    T.engine = "strip"
+    T.precision = precision
+    T.transcendentals = transcendentals
     if ops.baseline_log_w is not None:
         T.baseline_log_w = cast(ops.baseline_log_w)
     return T
@@ -662,6 +665,9 @@ def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
         .reshape(view_shapes))
     T.strip_sizes = view_T.strip_sizes
     T.mode = view_T.mode
+    T.engine = getattr(view_T, "engine", None)
+    T.precision = getattr(view_T, "precision", None)
+    T.transcendentals = getattr(view_T, "transcendentals", None)
     if getattr(view_T, "baseline_log_w", None) is not None:
         T.baseline_log_w = from_view(
             jnp.asarray(view_T.baseline_log_w).reshape(view_shapes))

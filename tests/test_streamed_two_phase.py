@@ -163,6 +163,12 @@ class TestDeferredC2GCY:
         model, disc, ops = gcy_ops
         T = make_tiled_T_log_gcy(model, disc, interpret=True)
         assert T.mode == "lse"
+        # The engine="auto" dispatch resolves precision per tier: the
+        # streamed tier's default is "3x" (a strip-tier "highest"
+        # leaking through here cost ~2x the matmul passes — regression
+        # pin for the round-3 fix).
+        assert T.engine in ("streamed", "streamed-deferred")
+        assert T.precision == "3x"
         T64 = T_gcy_factory(model, disc, space="log", jit=False)
         ell = _rand_ell(self.SHAPES6, seed=6)
         np.testing.assert_allclose(
