@@ -235,9 +235,15 @@ def main(argv=None):
             dict(points=n_g, ms_per_app=round(s / 20 * 1e3, 3),
                  quad_degree=5))
 
-        Tmc = T_gcy_continuous_factory(
-            gcy, ggrids, method="monte_carlo", interp="post", space="log",
-            mc_draw_size=2000, dtype=jnp.float32)
+        # The post-interp MC path has no baseline fold, so theta = -36
+        # exceeds f32's exp range at the grid corners — the factory
+        # warns; keep the timing but record the warning honestly.
+        import warnings as _w
+        with _w.catch_warnings(record=True) as _caught:
+            _w.simplefilter("always")
+            Tmc = T_gcy_continuous_factory(
+                gcy, ggrids, method="monte_carlo", interp="post",
+                space="log", mc_draw_size=2000, dtype=jnp.float32)
 
         def mcapps(x0):
             return jax.lax.fori_loop(0, 5, lambda i, v: Tmc(v), x0)
@@ -245,7 +251,8 @@ def main(argv=None):
         s, _ = timed(jax.jit(mcapps), xg)
         add("gcy_continuous_mc_nodechain_147k_f32_5apps", s,
             dict(points=n_g, ms_per_app=round(s / 5 * 1e3, 3),
-                 mc_draws=2000))
+                 mc_draws=2000, throughput_only=True,
+                 f32_span_warning=bool(_caught)))
     except Exception as e:
         add("gcy_continuous", -1, dict(skipped=str(e)[:160]))
 
