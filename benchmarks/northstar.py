@@ -341,7 +341,13 @@ def main(which=("continuous", "discrete")):
             x0 = jnp.asarray(T32.baseline_log_w, jnp.float32)
             newton_attempt = None
             t0 = time.perf_counter()
-            res = solve(T32, x0, method="newton", tol=3e-5, max_iter=25)
+            # inner_maxiter=12: with the mixed-precision inner solver
+            # actually iterating (instead of breaking down early), the
+            # default 50-step cap means ~100 matvecs of the 25.2M-point
+            # chain inside one device loop — a watchdog risk on the
+            # fragile worker.  12 keeps Newton inexact-but-safeguarded.
+            res = solve(T32, x0, method="newton", tol=3e-5, max_iter=25,
+                        inner_maxiter=12)
             jax.block_until_ready(res.x)
             algo = "newton(bicgstab_mixed)"
             if not bool(res.converged):
