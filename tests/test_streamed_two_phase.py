@@ -85,6 +85,29 @@ class TestDiscreteSSY:
         np.testing.assert_allclose(np.asarray(res.x, np.float64),
                                    np.asarray(ref.x), atol=2e-4)
 
+    @pytest.mark.parametrize("precision,atol", [
+        ("highest", 5e-6), ("3x", 1e-5), ("default", 5e-3)])
+    @pytest.mark.parametrize("trx", ["accurate", "mixed", "fast"])
+    def test_precision_transcendental_tiers(self, ssy_disc, precision,
+                                            atol, trx):
+        # Every tier combination compiles and lands inside its error
+        # class vs the f64 chain.  CPU interpret mode cannot reproduce
+        # the TPU hardware transcendentals' error (CPU exp/log are
+        # correctly rounded), so `trx` bounds here only pin that the
+        # flag routes to a working code path; the documented TPU error
+        # classes are measured in docs/status.md.
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc)
+        T = make_streamed_T_log(ops, precision=precision,
+                                transcendentals=trx, interpret=True)
+        assert T.precision == precision
+        assert T.transcendentals == trx
+        T_ref = T_ssy_factory(model, disc, space="log")
+        ell = _rand_ell(SHAPES)
+        np.testing.assert_allclose(
+            np.asarray(T(ell), np.float64),
+            np.asarray(T_ref(jnp.asarray(ell, jnp.float64))), atol=atol)
+
     def test_batched_c1_via_conjugation(self, ssy_disc):
         # The normalized operands' batched factors are exact diagonal
         # conjugations of shared matrices (two_phase.conjugate_to_shared),
