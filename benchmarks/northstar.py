@@ -207,8 +207,13 @@ def main(which=("continuous", "discrete")):
         # 1e-7 accuracy at 10^7 points end to end.  Honest cost: the host
         # f64 stage is minutes, not seconds, at 11.2M points (each inner
         # BiCGStab matvec is a full CPU operator application).
-        f64_polish(entry, Tc64, x_f32)
+        # Flush the finished f32 metrics BEFORE the polish: the host-f64
+        # stage is the documented crash window (multi-minute device idle
+        # has dropped the tunnel), and losing the completed f32 solve
+        # with it would defeat the per-case flushing.
         out["cases"].append(entry)
+        _flush(out)
+        f64_polish(entry, Tc64, x_f32)
         print(json.dumps(entry))
         _flush(out)
 
@@ -243,8 +248,11 @@ def main(which=("continuous", "discrete")):
         np.save(_X32_STASH, np.asarray(x_f32))
         # Reference-default accuracy (tol 1e-7, solvers.py:16) at 12.6M
         # discrete points: host-f64 Newton polish from the f32 solution.
-        f64_polish(entry, Td64, x_f32)
+        # Flush f32 metrics before the crash-prone host-f64 stage (see
+        # the continuous case).
         out["cases"].append(entry)
+        _flush(out)
+        f64_polish(entry, Td64, x_f32)
         print(json.dumps(entry))
         _flush(out)
 
@@ -308,8 +316,11 @@ def main(which=("continuous", "discrete")):
         disc64 = discretize_gcy(gcy, big, method="tauchen")
         Tg64 = T_gcy_factory(gcy, disc64, space="log", jit=False)
         entry["residual_f64_check"] = f64_residual(Tg64, x_nat)
-        f64_polish(entry, Tg64, x_nat)
+        # Flush f32 metrics before the crash-prone host-f64 stage (see
+        # the continuous case).
         out["cases"].append(entry)
+        _flush(out)
+        f64_polish(entry, Tg64, x_nat)
         print(json.dumps(entry))
         _flush(out)
 

@@ -203,7 +203,12 @@ def main(argv=None):
                 dict(points=n_big, ms_per_app=round(dt * 1e3, 3),
                      G_point_updates_per_s=round(n_big / dt / 1e9, 2),
                      discretization="tauchen",
-                     f32_envelope_warning=bool(caught),
+                     # Record only the envelope/floor warnings (the
+                     # capture sees every warning raised during
+                     # discretize + factory, e.g. library deprecations).
+                     f32_envelope_warning=any(
+                         "f32" in str(w.message) or "float32" in
+                         str(w.message) for w in caught),
                      timing="marginal_fori_30"))
         except Exception as e:
             add("gcy_discrete_normalized_conjugated", -1,

@@ -43,6 +43,10 @@ from ..ops.accurate import _exp_f32_impl, _log_f32_impl, _log1p_f32_impl
 # Kernel-local transcendentals: hardware (fast, ~1e-4 abs error in log)
 # or software-accurate (~1 ulp, see ops/accurate.py; a few extra VPU ops).
 _TRX = {"fast": (jnp.exp, jnp.log, jnp.log1p),
+        # hardware exp (~6e-6 relative) + faithfully-rounded log/log1p —
+        # same tier the streamed kernels offer, so transcendentals=
+        # "mixed" keeps working when dispatch falls back to strips.
+        "mixed": (jnp.exp, _log_f32_impl, _log1p_f32_impl),
         "accurate": (_exp_f32_impl, _log_f32_impl, _log1p_f32_impl)}
 
 
@@ -290,9 +294,12 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
 
     ``engine``: "auto" dispatches to the streamed big-matmul kernels
     (``streamed_two_phase.py`` — measured ~3x the strip kernels'
-    throughput at 10^7 points) whenever they cover the operand set, and
-    falls back to the strip kernels here otherwise; "strip" / "streamed"
-    force a tier.
+    throughput at 10^7 points) whenever they cover the operand set *and*
+    the requested mode/transcendentals combination, and falls back to
+    the strip kernels here otherwise; "strip" / "streamed" force a tier.
+    ``strip_bytes`` and ``lazy_bytes`` tune the strip tier only (the
+    streamed tier sizes its own blocks); pass ``engine="strip"`` when
+    tuning them.
 
     Maps ell (4-D grid field) -> log T(w); differentiable via a custom JVP
     whose tangent runs through the XLA twin (transposable, so reverse-mode
@@ -322,12 +329,21 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
             # Each tier resolves "auto" to its own documented default:
             # streamed -> "3x" (three bf16 passes, ~HIGHEST accuracy at
             # half the cost), strips below -> "highest" (no 3x there).
-            return make_streamed_T_log(ops, dtype=dtype, mode=mode,
-                                       precision=("3x" if precision ==
-                                                  "auto" else precision),
-                                       transcendentals=transcendentals,
-                                       interpret=interpret)
-        if engine == "streamed":
+            try:
+                return make_streamed_T_log(ops, dtype=dtype, mode=mode,
+                                           precision=("3x" if precision ==
+                                                      "auto" else precision),
+                                           transcendentals=transcendentals,
+                                           interpret=interpret)
+            except ValueError:
+                # Coverable operand set but a streamed-incompatible
+                # option combination (e.g. mode="fast" on a deferred-c2
+                # set, which runs per-axis LSE only): under "auto" the
+                # strip kernels below still honour the request; a forced
+                # engine="streamed" propagates the real error.
+                if engine == "streamed":
+                    raise
+        elif engine == "streamed":
             raise ValueError("operand set not covered by the streamed "
                              "kernels (batched c1 factor or oversized "
                              "column group)")

@@ -240,6 +240,16 @@ def T_ssy_continuous_factory(model: SSY,
                          "interp='pre' + space='log'")
     if engine not in ("auto", "node_chain", "gather"):
         raise ValueError(f"unknown engine {engine!r}")
+    if transcendentals != "accurate" and not (
+            method == "quadrature" and interp == "pre" and space == "log"):
+        # Only the factored log-space LSE chain routes through the
+        # selectable transcendentals; silently ignoring the knob on the
+        # node-chain/gather/w-space paths would misreport a speed tier.
+        import warnings
+        warnings.warn(
+            f"transcendentals={transcendentals!r} has no effect on this "
+            "path (only the factored quadrature + interp='pre' + "
+            "space='log' chain uses it)", stacklevel=2)
     if method == "quadrature" and interp == "pre":
         T = _factored_T(model, grids, quad_degree, space, dtype, baseline,
                         transcendentals=transcendentals)

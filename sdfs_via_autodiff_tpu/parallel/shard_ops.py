@@ -83,6 +83,17 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
                                               streamed_coverable)
     from ..operators.two_phase import make_xla_two_phase_T
 
+    if dtype is not None and dtype != jnp.float32:
+        # Same tier boundary as make_streamed_T_log: f64 blocks die in
+        # Mosaic lowering with an opaque error, so reject upfront.
+        raise ValueError("streamed kernels are the float32 tier; use "
+                         "two_phase_shard_map_factory for float64")
+    if transcendentals not in ("fast", "mixed", "accurate"):
+        raise ValueError(f"unknown transcendentals {transcendentals!r} "
+                         "(choose 'accurate', 'mixed', or 'fast')")
+    if precision not in ("highest", "3x", "default"):
+        raise ValueError(f"unknown precision {precision!r} "
+                         "(choose 'highest', '3x', or 'default')")
     covered = streamed_coverable(ops)
     if covered is None:
         raise ValueError("operand set not covered by the streamed kernels")

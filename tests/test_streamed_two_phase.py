@@ -233,6 +233,26 @@ class TestDeferredC2GCY:
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(Tp(ell)), atol=5e-6)
 
+    def test_auto_dispatch_falls_back_on_incompatible_options(self,
+                                                              gcy_ops):
+        # A deferred-coverable set with mode="fast" (which the streamed
+        # tier rejects — per-axis LSE only) must fall back to the strip
+        # kernels under engine="auto" instead of propagating the
+        # streamed ValueError; engine="streamed" still raises it.
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log)
+        _, _, ops = gcy_ops
+        T = make_tiled_T_log(ops, mode="fast", interpret=True)
+        assert T.engine == "strip"
+        with pytest.raises(ValueError, match="LSE only"):
+            make_tiled_T_log(ops, mode="fast", engine="streamed",
+                             interpret=True)
+        # transcendentals="mixed" works on the strip tier too (dispatch
+        # fallback must not strand an advertised tier).
+        T2 = make_tiled_T_log(ops, mode="fast", transcendentals="mixed",
+                              interpret=True)
+        assert T2.engine == "strip" and T2.transcendentals == "mixed"
+
     def test_sharded_tier_matches_single_device(self, gcy_ops):
         # Deferred-c2 composed over a 4-device mesh: per-slice LSE
         # shifts are block-independent, so the per-shard kernels are
