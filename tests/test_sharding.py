@@ -97,6 +97,26 @@ def test_sharded_gcy(rng):
 
 
 @needs_devices
+def test_sharded_gcy_continuous_factored(rng):
+    # GCY continuous (factored quadrature, conditional expectation
+    # matrices) under GSPMD sharding — the last operator family without
+    # a sharded-vs-single-device pin.
+    from sdfs_via_autodiff_tpu import build_grid_gcy
+    from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+        T_gcy_continuous_factory)
+    model = GCY()
+    shapes = (4, 4, 4, 4, 2, 2)
+    grids = build_grid_gcy(model, *shapes)
+    T = T_gcy_continuous_factory(model, grids, method="quadrature",
+                                 interp="pre", space="log", quad_degree=3)
+    ell = jnp.asarray(np.log(500) + 0.02 * rng.standard_normal(shapes))
+    ref = T(ell)
+    mesh = make_mesh(8, shape=(4, 2))
+    out = T(shard_grid_array(ell, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+@needs_devices
 def test_anderson_on_sharded_iterate():
     # Anderson histories live on device; the solve must work when the
     # iterate (and hence the flattened history rows) is sharded.
