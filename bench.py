@@ -46,9 +46,38 @@ def median_time(fn, n=3):
     return ts[len(ts) // 2]
 
 
+def _probe_device_or_die(timeout_s: float = None):
+    """Fail fast with a JSON error line when the accelerator is
+    unreachable (the axon TPU worker has had multi-hour outages during
+    which device ops hang in RPC retries forever — a hung bench emits
+    nothing, which is worse than an honest error record)."""
+    import os
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("SDFS_BENCH_PROBE_TIMEOUT", 600))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "ssy_discrete_T_throughput_8^4_logspace_f64",
+                "value": None, "unit": "grid-point-updates/s",
+                "vs_baseline": None,
+                "error": f"device probe did not complete within "
+                         f"{timeout_s:.0f}s (accelerator unreachable)"}))
+            os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    jax.block_until_ready(jnp.ones(3).sum())
+    done.set()
+
+
 def main():
     from sdfs_via_autodiff_tpu import SSY, discretize_ssy, T_ssy_factory, solve
     from benchmarks.reference_style import T_ssy_reference_style
+
+    _probe_device_or_die()
 
     model = SSY()
     disc = discretize_ssy(model, SHAPES)
