@@ -6,6 +6,7 @@ config section); this exposes the end-to-end drivers:
     sdfs-tpu solve ssy --kind discrete --shapes 10,10,10,10 --algorithm newton
     sdfs-tpu solve gcy --kind continuous --shapes 4,4,4,4,6,4 --checkpoint out.npz
     sdfs-tpu simulate ssy --checkpoint out.npz --steps 1000000
+    sdfs-tpu price --checkpoint out.npz --state 0.01,0,0,0
     sdfs-tpu info
 """
 
@@ -81,6 +82,36 @@ def cmd_simulate(args):
                                     seed=args.seed)
     print(json.dumps(dict(model=ckpt.model_name, steps=args.steps,
                           w_mean=round(mean, 4), w_std=round(std, 4))))
+    return 0
+
+
+def cmd_price(args):
+    from .sdf.pricing import (expected_sdf_gcy, expected_sdf_ssy,
+                              risk_free_rate_gcy, risk_free_rate_ssy)
+    from .sdf.wstar import construct_wstar_callable
+    from .utils.checkpoint import load_solution
+
+    ckpt = load_solution(args.checkpoint)
+    name = ckpt.model_name.lower()
+    model = _model(name)
+    f = construct_wstar_callable(datafile=args.checkpoint)
+    dim = 4 if name == "ssy" else 6
+    if args.state is None:
+        state = [0.0] * dim          # the mean state
+    else:
+        state = [float(v) for v in args.state.split(",")]
+        if len(state) != dim:
+            raise SystemExit(f"--state for {name} needs {dim} "
+                             f"comma-separated values (got {len(state)})")
+    e_sdf_f, rf_f = ((expected_sdf_ssy, risk_free_rate_ssy) if name == "ssy"
+                     else (expected_sdf_gcy, risk_free_rate_gcy))
+    degree = args.quad_degree or (5 if name == "ssy" else 3)
+    e_m = float(e_sdf_f(model, f, degree)(state))
+    rf = float(rf_f(model, f, degree)(state))
+    print(json.dumps(dict(model=ckpt.model_name, state=state,
+                          quad_degree=degree,
+                          expected_sdf=round(e_m, 8),
+                          risk_free_rate=round(rf, 8))))
     return 0
 
 
@@ -177,6 +208,18 @@ def main(argv=None) -> int:
     pm.add_argument("--steps", type=int, default=1_000_000)
     pm.add_argument("--seed", type=int, default=1234)
     pm.set_defaults(fn=cmd_simulate)
+
+    pp = sub.add_parser(
+        "price", help="conditional E[M'] and risk-free rate from a "
+                      "solved checkpoint")
+    pp.add_argument("--checkpoint", required=True)
+    pp.add_argument("--state", default=None,
+                    help="comma-separated state values (default: the "
+                         "zero/mean state)")
+    pp.add_argument("--quad-degree", type=int, default=None,
+                    help="Gauss-Hermite degree per shock (default 5 for "
+                         "SSY's 5 shocks, 3 for GCY's 7)")
+    pp.set_defaults(fn=cmd_price)
 
     pc = sub.add_parser(
         "check", help="existence/uniqueness check: beta*r(H)^(1/theta) < 1")

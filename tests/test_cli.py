@@ -28,6 +28,22 @@ def test_solve_discrete_and_simulate(tmp_path, capsys):
     sim = json.loads(capsys.readouterr().out)
     assert sim["w_std"] > 0
 
+    # Pricing from the same checkpoint: E[M'] in (0, 1) near the mean
+    # state and a finite risk-free rate consistent with it.
+    rc = main(["price", "--checkpoint", ckpt, "--quad-degree", "3"])
+    assert rc == 0
+    pr = json.loads(capsys.readouterr().out)
+    assert 0.0 < pr["expected_sdf"] < 1.0
+    assert abs(pr["risk_free_rate"] + __import__("math").log(
+        pr["expected_sdf"])) < 1e-6
+
+    rc = main(["price", "--checkpoint", ckpt, "--quad-degree", "3",
+               "--state", "0.01,0,0,0"])
+    assert rc == 0
+    pr2 = json.loads(capsys.readouterr().out)
+    assert pr2["state"] == [0.01, 0, 0, 0]
+    assert pr2["expected_sdf"] != pr["expected_sdf"]
+
 
 def test_solve_discrete_small(capsys):
     rc = main(["solve", "gcy", "--kind", "discrete",
