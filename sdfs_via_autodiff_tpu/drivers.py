@@ -376,7 +376,14 @@ def wc_ratio_continuous(model,
             quad_degree=quad_degree, dtype=gdtype)
     if kernel == "tiled":
         if not isinstance(model, SSY):
-            raise NotImplementedError("tiled kernels cover the SSY model")
+            raise NotImplementedError(
+                "continuous tiled kernels cover the SSY model; the GCY "
+                "continuous z-expectation matrix is conditioned on two "
+                "other states (h_z and z_pi), which does not fold into "
+                "the two-phase "
+                "row/column structure — use kernel='xla' (factored "
+                "chain / node-chain engines, benchmarked in "
+                "BENCH_SUITE.json) for continuous GCY")
         if method != "quadrature" or space != "log":
             raise ValueError("tiled kernels implement the quadrature "
                              "operators in log space")
