@@ -64,6 +64,23 @@ class TestDiscreteSSY:
         want = T.xla_twin(ell)
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
 
+    def test_strip_mixed_transcendentals(self, ssy_disc):
+        # The strip tier's "mixed" tier (added so dispatch fallback
+        # preserves the setting): numerically inside the f32 class on
+        # CPU interpret mode, and the flag is recorded.
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc)
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log)
+        T = make_tiled_T_log(ops, engine="strip", transcendentals="mixed",
+                             interpret=True)
+        assert T.engine == "strip" and T.transcendentals == "mixed"
+        ell = _rand_ell(SHAPES)
+        T_ref = T_ssy_factory(model, disc, space="log")
+        np.testing.assert_allclose(np.asarray(T(ell.astype(jnp.float32)),
+                                              np.float64),
+                                   np.asarray(T_ref(ell)), atol=5e-5)
+
     def test_auto_mode_selection(self, ssy_disc):
         # Plain operands: small certified range -> fast single-shift path.
         # Normalized operands: folded factors carry exp(theta*delta-phi)
