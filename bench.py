@@ -25,7 +25,9 @@ Correctness gate: one application of each operator must agree to 1e-10
 path, and end-to-end solves in tests/).
 """
 
+import glob
 import json
+import os
 import sys
 import time
 
@@ -34,6 +36,9 @@ import jax.numpy as jnp
 
 SHAPES = (8, 8, 8, 8)
 ITERS = 200
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+LASTGOOD_PATH = os.path.join(_REPO, "BENCH_LASTGOOD.json")
 
 
 def median_time(fn, n=3):
@@ -46,12 +51,69 @@ def median_time(fn, n=3):
     return ts[len(ts) // 2]
 
 
+def load_last_good(root=_REPO):
+    """Most recent successful headline record, or None.
+
+    Primary source: BENCH_LASTGOOD.json, written by every successful
+    bench run.  Fallback: scan the driver-committed BENCH_r*.json round
+    artifacts for the newest non-null parsed record (covers a repo
+    where the last-good file predates this mechanism)."""
+    try:
+        with open(os.path.join(root, "BENCH_LASTGOOD.json")) as f:
+            rec = json.load(f)
+        if rec.get("value") is not None:
+            return rec
+    except (OSError, ValueError):
+        pass
+    best = None
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r[0-9]*.json"))):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if parsed.get("value") is not None:
+            parsed.setdefault("recorded_at", "round artifact " +
+                              os.path.basename(path))
+            best = parsed            # sorted ascending: keep the newest
+    return best
+
+
+def emit_unreachable(reason, root=_REPO):
+    """Emit the outage record: the last good measurement marked
+    ``stale`` (so a worker outage never blanks a round artifact —
+    round-3 VERDICT weak #1), or a neutral ``device_probe`` error when
+    no last-good record exists (never borrow a real metric's name for
+    a failure record).  Returns the chosen exit code."""
+    rec = load_last_good(root)
+    if rec is not None:
+        out = dict(rec)
+        out["stale"] = True
+        out["stale_reason"] = reason
+        out.setdefault("recorded_at", "unknown")
+        print(json.dumps(out))
+        return 0
+    print(json.dumps({"metric": "device_probe", "value": None,
+                      "unit": None, "vs_baseline": None,
+                      "error": reason}))
+    return 1
+
+
+def save_last_good(record, root=_REPO):
+    record = dict(record)
+    record["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime())
+    with open(os.path.join(root, "BENCH_LASTGOOD.json"), "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+
+
 def _probe_device_or_die(timeout_s: float = None):
-    """Fail fast with a JSON error line when the accelerator is
-    unreachable (the axon TPU worker has had multi-hour outages during
-    which device ops hang in RPC retries forever — a hung bench emits
-    nothing, which is worse than an honest error record)."""
-    import os
+    """Fail fast when the accelerator is unreachable (the axon TPU
+    worker has had multi-hour outages during which device ops hang in
+    RPC retries forever — a hung bench emits nothing, which is worse
+    than an honest record).  On timeout, emit the last good record
+    with a staleness marker rather than a null value."""
     import threading
 
     if timeout_s is None:
@@ -60,13 +122,10 @@ def _probe_device_or_die(timeout_s: float = None):
 
     def watchdog():
         if not done.wait(timeout_s):
-            print(json.dumps({
-                "metric": "ssy_discrete_T_throughput_8^4_logspace_f64",
-                "value": None, "unit": "grid-point-updates/s",
-                "vs_baseline": None,
-                "error": f"device probe did not complete within "
-                         f"{timeout_s:.0f}s (accelerator unreachable)"}))
-            os._exit(1)
+            rc = emit_unreachable(
+                f"device probe did not complete within {timeout_s:.0f}s "
+                f"(accelerator unreachable)")
+            os._exit(rc)
 
     threading.Thread(target=watchdog, daemon=True).start()
     jax.block_until_ready(jnp.ones(3).sum())
@@ -114,7 +173,7 @@ def main():
     # 160k points).  Marginal two-point timing cancels dispatch overhead.
     scale = _scale_metric()
 
-    print(json.dumps({
+    record = {
         "metric": "ssy_discrete_T_throughput_8^4_logspace_f64",
         "value": round(n_points * ITERS / t_fac),
         "unit": "grid-point-updates/s",
@@ -125,7 +184,10 @@ def main():
         "note": "baseline (reference broadcast formulation) OOMs 15.75GB HBM at the reference's 10^4 grid; 8^4 is its largest runnable size here",
         "backend": jax.default_backend(),
         **scale,
-    }))
+    }
+    print(json.dumps(record))
+    if jax.default_backend() != "cpu":
+        save_last_good(record)
 
 
 def _scale_metric(shapes=(56, 56, 56, 64)):
