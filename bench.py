@@ -226,11 +226,15 @@ def _scale_metric(shapes=(56, 56, 56, 64)):
         ell0 = jnp.full(shapes, jnp.log(800.0), jnp.float32)
 
         dt = marginal_time(make_streamed_T_log(ops), ell0, 50, 200)
+        dt_mixed = marginal_time(
+            make_streamed_T_log(ops, transcendentals="mixed"),
+            ell0, 50, 200)
         dt_fast = marginal_time(
             make_streamed_T_log(ops, precision="default",
                                 transcendentals="fast"), ell0, 50, 200)
         # 4 HBM passes of the f32 field per application (2 per phase).
         bw = 4 * n * 4 / dt / 1e9
+        bw_mixed = 4 * n * 4 / dt_mixed / 1e9
         bw_fast = 4 * n * 4 / dt_fast / 1e9
         return {
             "scale_metric": "ssy_discrete_streamed_T_56x56x56x64_f32",
@@ -239,6 +243,9 @@ def _scale_metric(shapes=(56, 56, 56, 64)):
             "scale_G_point_updates_per_s": round(n / dt / 1e9, 2),
             "scale_effective_GBps": round(bw),
             "scale_pct_of_hbm_roofline": round(100 * bw / 819, 1),
+            "scale_mixed_trx_ms_per_application": round(dt_mixed * 1e3, 3),
+            "scale_mixed_trx_pct_of_hbm_roofline":
+                round(100 * bw_mixed / 819, 1),
             "scale_throughput_mode_ms_per_application":
                 round(dt_fast * 1e3, 3),
             "scale_throughput_mode_pct_of_hbm_roofline":

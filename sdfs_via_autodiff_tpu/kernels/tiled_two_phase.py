@@ -340,8 +340,13 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                 # option combination (e.g. mode="fast" on a deferred-c2
                 # set, which runs per-axis LSE only): under "auto" the
                 # strip kernels below still honour the request; a forced
-                # engine="streamed" propagates the real error.
-                if engine == "streamed":
+                # engine="streamed" propagates the real error.  A
+                # dense=False placeholder set (the make_tiled_T_log_gcy
+                # streamed probe) cannot run the strip tier at all —
+                # falling through would replace this error with the
+                # strip builder's misleading "rebuild with dense=True".
+                if engine == "streamed" or getattr(
+                        ops, "dense_placeholder", False):
                     raise
         elif engine == "streamed":
             raise ValueError("operand set not covered by the streamed "

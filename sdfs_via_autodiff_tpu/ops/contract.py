@@ -41,10 +41,16 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     separate software-polynomial VPU passes cost ~6x wall time (the
     tiled/fused kernels absorb them into DMA slack and keep accurate at
     no cost) — an escape hatch for speed-over-accuracy runs of the XLA
-    tier.  No-op for float64 either way.
+    tier.  "mixed" pairs the hardware exp (~6e-6 relative — not the
+    dominant error) with the accurate log, matching the strip/streamed
+    kernels' tier of the same name so ``engine="auto"`` fallbacks keep
+    the option.  No-op for float64 either way.
     """
     if transcendentals == "fast":
         exp_, log_ = jnp.exp, jnp.log
+    elif transcendentals == "mixed":
+        from .accurate import accurate_log as log_
+        exp_ = jnp.exp
     elif transcendentals == "accurate":
         from .accurate import accurate_exp as exp_, accurate_log as log_
     else:

@@ -73,8 +73,8 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     """
     import numpy as np
 
-    from ..kernels.streamed_two_phase import (_PRECISION, _TRX,
-                                              _deferred_b_config,
+    from ..kernels.streamed_two_phase import (_C_BLOCK_BYTES, _PRECISION,
+                                              _TRX, _deferred_b_config,
                                               _streamed_config,
                                               _warn_conjugated_f32_floor,
                                               blockdiag_z, build_b_call,
@@ -188,6 +188,24 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
             "block decomposition (Mosaic's minor-merge rule): choose "
             "grid sizes with (n_c1*n_c2) % (128*mesh_size) == 0, or a "
             "smaller mesh")
+    # Re-apply _streamed_config's pass-C budget/grouping checks on the
+    # PER-SHARD shapes: _pick_tc's whole-block fallback (C_loc not a
+    # multiple of its alignment unit) can return TC = C_loc past the
+    # VMEM budget that held for the global C, and a Mosaic compile
+    # failure there is opaque where this ValueError is actionable.
+    if R * TC * 4 > 4 * _C_BLOCK_BYTES:
+        raise ValueError(
+            f"per-shard pass-C block ({R} rows x {TC} columns) exceeds "
+            "the streamed kernels' VMEM budget: choose grid sizes whose "
+            f"per-shard column range C/n = {C_loc} is a multiple of "
+            f"{int(np.lcm(J, 128)) if (c2_batched or deferred) else 128}, "
+            "or a smaller mesh")
+    if (c2_batched or deferred) and (
+            TC % J or (c2_batched and I % (TC // J))):
+        raise ValueError(
+            f"per-shard pass-C block width TC = {TC} does not hold whole "
+            f"c2 slices (J = {J}): choose grid sizes with C/n a multiple "
+            f"of lcm(J, 128), or a smaller mesh")
     if c2_batched:
         Z2 = cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
     elif deferred:

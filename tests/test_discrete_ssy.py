@@ -213,6 +213,13 @@ def test_fast_transcendentals_escape_hatch(setup, rng):
                            transcendentals="fast")
     a, f = np.asarray(T_acc(ell)), np.asarray(T_fast(ell))
     assert np.max(np.abs(a - f)) < 5e-3       # hardware-log error scale
+    # "mixed" (hardware exp + accurate log — the strip/streamed kernels'
+    # tier) is accepted by the XLA chain too, so engine-"auto" fallbacks
+    # keep the option; it sits inside the fast tier's error envelope.
+    T_mixed = T_ssy_factory(model, disc, space="log", dtype=jnp.float32,
+                            transcendentals="mixed")
+    m = np.asarray(T_mixed(ell))
+    assert np.max(np.abs(a - m)) < 5e-3
     with pytest.raises(ValueError):
         T_ssy_factory(model, disc, space="log",
                       transcendentals="wrong")(ell)

@@ -466,3 +466,32 @@ def test_lazy_batched_factors_match_dense(rng):
     np.testing.assert_allclose(a, np.asarray(T_dense(ell)), atol=2e-6,
                                rtol=0)
     np.testing.assert_allclose(a, np.asarray(T64(ell)), atol=1e-5, rtol=0)
+
+
+def test_dense_placeholder_fallback_raises_real_error():
+    # A dense=False operand set (the make_tiled_T_log_gcy streamed
+    # probe) cannot run the strip tier; when the streamed tier rejects
+    # an option combination (mode="fast" on a deferred-c2 set), the
+    # engine="auto" fallback must propagate the streamed tier's error,
+    # not the strip builder's misleading "rebuild with dense=True".
+    import warnings
+
+    from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+    from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+        _streamed_config, streamed_coverable)
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        two_phase_operands_gcy)
+
+    model = GCY()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        disc = discretize_gcy(model, (8, 8, 16, 8, 32, 8),
+                              dtype=jnp.float32)
+        ops = two_phase_operands_gcy(model, disc, baseline="loglinear",
+                                     dense=False)
+        assert getattr(ops, "dense_placeholder", False)
+        cov = streamed_coverable(ops)
+        assert cov is not None
+        assert _streamed_config(cov)["kind"] == "deferred"
+        with pytest.raises(ValueError, match="per-axis LSE only"):
+            make_tiled_T_log(ops, mode="fast", interpret=True)
