@@ -27,6 +27,16 @@ operator.  The formulation is exact (same corner weights as the gather,
 reordered), works for tensor-product quadrature *and* joint Monte Carlo
 draws (each draw is a node), and admits a two-matmul Pallas kernel via
 Kronecker grouping (:mod:`..kernels.post_interp_kernel`).
+
+Per-node-chunk layout (the round-4 MC speedup): each scan step runs the
+per-axis contractions as explicit ``lax.dot_general`` batched matmuls
+with the node chunk (and any conditioning axes) as LEADING batch dims and
+the contracted axis adjacent — einsum's planner turned the conditioned
+contractions (``"sijbJ,slkiyJb->slkiyjb"``) into transpose-heavy
+broadcast-reduce programs on TPU, which made the 2000-draw GCY Monte
+Carlo operator ~300x slower than its FLOP count (round-3
+``gcy_continuous_mc_nodechain`` entry).  One explicit (c, N)-intermediate
+permute per step replaces the planner's materializations.
 """
 
 from __future__ import annotations
@@ -149,16 +159,38 @@ def make_node_chain_T_ssy(model, grids: Sequence, nodes: np.ndarray,
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-    ein = lambda sub, a, b: jnp.einsum(sub, a, b, precision=precision)
+    dot = lambda a, b, dims: jax.lax.dot_general(a, b, dims,
+                                                 precision=precision)
     neg_inf = jnp.asarray(-jnp.inf, dtype)
     from ..ops.accurate import accurate_exp, accurate_log, accurate_log1p
+    n_l, n_k, n_i, n_j = shapes
+    ck = chunk
 
-    def chain(field, xs):
+    def chain(field2, xs):
+        # field2: (L, K*I*J) — contracted-axis-leading 2-D view, shared
+        # across all nodes.  Each step is one dot_general (batch dims
+        # leading, contracted axis adjacent) plus one explicit permute of
+        # the (chunk, N) intermediate; see the module docstring.
         b1, b2, b3, b4, _, _ = xs
-        u = ein("slL,LKIJ->slKIJ", b1, field)
-        u = ein("skK,slKIJ->slkIJ", b2, u)
-        u = ein("siI,slkIJ->slkiJ", b3, u)
-        return ein("sijJ,slkiJ->slkij", b4, u)
+        # L: (ck*l, L) @ (L, KIJ) — plain 2-D matmul, field read once.
+        u = dot(b1.reshape(ck * n_l, n_l), field2,
+                (((1,), (0,)), ((), ())))
+        u = u.reshape(ck, n_l, n_k, n_i, n_j)
+        # K: batch ck, contract K.
+        u = jnp.transpose(u, (0, 2, 1, 3, 4)).reshape(
+            ck, n_k, n_l * n_i * n_j)
+        u = dot(b2, u, (((2,), (1,)), ((0,), (0,))))
+        u = u.reshape(ck, n_k, n_l, n_i, n_j)
+        # I: batch ck, contract I.
+        u = jnp.transpose(u, (0, 3, 1, 2, 4)).reshape(
+            ck, n_i, n_k * n_l * n_j)
+        u = dot(b3, u, (((2,), (1,)), ((0,), (0,))))
+        u = u.reshape(ck, n_i, n_k, n_l, n_j)
+        # J: batch (ck, i) — the z factor is conditioned on current h_z.
+        u = u.reshape(ck, n_i, n_k * n_l, n_j)
+        u = dot(b4, u, (((3,), (3,)), ((0, 1), (0, 1))))
+        u = u.reshape(ck, n_i, n_j, n_k, n_l)
+        return jnp.transpose(u, (0, 4, 3, 1, 2))    # (ck, l, k, i, j)
 
     def T(ell):
         ell = ell.astype(dtype)
@@ -173,10 +205,11 @@ def make_node_chain_T_ssy(model, grids: Sequence, nodes: np.ndarray,
         else:
             c = jnp.asarray(0.0, dtype)
             field = ell
+        field2 = field.reshape(n_l, n_k * n_i * n_j)
 
         def step(carry, xs):
             m, acc = carry
-            u = chain(field, xs)
+            u = chain(field2, xs)
             paych, logwch = xs[4], xs[5]
             if interp == "post":
                 a = theta_c * (accurate_log(u) + c)
@@ -275,7 +308,11 @@ def make_node_chain_T_gcy(model, grids: Sequence, nodes: np.ndarray,
     if chunk is None:
         chunk = min(Q, 16)
     arrs = [basis["B_lam"], basis["B_c"], basis["B_hz"], basis["B_hzpi"],
-            basis["B_zpi"], basis["B_z"], basis["pay"]]
+            basis["B_zpi"],
+            # (Q, i, j, b, J) -> (Q, i, b, j, J): the chain's J step
+            # batches over (node, i, b) with j as the lhs free dim.
+            np.ascontiguousarray(basis["B_z"].transpose(0, 1, 3, 2, 4)),
+            basis["pay"]]
     arrs, logw = _pad_chunk(arrs, logw, chunk)
     n_chunks = logw.shape[0] // chunk
     stack = lambda a: jnp.asarray(
@@ -290,18 +327,44 @@ def make_node_chain_T_gcy(model, grids: Sequence, nodes: np.ndarray,
     if precision is None:
         precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-    ein = lambda sub, a, b: jnp.einsum(sub, a, b, precision=precision)
+    dot = lambda a, b, dims: jax.lax.dot_general(a, b, dims,
+                                                 precision=precision)
     neg_inf = jnp.asarray(-jnp.inf, dtype)
     from ..ops.accurate import accurate_exp, accurate_log, accurate_log1p
+    n_l, n_k, n_i, n_y, n_j, n_b = shapes
+    ck = chunk
 
-    def chain(field, xs):
+    def chain(field2, xs):
+        # field2: (L, K*I*Y*J*B) shared 2-D view; explicit dot_general
+        # steps with leading batch dims (see the module docstring).
         b1, b2, b3, b4, b5, b6 = xs[:6]
-        u = ein("slL,LKIYJB->slKIYJB", b1, field)
-        u = ein("skK,slKIYJB->slkIYJB", b2, u)
-        u = ein("siI,slkIYJB->slkiYJB", b3, u)
-        u = ein("syY,slkiYJB->slkiyJB", b4, u)
-        u = ein("sybB,slkiyJB->slkiyJb", b5, u)   # next-z_pi (current y)
-        return ein("sijbJ,slkiyJb->slkiyjb", b6, u)  # next-z (current i, b)
+        # L: (ck*l, L) @ (L, rest) — one plain matmul, field read once.
+        u = dot(b1.reshape(ck * n_l, n_l), field2,
+                (((1,), (0,)), ((), ())))
+        u = u.reshape(ck, n_l, n_k, n_i, n_y, n_j, n_b)
+        # K: batch ck, contract K.
+        u = jnp.transpose(u, (0, 2, 1, 3, 4, 5, 6)).reshape(ck, n_k, -1)
+        u = dot(b2, u, (((2,), (1,)), ((0,), (0,))))
+        u = u.reshape(ck, n_k, n_l, n_i, n_y, n_j, n_b)
+        # I (next h_z): batch ck, contract I.
+        u = jnp.transpose(u, (0, 3, 1, 2, 4, 5, 6)).reshape(ck, n_i, -1)
+        u = dot(b3, u, (((2,), (1,)), ((0,), (0,))))
+        u = u.reshape(ck, n_i, n_k, n_l, n_y, n_j, n_b)
+        # Y (next h_zpi): batch ck, contract Y.
+        u = jnp.transpose(u, (0, 4, 1, 2, 3, 5, 6)).reshape(ck, n_y, -1)
+        u = dot(b4, u, (((2,), (1,)), ((0,), (0,))))
+        u = u.reshape(ck, n_y, n_i, n_k, n_l, n_j, n_b)
+        # B (next z_pi; sigma_zpi conditioned on current y): batch (ck, y).
+        u = u.reshape(ck, n_y, n_i * n_k * n_l * n_j, n_b)
+        u = dot(b5, u, (((3,), (3,)), ((0, 1), (0, 1))))
+        u = u.reshape(ck, n_y, n_b, n_i, n_k, n_l, n_j)
+        # J (next z; mean/spread conditioned on current b, i):
+        # batch (ck, i, b); b6 is host-pretransposed to (ck, i, b, j, J).
+        u = jnp.transpose(u, (0, 3, 2, 1, 4, 5, 6)).reshape(
+            ck, n_i, n_b, n_y * n_k * n_l, n_j)
+        u = dot(b6, u, (((4,), (4,)), ((0, 1, 2), (0, 1, 2))))
+        u = u.reshape(ck, n_i, n_b, n_j, n_y, n_k, n_l)
+        return jnp.transpose(u, (0, 6, 5, 1, 4, 3, 2))  # (ck,l,k,i,y,j,b)
 
     def T(ell):
         ell = ell.astype(dtype)
@@ -312,10 +375,11 @@ def make_node_chain_T_gcy(model, grids: Sequence, nodes: np.ndarray,
         else:
             c = jnp.asarray(0.0, dtype)
             field = ell
+        field2 = field.reshape(n_l, n_k * n_i * n_y * n_j * n_b)
 
         def step(carry, xs):
             m, acc = carry
-            u = chain(field, xs)
+            u = chain(field2, xs)
             paych, logwch = xs[6], xs[7]
             if interp == "post":
                 a = theta_c * (accurate_log(u) + c)
