@@ -45,7 +45,7 @@ SHAPES_DISC = (32, 32, 32, 384)    # 12_582_912 points; C = 32*384 = 96*128
 # 10^7 points for the first time, and a worker fault must not take out
 # the main cases (each case is separately flushed regardless).
 ALL_CASES = ("continuous", "discrete", "gcy", "gcy_rouwenhorst",
-             "device_polish")
+             "gcy_continuous", "device_polish")
 TOL_CONT = 2e-5     # near the accurate-transcendentals f32 floor (round 2:
                     # was 2e-4 before ops/accurate.py; the solver stall
                     # guard makes an unreachable tol safe regardless)
@@ -391,6 +391,84 @@ def main(which=("continuous", "discrete")):
                             dtype=jnp.float64)
         entry["residual_f64_check"] = f64_residual(T64, res.x)
         out["cases"].append(entry)
+        print(json.dumps(entry))
+        _flush(out)
+
+    if "gcy_continuous" in which:
+        # Continuous six-state GCY at 18.9M points through the streamed
+        # *pair* kernel (round-4: the conditioned z/z_pi expectation
+        # matrices contract per-slice in VMEM — the one operator family
+        # that had no fast tier; reference scale: ~50k points,
+        # /root/reference/code/gcy/continuous/gcy_wc_ratio_continuous.py).
+        # f32 recipe: coarse-fit ADDITIVE baseline — theta = -36 with
+        # the closed-form log-linear baseline leaves theta*(residual
+        # span) beyond exp's f32 range (the solution itself exits the
+        # fold's envelope), while the ANOVA main effects of a coarse f64
+        # solve leave only the non-separable remainder.
+        from sdfs_via_autodiff_tpu import GCY
+        from sdfs_via_autodiff_tpu.drivers import (_coarse_additive_baseline,
+                                                   f32_tol_floor)
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy_continuous)
+        from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+            T_gcy_continuous_factory)
+        from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+        gcy = GCY()
+        # (h_lam, h_c, h_z, h_zpi, z, z_pi): n_z = 128 lanes (the pair
+        # kernel's layout constraint doubles as the z axis getting the
+        # resolution), n_hlam % 8, (n_hz*n_hzpi) % 8.
+        gbig = (16, 8, 12, 12, 128, 8)
+        n_points = int(np.prod(gbig))
+        t0 = time.perf_counter()
+        baseline = _coarse_additive_baseline(
+            gcy, gbig, num_std_devs=3.2, quad_degree=5, dtype=jnp.float64)
+        coarse_s = time.perf_counter() - t0
+        grids = build_grid_gcy(gcy, *gbig, num_std_devs=3.2)
+        Tgc = make_tiled_T_log_gcy_continuous(gcy, grids, degree=5,
+                                              baseline=baseline)
+        x0 = Tgc.to_view(jnp.asarray(Tgc.baseline_log_w, jnp.float32)
+                         ).reshape((gbig[1], gbig[0],
+                                    gbig[2] * gbig[3], gbig[5] * gbig[4]))
+        entry = {"name": "gcy_continuous_quadpre_pair", "points": n_points,
+                 "shapes": list(gbig), "kernel_mode": Tgc.mode,
+                 "engine": Tgc.engine, "tol": 1.2 * f32_tol_floor(gcy.theta),
+                 "coarse_baseline_s": round(coarse_s, 1)}
+        dt = sa_throughput(Tgc.view_T, x0)
+        entry["sa_ms_per_iter"] = round(dt * 1e3, 3)
+        entry["sa_G_point_updates_per_s"] = round(n_points / dt / 1e9, 2)
+        out["cases"].append(entry)
+        _flush(out)                       # ms/app survives a later crash
+        # Newton through the pair kernel (tangent = the XLA pair twin);
+        # inner_maxiter bounded — watchdog safety at 18.9M points.
+        t0 = time.perf_counter()
+        res = solve(Tgc.view_T, x0, method="newton", tol=entry["tol"],
+                    max_iter=25, inner_maxiter=12)
+        jax.block_until_ready(res.x)
+        entry["newton_solve_s"] = round(time.perf_counter() - t0, 1)
+        entry["newton_iterations"] = int(res.iterations)
+        entry["residual_f32"] = float(res.residual)
+        entry["converged"] = bool(res.converged)
+        if not entry["converged"]:
+            # Anderson needs only primal kernel applications (no big
+            # XLA tangent chain) — the recorded fallback at this scale.
+            t0 = time.perf_counter()
+            res = solve(Tgc.view_T, x0, method="anderson",
+                        tol=entry["tol"], max_iter=3000)
+            jax.block_until_ready(res.x)
+            entry["anderson_solve_s"] = round(time.perf_counter() - t0, 1)
+            entry["anderson_iterations"] = int(res.iterations)
+            entry["residual_f32"] = float(res.residual)
+            entry["converged"] = bool(res.converged)
+        out["cases"][-1] = entry
+        _flush(out)
+        # True-f64 residual of the f32 solution under the SAME
+        # normalized operator semantics, on the host CPU.
+        x_nat = Tgc.from_view(res.x.reshape(
+            (gbig[1], gbig[0], gbig[2], gbig[3], gbig[5], gbig[4])))
+        T64 = T_gcy_continuous_factory(
+            gcy, grids, method="quadrature", interp="pre", space="log",
+            quad_degree=5, baseline=baseline, jit=False)
+        entry["residual_f64_check"] = f64_residual(T64, x_nat)
         print(json.dumps(entry))
         _flush(out)
 

@@ -154,21 +154,43 @@ def main(argv=None):
                          G_point_updates_per_s=round(n_big / dt / 1e9, 2),
                          timing="marginal_fori_30"))
 
-            from sdfs_via_autodiff_tpu.drivers import (f32_tol_floor,
-                                                        wc_ratio_discrete)
+            from sdfs_via_autodiff_tpu.drivers import f32_tol_floor
             # tol above the theta = -36 float32 floor (~2.5e-5; the
             # round-2 artifact used 2e-5 and recorded converged=false).
+            # Round-4 (VERDICT item 6): split operand-build, compile and
+            # marginal solve — the round-3 51.2 s single number hid
+            # which stage dominated.
             gcy_tol = 1.2 * f32_tol_floor(gcy.theta)
+            small = (6, 6, 12, 12, 12, 16)
+            n_small = 1
+            for v in small:
+                n_small *= v
             t0 = time.perf_counter()
-            solg = wc_ratio_discrete(gcy, (6, 6, 12, 12, 12, 16),
-                                     kernel="tiled", algorithm="newton",
-                                     tol=gcy_tol, space="log")
-            s = time.perf_counter() - t0
-            add("gcy_discrete_tiled_newton_1.0M_f32", s,
-                dict(points=6 * 6 * 12 * 12 * 12 * 16, tol=gcy_tol,
-                     iterations=int(solg.result.iterations),
-                     residual=float(solg.result.residual),
-                     converged=bool(solg.result.converged)))
+            disc_s = discretize_gcy(gcy, small, dtype=jnp.float32)
+            Ts = make_tiled_T_log_gcy(gcy, disc_s)
+            build_s = time.perf_counter() - t0
+            xs0 = Ts.to_view(jnp.full(small, jnp.log(300.0), jnp.float32)
+                             ).reshape((small[3], small[5],
+                                        small[0] * small[1],
+                                        small[2] * small[4]))
+            t0 = time.perf_counter()
+            solg = solve(Ts.view_T, xs0, method="newton", tol=gcy_tol,
+                         max_iter=40)
+            jax.block_until_ready(solg.x)
+            first_s = time.perf_counter() - t0       # compile + solve
+            t0 = time.perf_counter()
+            solg2 = solve(Ts.view_T, xs0, method="newton", tol=gcy_tol,
+                          max_iter=40)
+            jax.block_until_ready(solg2.x)
+            marg_s = time.perf_counter() - t0        # cached: pure solve
+            add("gcy_discrete_tiled_newton_1.0M_f32", first_s,
+                dict(points=n_small, tol=gcy_tol,
+                     operand_build_s=round(build_s, 2),
+                     marginal_solve_s=round(marg_s, 2),
+                     compile_s=round(first_s - marg_s, 2),
+                     iterations=int(solg.iterations),
+                     residual=float(solg.residual),
+                     converged=bool(solg.converged)))
         except Exception as e:
             add("gcy_discrete_tiled", -1, dict(skipped=str(e)[:120]))
 
@@ -261,6 +283,63 @@ def main(argv=None):
     except Exception as e:
         add("gcy_continuous", -1, dict(skipped=str(e)[:160]))
 
+    # 8b. SSY Monte Carlo node-chain at the reference's largest recorded
+    #     grid (20^4; round-4 batched dot_general rewrite — VERDICT
+    #     item 3's SSY half).
+    try:
+        from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+            T_ssy_continuous_factory as _Tssyc)
+        grids20 = build_grid_ssy(ssy, 20, 20, 20, 20, dtype=jnp.float32)
+        Tmcs = _Tssyc(ssy, grids20, method="monte_carlo", interp="post",
+                      space="log", mc_draw_size=2000, dtype=jnp.float32)
+        xs20 = jnp.full((20,) * 4, jnp.log(800.0), jnp.float32)
+
+        def smcapps(x0):
+            return jax.lax.fori_loop(0, 5, lambda i, v: Tmcs(v), x0)
+
+        s, _ = timed(jax.jit(smcapps), xs20)
+        add("ssy_continuous_mc_nodechain_160k_f32_5apps", s,
+            dict(points=20**4, ms_per_app=round(s / 5 * 1e3, 3),
+                 mc_draws=2000))
+    except Exception as e:
+        add("ssy_continuous_mc_nodechain", -1, dict(skipped=str(e)[:160]))
+
+    # 8c. Continuous-GCY streamed *pair* kernel (round 4 — the family's
+    #     first fast tier; NORTHSTAR holds the 18.9M headline) at a
+    #     suite-sized grid, coarse-fit additive baseline (the f32
+    #     recipe: theta = -36 puts even the log-linear-normalized
+    #     residual beyond exp's f32 range).
+    if not args.quick:
+        try:
+            from sdfs_via_autodiff_tpu.drivers import (
+                _coarse_additive_baseline)
+            from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+                make_tiled_T_log_gcy_continuous)
+            pshape = (8, 8, 8, 8, 128, 8)
+            n_p = 1
+            for v in pshape:
+                n_p *= v
+            pbase = _coarse_additive_baseline(gcy, pshape,
+                                              num_std_devs=3.2,
+                                              quad_degree=5,
+                                              dtype=jnp.float64)
+            from sdfs_via_autodiff_tpu import build_grid_gcy as _bgg
+            pgrids = _bgg(gcy, *pshape, num_std_devs=3.2)
+            Tp = make_tiled_T_log_gcy_continuous(gcy, pgrids, degree=5,
+                                                 baseline=pbase)
+            xp0 = Tp.to_view(jnp.asarray(Tp.baseline_log_w, jnp.float32)
+                             ).reshape((pshape[1], pshape[0],
+                                        pshape[2] * pshape[3],
+                                        pshape[5] * pshape[4]))
+            dt = marginal_time(Tp.view_T, xp0, 10, 40)
+            add("gcy_continuous_pair_4.2M_f32", dt * 30,
+                dict(points=n_p, ms_per_app=round(dt * 1e3, 3),
+                     engine=Tp.engine,
+                     G_point_updates_per_s=round(n_p / dt / 1e9, 2),
+                     timing="marginal_fori_30"))
+        except Exception as e:
+            add("gcy_continuous_pair", -1, dict(skipped=str(e)[:160]))
+
     # 9. Streamed-kernel tier at the 11.2M-point north-star grid:
     #    accurate default (precision="3x") and the throughput mode.
     if not args.quick:
@@ -279,15 +358,31 @@ def main(argv=None):
             n56 = 1
             for v in big4:
                 n56 *= v
-            x56 = jnp.full(big4, jnp.log(800.0), jnp.float32)
+            import numpy as _np
+            x56 = jnp.asarray(
+                _np.log(800.0) + 0.05 * _np.random.default_rng(7)
+                .standard_normal(big4), jnp.float32)
+            # One-application f64 oracle (host CPU — the TPU "f64" is a
+            # float32-range emulation) for the tier error columns.
+            T64 = T_ssy_factory(ssy, disc56, space="log", jit=False)
+            cpu = jax.devices("cpu")[0]
+            x64 = jax.device_put(jnp.asarray(_np.asarray(x56), jnp.float64),
+                                 cpu)
+            want64 = _np.asarray(jax.jit(T64, device=cpu)(x64))
             for name, kw in (
                     ("accurate_3x", {}),
+                    # round-4 (VERDICT item 4): the intermediate tier —
+                    # hardware exp (~6e-6 rel) + faithfully-rounded log.
+                    ("mixed_3x", dict(transcendentals="mixed")),
                     ("throughput", dict(precision="default",
                                         transcendentals="fast"))):
-                dt = marginal_time(make_streamed_T_log(ops56, **kw),
-                                   x56, 50, 200)
+                T56 = make_streamed_T_log(ops56, **kw)
+                err = float(_np.max(_np.abs(
+                    _np.asarray(T56(x56), _np.float64) - want64)))
+                dt = marginal_time(T56, x56, 50, 200)
                 add(f"ssy_discrete_streamed_11.2M_f32_{name}", dt * 150,
                     dict(points=n56, ms_per_app=round(dt * 1e3, 3),
+                         one_app_sup_err_vs_f64=float(f"{err:.3g}"),
                          pct_hbm_roofline=round(
                              100 * 4 * n56 * 4 / dt / 1e9 / 819, 1),
                          timing="marginal_fori_150"))

@@ -294,13 +294,17 @@ def wc_ratio_continuous(model,
                         **solver_opts) -> WCSolution:
     """Solve the continuous-state model on interpolation grids.
 
-    ``kernel="tiled"`` (SSY, quadrature, log space, f32) runs the operator
-    through the Pallas kernels: interp="pre" through the strip-streamed
-    two-phase kernels — the large-grid fast tier (see NORTHSTAR.json:
-    0.5 s Newton steps at 11M points) — and interp="post"/"loglin"
-    through the fused Kronecker node-pair kernel
-    (``kernels/post_interp_kernel.py``).  Combine with ``polish=True``
-    for full accuracy.
+    ``kernel="tiled"`` (quadrature, log space, f32) runs the operator
+    through the Pallas kernels: SSY interp="pre" through the
+    strip-streamed two-phase kernels — the large-grid fast tier (see
+    NORTHSTAR.json: 0.5 s Newton steps at 11M points) — SSY
+    interp="post"/"loglin" through the fused Kronecker node-pair kernel
+    (``kernels/post_interp_kernel.py``), and GCY interp="pre" through
+    the streamed *pair* configuration (conditioned z/z_pi expectations
+    contracted per-slice in VMEM; needs n_z % 128 == 0 and
+    baseline normalization — see
+    ``kernels/tiled_two_phase.make_tiled_T_log_gcy_continuous``).
+    Combine with ``polish=True`` for full accuracy.
 
     ``engine`` selects the XLA evaluation strategy for post/loglin
     semantics: "auto" (node-chain matmuls in log space), or "gather"
@@ -375,26 +379,36 @@ def wc_ratio_continuous(model,
             model, grid_sizes, num_std_devs=num_std_devs,
             quad_degree=quad_degree, dtype=gdtype)
     if kernel == "tiled":
-        if not isinstance(model, SSY):
-            raise NotImplementedError(
-                "continuous tiled kernels cover the SSY model; the GCY "
-                "continuous z-expectation matrix is conditioned on two "
-                "other states (h_z and z_pi), which does not fold into "
-                "the two-phase "
-                "row/column structure — use kernel='xla' (factored "
-                "chain / node-chain engines, benchmarked in "
-                "BENCH_SUITE.json) for continuous GCY")
         if method != "quadrature" or space != "log":
             raise ValueError("tiled kernels implement the quadrature "
                              "operators in log space")
-        grids = build_grid_ssy(model, *grid_sizes,
-                               num_std_devs=num_std_devs)
-        if interp == "pre":
+        if not isinstance(model, SSY):
+            # Continuous GCY: the streamed *pair* configuration — the
+            # conditioned z/z_pi expectations contract per-slice in
+            # VMEM (kernels/streamed_two_phase.build_c_call_pair).
+            # interp="pre" only; shape constraints (n_z % 128 etc.) are
+            # reported by the kernel builder.
+            if interp != "pre":
+                raise ValueError(
+                    "the continuous-GCY pair kernel covers interp='pre' "
+                    "(factored quadrature); use kernel='xla' for the "
+                    "post/loglin node-chain engines")
+            from .kernels.tiled_two_phase import (
+                make_tiled_T_log_gcy_continuous)
+            grids = build_grid_gcy(model, *grid_sizes,
+                                   num_std_devs=num_std_devs)
+            T = make_tiled_T_log_gcy_continuous(
+                model, grids, degree=quad_degree, baseline=baseline_spec)
+        elif interp == "pre":
+            grids = build_grid_ssy(model, *grid_sizes,
+                                   num_std_devs=num_std_devs)
             from .kernels.tiled_two_phase import (
                 make_tiled_T_log_ssy_continuous)
             T = make_tiled_T_log_ssy_continuous(
                 model, grids, degree=quad_degree, baseline=baseline_spec)
         elif interp in ("post", "loglin"):
+            grids = build_grid_ssy(model, *grid_sizes,
+                                   num_std_devs=num_std_devs)
             if baseline_spec is not None:
                 raise ValueError("the post-interp kernel has no baseline "
                                  "fold; use interp='pre' for normalized "

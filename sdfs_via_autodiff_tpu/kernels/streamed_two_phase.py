@@ -71,7 +71,8 @@ from ..operators.two_phase import TwoPhaseOperands, make_xla_two_phase_T
 from ..ops.accurate import _exp_f32_impl, _log_f32_impl, _log1p_f32_impl
 
 __all__ = ["make_streamed_T_log", "streamed_supported",
-           "streamed_coverable", "build_b_call", "build_c_call"]
+           "streamed_coverable", "build_b_call", "build_c_call",
+           "build_c_call_pair"]
 
 _TRX = {"fast": (jnp.exp, jnp.log, jnp.log1p),
         # "mixed": the hardware exp (measured ~6e-6 *relative* on v5e —
@@ -153,16 +154,58 @@ def _deferred_b_config(shapes):
     return best
 
 
+def _pair_config(ops: TwoPhaseOperands):
+    """Configuration of the *pair* kind (continuous-GCY operand sets,
+    ``ops.pair_c2``), or None.
+
+    Pass B is the deferred-c2 column phase (the (h_z (x) h_zpi) Kron
+    factor is shared); pass C contracts the conditioned (z_pi, z) pair
+    per c1 slice — z_pi' via the slice's (n_b, n_b) weights, then z'
+    as per-current-z_pi (R, n_j) @ (n_j, n_j) dots with the
+    (h_z, z_pi)-conditioned P_z slices streamed per block — followed by
+    the linear-carry row phase.  Exact per-axis chain FLOPs (no joint
+    (C2, C2) factor is ever built).
+
+    Constraints: n_z % 128 == 0 (minor-dim splits/merges of the (z_pi,
+    z) group), (n_hz * n_hzpi) % 8 == 0 (pass-B sublanes), n_r2 % 8 == 0
+    (pass C's (R, TC) -> (r1, r2, ...) sublane split), and a power-of-2
+    slice group g dividing n_hzpi (Mosaic's lane-broadcast lowering of
+    the carry reshapes fails at non-pow2 g, as in the deferred
+    configuration)."""
+    n_r1, n_r2, IY, C2 = ops.shapes
+    n_i, n_y, n_b, n_j = ops.pair_shapes
+    if n_j % 128 or n_r2 % 8 or IY % 8:
+        return None
+    R = n_r1 * n_r2
+    bcfg = _deferred_b_config(ops.shapes)
+    if bcfg is None:
+        return None
+    gcap = (4 * _C_BLOCK_BYTES) // (R * C2 * 4)
+    if gcap < 1:
+        return None
+    g, cand = 0, 1
+    while cand <= gcap and n_y % cand == 0:
+        g = cand
+        cand *= 2
+    if g < 1:
+        return None
+    return {"kind": "pair", "TB": bcfg[0], "TJ": bcfg[1], "g": g}
+
+
 def _streamed_config(ops: TwoPhaseOperands):
     """Kernel configuration for this operand set, or None when the
     streamed kernels do not cover it.
 
     Returns ``{"kind": "full"}`` (pass B holds whole-(I, J) row strips,
-    c2 contracted in B when shared / in C block-diagonally when batched)
-    or ``{"kind": "deferred", "TB": ?, "TJ": ?}`` (shared c2 deferred to
-    pass C; see module docstring).
+    c2 contracted in B when shared / in C block-diagonally when batched),
+    ``{"kind": "deferred", "TB": ?, "TJ": ?}`` (shared c2 deferred to
+    pass C; see module docstring), or ``{"kind": "pair", ...}``
+    (pair-factored batched c2 — continuous GCY; see
+    :func:`_pair_config`).
     """
     n_r1, n_r2, n_c1, n_c2 = ops.shapes
+    if getattr(ops, "pair_c2", None) is not None:
+        return _pair_config(ops)
     if ops.c1_batched:
         return None
     if n_r2 % 8:
@@ -613,6 +656,101 @@ def build_c_call(*, shapes, C_cols: int, theta: float, beta: float, prec,
     return call, TC
 
 
+def _c_kernel_pair(theta, beta, prec, trx, shapes, pair_shapes, TC,
+                   mid_ref, pzpi_ref, pzt_ref, wr1_ref, wr2_ref,
+                   addr_ref, addc_ref, out_ref):
+    """Pair-kind row phase: per-slice conditioned (z_pi', z') column
+    contractions + the linear-carry row phase (same carry algebra as the
+    deferred branch of :func:`_c_kernel`).
+
+    Block c holds g whole (z_pi, z) slices — c1 indices q = c*g + s with
+    a fixed current h_z (g divides n_hzpi, so i = q // n_hzpi is block-
+    constant; the (1, n_b, n_j, n_j) ``pzt_ref`` block streams P_z's
+    current-h_z slice, transposed host-side to (b, J, j)).  Per slice:
+    one per-row LSE shift over the contracted (B', J') group, the tiny
+    z_pi' contraction as a middle-axis einsum (always HIGHEST — its
+    FLOPs are ~n_z/128 of one MXU pass), then n_b minor-axis
+    (R, n_j) @ (n_j, n_j) dots for z' — current-z_pi-conditioned,
+    exactly the factored chain's FLOPs."""
+    _exp, _log, _log1p = _TRX[trx]
+    L, K, IY, C2 = shapes
+    n_i, n_y, n_b, n_j = pair_shapes
+    R = L * K
+    g = TC // C2
+    c = pl.program_id(0)
+    hi = jax.lax.Precision.HIGHEST
+    a = mid_ref[:]                                   # (R, TC) log domain
+    pzt = pzt_ref[0]                                 # (n_b, n_j, n_j)
+    cols, shifts = [], []
+    for s in range(g):
+        y = (c * g + s) % n_y                        # traced; g | n_y
+        asl = a[:, s * C2:(s + 1) * C2]              # (R, C2)
+        m1 = jnp.max(asl, axis=1, keepdims=True)     # (R, 1)
+        e = _exp(asl - m1).reshape(R, n_b, n_j)      # next (B', J')
+        w_y = pzpi_ref[pl.ds(y, 1), :, :][0]
+        v = jnp.einsum("bB,tBJ->tbJ", w_y, e,
+                       preferred_element_type=jnp.float32, precision=hi)
+        parts = [_dot_p(v[:, b, :], pzt[b], prec) for b in range(n_b)]
+        cols.append(jnp.concatenate(parts, axis=1))  # (R, C2) linear
+        shifts.append(m1)
+    u = cols[0] if g == 1 else jnp.concatenate(cols, axis=1)   # (R, TC)
+    sh = (shifts[0] if g == 1
+          else jnp.concatenate(shifts, axis=1))                # (R, g)
+    # Linear-carry row phase (see _c_kernel's deferred branch).
+    sh3 = sh.reshape(L, K, g)
+    M2 = jnp.max(sh3, axis=0, keepdims=True)                   # (1, K, g)
+    u = (u.reshape(L, K, g, C2)
+         * _exp(sh3 - M2)[:, :, :, None]).reshape(L, K, TC)
+    u = _contract_lead(wr1_ref[:], u, prec)
+    M3 = jnp.max(M2, axis=1, keepdims=True)                    # (1, 1, g)
+    u = (u.reshape(L, K, g, C2)
+         * _exp(M2 - M3)[:, :, :, None]).reshape(L, K, TC)
+    u = jnp.swapaxes(u, 0, 1)                                  # (K', L, TC)
+    u = _contract_lead(wr2_ref[:], u, prec)
+    v = jnp.swapaxes(u, 0, 1)                                  # (L, K, TC)
+    shift = jnp.broadcast_to(M3[:, :, :, None],
+                             (1, 1, g, C2)).reshape(1, 1, TC)
+    lh = _log(v) + shift
+    lh = lh + addr_ref[:][:, :, None] + addc_ref[:][0][None, None, :]
+    out_ref[:] = _log1p(beta * _exp(lh / theta)).reshape(R, TC)
+
+
+def build_c_call_pair(*, shapes, pair_shapes, C_cols: int, g: int,
+                      theta: float, beta: float, prec, trx, dtype,
+                      interpret: bool = False):
+    """Pair-kind pass-C ``pallas_call`` (see :func:`_c_kernel_pair`).
+    Operands: midway field (R, C_cols), P_zpi (n_y, n_b, n_b) resident,
+    P_z transposed (n_i, n_b, n_j, n_j) streamed one current-h_z slice
+    per block.  Returns ``(call, TC)``."""
+    L, K, IY, C2 = shapes
+    n_i, n_y, n_b, n_j = pair_shapes
+    R = L * K
+    TC = g * C2
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda c, _n=len(shape): tuple(_i32(0) for _ in range(_n)),
+        memory_space=pltpu.VMEM)
+    colstrip = pl.BlockSpec((R, TC), lambda c: (_i32(0), _i32(c)),
+                            memory_space=pltpu.VMEM)
+    pzt_spec = pl.BlockSpec(
+        (1, n_b, n_j, n_j),
+        lambda c: (_i32((c * g) // n_y), _i32(0), _i32(0), _i32(0)),
+        memory_space=pltpu.VMEM)
+    in_specs = [colstrip, full((n_y, n_b, n_b)), pzt_spec,
+                full((L, L)), full((K, K)), full((L, K)),
+                pl.BlockSpec((1, TC), lambda c: (_i32(0), _i32(c)),
+                             memory_space=pltpu.VMEM)]
+    call = pl.pallas_call(
+        partial(_c_kernel_pair, theta, beta, prec, trx, shapes,
+                pair_shapes, TC),
+        grid=(C_cols // TC,),
+        out_shape=jax.ShapeDtypeStruct((R, C_cols), dtype),
+        in_specs=in_specs,
+        out_specs=colstrip,
+        interpret=interpret,
+    )
+    return call, TC
+
+
 def blockdiag_z(W_c2: np.ndarray, TC: int) -> np.ndarray:
     """Group the batched (I, J, J) c2 factors into block-diagonal
     (TC, TC) maps, one per pass-C block: TC/J whole slices per block, so
@@ -669,17 +807,19 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         _warn_conjugated_f32_floor(ops)
     cfg = _streamed_config(ops)
     deferred = cfg["kind"] == "deferred"
+    pair = cfg["kind"] == "pair"
     if mode == "auto":
-        mode = "lse" if (ops.has_sub or deferred) else "fast"
+        mode = "lse" if (ops.has_sub or deferred or pair) else "fast"
     if mode not in ("fast", "lse"):
         raise ValueError(f"unknown mode {mode!r}")
     if ops.has_mid and mode == "fast":
         raise ValueError("mid_col (conjugated-shared) operands need the "
                          "lse mode")
-    if deferred and mode == "fast":
+    if (deferred or pair) and mode == "fast":
         raise ValueError(
-            "deferred-c2 operand sets run per-axis LSE only (the single-"
-            "shift fast mode is unsafe at their column-group spans)")
+            "deferred-c2/pair operand sets run per-axis LSE only (the "
+            "single-shift fast mode is unsafe at their column-group "
+            "spans)")
     if transcendentals not in _TRX:
         raise ValueError(f"unknown transcendentals {transcendentals!r}")
     if precision not in _PRECISION:
@@ -694,7 +834,9 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
 
     cast = lambda a: jnp.asarray(a, dtype)
     W_r1, W_r2, W_c1 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1))
-    W_c2 = cast(ops.W_c2)
+    # Pair sets carry a broadcast placeholder in W_c2 (the real factors
+    # are ops.pair_c2); never cast/materialize it.
+    W_c2 = None if pair else cast(ops.W_c2)
     add_row = cast(ops.add_row)
     add_colC = cast(np.asarray(ops.add_col, np.float64).reshape(1, C))
     has_sub = ops.has_sub
@@ -713,7 +855,7 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         b_args += [sub_row, sub_col]
     if has_mid and not deferred:
         b_args.append(mid_col)
-    if deferred:
+    if deferred or pair:
         b_call, TB = build_b_call_deferred(
             R_rows=R, I=I, J=J, TB=cfg["TB"], TJ=cfg["TJ"], theta=theta_f,
             prec=prec, trx=trx, has_sub=has_sub, dtype=dtype,
@@ -724,12 +866,27 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                                   has_sub=has_sub,
                                   c2_here=not c2_batched, dtype=dtype,
                                   has_mid=has_mid, interpret=interpret)
-    c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C, theta=theta_f,
-                              beta=beta_f, prec=prec, trx=trx, mode=mode,
-                              c2_batched=c2_batched, c2_deferred=deferred,
-                              dtype=dtype, interpret=interpret)
-    Z2 = (cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
-          if c2_batched else (W_c2 if deferred else None))
+    if pair:
+        c_call, TC = build_c_call_pair(
+            shapes=ops.shapes, pair_shapes=ops.pair_shapes, C_cols=C,
+            g=cfg["g"], theta=theta_f, beta=beta_f, prec=prec, trx=trx,
+            dtype=dtype, interpret=interpret)
+        P_z, P_zpi = ops.pair_c2
+        # (i, j, b, J) -> (i, b, J, j): the kernel's per-b z' dot.
+        PzT = cast(np.ascontiguousarray(
+            np.asarray(P_z, np.float64).transpose(0, 2, 3, 1)))
+        Pzpi_dev = cast(P_zpi)
+        pair_args = [Pzpi_dev, PzT]
+        Z2 = None
+    else:
+        c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C,
+                                  theta=theta_f, beta=beta_f, prec=prec,
+                                  trx=trx, mode=mode,
+                                  c2_batched=c2_batched,
+                                  c2_deferred=deferred, dtype=dtype,
+                                  interpret=interpret)
+        Z2 = (cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
+              if c2_batched else (W_c2 if deferred else None))
 
     def _primal(ell):
         ell = ell.astype(dtype).reshape(R, I, J)
@@ -744,7 +901,9 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         else:
             mid = b_call(ell, *b_args)
             args = [mid.reshape(R, C)]
-            if c2_batched or deferred:
+            if pair:
+                args += pair_args
+            elif c2_batched or deferred:
                 args.append(Z2)
             args += [W_r1, W_r2, add_row, add_colC]
         return c_call(*args).reshape(ops.shapes)
@@ -764,7 +923,8 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     T.xla_twin = xla_twin
     T.strip_sizes = (TB, TC)
     T.mode = mode
-    T.engine = "streamed-deferred" if deferred else "streamed"
+    T.engine = ("streamed-pair" if pair
+                else "streamed-deferred" if deferred else "streamed")
     T.precision = precision
     T.transcendentals = transcendentals
     if ops.baseline_log_w is not None:

@@ -56,7 +56,8 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 __all__ = ["make_tiled_T_log", "make_tiled_T_log_ssy",
-           "make_tiled_T_log_ssy_continuous", "make_tiled_T_log_gcy"]
+           "make_tiled_T_log_ssy_continuous", "make_tiled_T_log_gcy",
+           "make_tiled_T_log_gcy_continuous"]
 
 # Per-buffer padded-footprint target; Pallas double-buffers input and
 # output strips, so the working set is ~4x this plus operands.  Tuned on
@@ -348,10 +349,21 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                 if engine == "streamed" or getattr(
                         ops, "dense_placeholder", False):
                     raise
-        elif engine == "streamed":
+        elif engine == "streamed" and getattr(ops, "pair_c2", None) is None:
             raise ValueError("operand set not covered by the streamed "
                              "kernels (batched c1 factor or oversized "
                              "column group)")
+    if getattr(ops, "pair_c2", None) is not None:
+        # Pair-factored sets (continuous GCY) have no dense c2 factor to
+        # strip-tile; their only fast tier is the streamed pair
+        # configuration, which just declined this shape.
+        raise ValueError(
+            "pair-factored operand sets (continuous GCY) run only on "
+            "the streamed kernels' pair configuration, which needs "
+            "n_z % 128 == 0, n_hlam % 8 == 0, (n_hz*n_hzpi) % 8 == 0 "
+            f"and VMEM-sized blocks; shapes {ops.shapes} (pair "
+            f"{ops.pair_shapes}) do not qualify — use the XLA factored "
+            "chain (kernel='xla') at this grid")
     if mode == "auto":
         mode = "lse" if ops.has_sub else "fast"
     if mode not in ("lse", "fast"):
@@ -598,6 +610,78 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
         dtype=dtype, mode=mode, precision=precision,
         transcendentals=transcendentals, strip_bytes=strip_bytes,
         interpret=interpret)
+
+
+def make_tiled_T_log_gcy_continuous(model, grids, degree: int = 5,
+                                    baseline=None, dtype=jnp.float32,
+                                    mode: str = "auto",
+                                    precision: str = "auto",
+                                    transcendentals: str = "accurate",
+                                    interpret: bool = False) -> Callable:
+    """Streamed-pair log-space T for the *continuous* factored-quadrature
+    six-state GCY operator (reference
+    ``gcy_wc_ratio_continuous.py:158-187``, interp="pre").
+
+    The conditioned z / z_pi expectation matrices (P_z on current h_z
+    AND z_pi; P_zpi on current h_zpi) do not conjugate into shared
+    factors, so this family runs the streamed kernels' *pair*
+    configuration (``streamed_two_phase.build_c_call_pair``): the
+    (h_z (x) h_zpi) Kron factor contracts in the deferred pass B and
+    the conditioned pair contracts per-slice in pass C — exact
+    per-axis-chain FLOPs with two HBM passes of the field.  Grid
+    constraints: n_z % 128 == 0, n_hlam % 8 == 0, (n_hz*n_hzpi) % 8
+    == 0 (use kernel='xla' otherwise).  ``baseline="loglinear"`` (or an
+    ``additive_profiles`` pair) is effectively required: GCY's
+    theta = -36 puts the plain iterate far outside f32's exp range.
+
+    The returned T maps the natural 6-D field ``ell[h_lam, h_c, h_z,
+    h_zpi, z, z_pi]`` -> log T(w); ``T.view_T`` / ``T.to_view`` /
+    ``T.from_view`` expose the transpose-free view operator, as in
+    :func:`make_tiled_T_log_gcy`.
+    """
+    from ..operators.two_phase import two_phase_operands_gcy_continuous
+    if baseline is None:
+        import warnings
+
+        from ..models.gcy import gcy_loglinear_factory
+        from ..operators.continuous_common import warn_if_f32_range_unsafe
+        warn_if_f32_range_unsafe(model, grids, gcy_loglinear_factory,
+                                 dtype)
+    ops = two_phase_operands_gcy_continuous(model, grids, degree,
+                                            baseline)
+    view_T = make_tiled_T_log(ops, dtype=dtype, mode=mode,
+                              precision=precision,
+                              transcendentals=transcendentals,
+                              engine="streamed", interpret=interpret)
+    perm, inv_perm = ops.perm, ops.inv_perm
+    state_shapes = ops.state_shapes
+    view_shapes = tuple(state_shapes[p] for p in perm)
+
+    def to_view(ell):
+        return jnp.transpose(ell, perm)
+
+    def from_view(ell_v):
+        return jnp.transpose(ell_v, inv_perm)
+
+    def T(ell):
+        return from_view(view_T(to_view(ell).reshape(ops.shapes))
+                         .reshape(view_shapes))
+
+    T.view_T = view_T
+    T.to_view = to_view
+    T.from_view = from_view
+    T.xla_twin = lambda ell: from_view(
+        view_T.xla_twin(to_view(ell).reshape(ops.shapes))
+        .reshape(view_shapes))
+    T.strip_sizes = view_T.strip_sizes
+    T.mode = view_T.mode
+    T.engine = getattr(view_T, "engine", None)
+    T.precision = getattr(view_T, "precision", None)
+    T.transcendentals = getattr(view_T, "transcendentals", None)
+    if getattr(view_T, "baseline_log_w", None) is not None:
+        T.baseline_log_w = from_view(
+            jnp.asarray(view_T.baseline_log_w).reshape(view_shapes))
+    return T
 
 
 def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,

@@ -57,16 +57,19 @@ def _log_kappa_gcy(model: GCY, h_c, z):
             + 0.5 * (1 - model.gamma) ** 2 * sigma_c ** 2)
 
 
-def _factored_T(model, grids, degree, space, dtype, baseline=None,
-                transcendentals="accurate"):
-    """Factored contraction operator (quadrature + interp="pre").
+def _factored_arrays_gcy(model, grids, degree, baseline=None) -> dict:
+    """Expectation matrices + baseline components of the factored GCY
+    operator (quadrature + interp="pre").
 
-    Axis labels: l=h_lam, k=h_c, i=h_z, y=h_zpi, j=z, b=z_pi; capitals are
-    next-period indices.  The z_pi contraction runs *before* the z
-    contraction so intermediates stay O(N) despite z' conditioning on the
-    current z_pi.
+    Shared by :func:`_factored_T` and the tiled Pallas kernel path
+    (``operators/two_phase.two_phase_operands_gcy_continuous``).  Axis
+    labels: l=h_lam, k=h_c, i=h_z, y=h_zpi, j=z, b=z_pi; capitals are
+    next-period indices.  Returns P_lam (l), P_c (k), P_hz (i), P_hzpi
+    (y), the conditioned P_zpi (y, b, B) and P_z (i, j, b, J), the split
+    kappa terms log_A2 (k) / log_A3 (j), and — when a baseline is folded
+    — the separable components (const0, phi_l..phi_b).
     """
-    beta, theta = model.beta, model.theta
+    theta = model.theta
     m = model
     h_lam_grid, h_c_grid, h_z_grid, h_zpi_grid, z_grid, z_pi_grid = grids
     eta, omega = map(jnp.asarray, gauss_hermite_normal(degree))
@@ -93,9 +96,12 @@ def _factored_T(model, grids, degree, space, dtype, baseline=None,
                                        len(z_pi_grid)))
     P_z = expectation_matrix(z_grid, mean_z, sigma_z[:, None, None],
                              eta, omega)
-    log_kappa = _log_kappa_gcy(m, h_c_grid[:, None], z_grid[None, :])  # (k, j)
+    # log kappa(h_c, z) splits into a row (h_c) and a column (z) part.
+    sigma_c = m.phi_c * jnp.exp(h_c_grid)
+    log_A2 = 0.5 * (1 - m.gamma) ** 2 * sigma_c ** 2               # (k,)
+    log_A3 = (1 - m.gamma) * (m.mu_c + z_grid)                     # (j,)
 
-    ell0 = None
+    ell0_parts = None
     if baseline is not None:
         # Fold a separable baseline into the expectation matrices (the
         # batched P_z/P_zpi rescale over their last two axes).  Required
@@ -141,6 +147,31 @@ def _factored_T(model, grids, degree, space, dtype, baseline=None,
         cur_j = np.broadcast_to(phi_j[None, :, None], P_z.shape[:-1])
         P_z = jnp.asarray(normalize_expectation_matrix(
             P_z, phi_j, cur_j, theta))
+        ell0_parts = (const0, phi_l, phi_k, phi_i, phi_y, phi_j, phi_b)
+
+    return dict(P_lam=P_lam, P_c=P_c, P_hz=P_hz, P_hzpi=P_hzpi,
+                P_zpi=P_zpi, P_z=P_z, log_A2=log_A2, log_A3=log_A3,
+                ell0_parts=ell0_parts)
+
+
+def _factored_T(model, grids, degree, space, dtype, baseline=None,
+                transcendentals="accurate"):
+    """Factored contraction operator (quadrature + interp="pre").
+
+    The z_pi contraction runs *before* the z contraction so intermediates
+    stay O(N) despite z' conditioning on the current z_pi (see
+    :func:`_factored_arrays_gcy` for the axis labels).
+    """
+    beta, theta = model.beta, model.theta
+    arrs = _factored_arrays_gcy(model, grids, degree, baseline)
+    P_lam, P_c, P_hz, P_hzpi, P_zpi, P_z = (
+        arrs["P_lam"], arrs["P_c"], arrs["P_hz"], arrs["P_hzpi"],
+        arrs["P_zpi"], arrs["P_z"])
+    log_kappa = arrs["log_A2"][:, None] + arrs["log_A3"][None, :]  # (k, j)
+    ell0 = None
+    if arrs["ell0_parts"] is not None:
+        const0, phi_l, phi_k, phi_i, phi_y, phi_j, phi_b = (
+            arrs["ell0_parts"])
         ell0 = jnp.asarray(
             const0
             + phi_l[:, None, None, None, None, None]

@@ -37,6 +37,7 @@ import numpy as np
 
 __all__ = ["TwoPhaseOperands", "two_phase_operands_ssy",
            "two_phase_operands_ssy_continuous", "two_phase_operands_gcy",
+           "two_phase_operands_gcy_continuous",
            "conjugate_to_shared", "make_xla_two_phase_T"]
 
 
@@ -251,6 +252,96 @@ def two_phase_operands_ssy_continuous(model, grids, degree: int = 5,
         W_c2=np.asarray(arrs["P_z"], np.float64),     # (i, j, j') batched
         add_row=add_row, add_col=add_col, theta=theta, beta=beta,
         sub_row=sub_row, sub_col=sub_col, baseline_log_w=ell0)
+
+
+def two_phase_operands_gcy_continuous(model, grids, degree: int = 5,
+                                      baseline=None) -> TwoPhaseOperands:
+    """Two-phase operands for the *continuous six-state GCY* factored-
+    quadrature operator (interp="pre"; reference semantics
+    ``/root/reference/code/gcy/continuous/gcy_wc_ratio_continuous.py:
+    158-187``).
+
+    Grouping (view layout ``ell[k, l, (i, y), (b, j)]``, natural order
+    (l, k, i, y, j, b) carried by ``ops.perm``/``ops.inv_perm``):
+
+        rows:    r1 = h_c  (k)          W_r1 = P_c
+                 r2 = h_lam (l)         W_r2 = P_lam (payoff folded)
+        columns: c1 = (h_z (x) h_zpi)   W_c1 = P_hz (x) P_hzpi  (shared)
+                 c2 = (z_pi, z), z minor
+
+    Unlike the discrete GCY Kronecker fold, the continuous z/z_pi
+    expectation matrices are *truly conditioned* — P_zpi on the current
+    h_zpi (y) and P_z on the current h_z (i) AND current z_pi (b): the
+    conditioning changes the quadrature-interpolation geometry, so no
+    shared/lazy conjugation exists.  The joint c2 factor batched over
+    the current c1 slice,
+
+        W_c2[(i, y)][(b, j), (B, J)] = P_zpi[y, b, B] * P_z[i, j, b, J],
+
+    is exact (contracting next-B then next-J per the chain order equals
+    the joint product because P_z's z_pi conditioning is on the CURRENT
+    b — a row index of the joint matrix).  It is never materialized:
+    ``ops.pair_c2 = (P_z, P_zpi)`` (+ ``ops.pair_shapes``) carries the
+    per-axis factors, which the streamed kernel's *pair* configuration
+    (``kernels/streamed_two_phase.py``) contracts per-slice in VMEM and
+    the XLA twin contracts as the factored per-axis chain.  ``W_c2``
+    itself is a broadcast placeholder (shape/ndim carrier only).
+
+    ``baseline`` is "loglinear" or an ``(const, profiles)`` pair from
+    ``drivers.additive_profiles`` — effectively required for float32
+    (GCY's theta = -36 puts theta*(log-w range) ~ 200 on reference-style
+    grids); the fold is separable so sub/add split row/column exactly.
+    """
+    from .continuous_gcy import _factored_arrays_gcy
+
+    n_l, n_k, n_i, n_y, n_j, n_b = (len(g) for g in grids)
+    IY, C2 = n_i * n_y, n_b * n_j
+    theta, beta = float(model.theta), float(model.beta)
+    arrs = _factored_arrays_gcy(model, grids, degree, baseline)
+    kron = lambda X, Y: np.einsum(
+        "aA,bB->abAB", np.asarray(X, np.float64),
+        np.asarray(Y, np.float64)).reshape(X.shape[0] * Y.shape[0],
+                                           X.shape[1] * Y.shape[1])
+    W_c1 = kron(arrs["P_hz"], arrs["P_hzpi"])
+    P_z = np.asarray(arrs["P_z"], np.float64)        # (i, j, b, J)
+    P_zpi = np.asarray(arrs["P_zpi"], np.float64)    # (y, b, B)
+    log_A2 = np.asarray(arrs["log_A2"], np.float64)  # (k,)
+    log_A3 = np.asarray(arrs["log_A3"], np.float64)  # (j,)
+    add_row = np.broadcast_to(log_A2[:, None], (n_k, n_l)).copy()
+    colpart = np.broadcast_to(log_A3[None, :], (n_b, n_j)).reshape(C2)
+    add_col = np.broadcast_to(colpart[None, :], (IY, C2)).copy()
+    sub_row = sub_col = ell0 = None
+    if arrs["ell0_parts"] is not None:
+        const0, phi_l, phi_k, phi_i, phi_y, phi_j, phi_b = (
+            np.asarray(p, np.float64) if not np.isscalar(p) else p
+            for p in arrs["ell0_parts"])
+        phi_iy = (phi_i[:, None] + phi_y[None, :]).reshape(IY)
+        phi_bj = (phi_b[:, None] + phi_j[None, :]).reshape(C2)
+        sub_row = theta * (phi_k[:, None] + phi_l[None, :])
+        sub_col = theta * (const0 + phi_iy[:, None] + phi_bj[None, :])
+        add_row = add_row + sub_row
+        add_col = add_col + sub_col
+        ell0 = (const0 + phi_k[:, None, None, None]
+                + phi_l[None, :, None, None]
+                + phi_iy[None, None, :, None] + phi_bj[None, None, None, :])
+    ops = TwoPhaseOperands(
+        shapes=(n_k, n_l, IY, C2),
+        W_r1=np.asarray(arrs["P_c"], np.float64),
+        W_r2=np.asarray(arrs["P_lam"], np.float64),
+        W_c1=W_c1,
+        # Placeholder (ndim-3 so c2_batched reports the truth); the pair
+        # factors below are the real operand.
+        W_c2=np.broadcast_to(np.zeros((C2, C2)), (IY, C2, C2)),
+        add_row=add_row, add_col=add_col, theta=theta, beta=beta,
+        sub_row=sub_row, sub_col=sub_col, baseline_log_w=ell0)
+    object.__setattr__(ops, "pair_c2", (P_z, P_zpi))
+    object.__setattr__(ops, "pair_shapes", (n_i, n_y, n_b, n_j))
+    # Natural (l, k, i, y, j, b) -> view (k, l, i, y, b, j); self-inverse.
+    object.__setattr__(ops, "perm", (1, 0, 2, 3, 5, 4))
+    object.__setattr__(ops, "inv_perm", (1, 0, 2, 3, 5, 4))
+    object.__setattr__(ops, "state_shapes",
+                       (n_l, n_k, n_i, n_y, n_j, n_b))
+    return ops
 
 
 def two_phase_operands_gcy(model, disc, baseline: Optional[str] = None,
@@ -647,7 +738,8 @@ def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
     tangent body for the kernels' custom JVP, and the GSPMD-shardable
     fallback at sizes/backends the kernels don't cover.
     """
-    if getattr(ops, "dense_placeholder", False):
+    pair = getattr(ops, "pair_c2", None)
+    if pair is None and getattr(ops, "dense_placeholder", False):
         raise ValueError(
             "operand set was built with dense=False (batched column "
             "factors not materialized); conjugate_to_shared it for the "
@@ -655,8 +747,15 @@ def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
     n_r1, n_r2, n_c1, n_c2 = ops.shapes
     R, C = n_r1 * n_r2, n_c1 * n_c2
     cast = lambda a: jnp.asarray(a, dtype)
-    W_r1, W_r2, W_c1, W_c2 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1,
-                                        ops.W_c2))
+    W_r1, W_r2, W_c1 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1))
+    W_c2 = None if pair is not None else cast(ops.W_c2)
+    if pair is not None:
+        # Pair-factored batched c2 (continuous GCY): the joint factor is
+        # never materialized — contract next-z_pi then next-z per the
+        # factored chain (exactly the joint product; see
+        # two_phase_operands_gcy_continuous).
+        Pz_p, Pzpi_p = (cast(p) for p in pair)   # (i,j,b,J) / (y,b,B)
+        n_i, n_y, n_b, n_j = ops.pair_shapes
     add = cast(ops.add_row[:, :, None]
                + ops.add_col.reshape(-1)[None, None, :])     # (r1, r2, C)
     sub = None
@@ -685,8 +784,15 @@ def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
         if mid is not None:
             a = a + mid
         m = jnp.max(a, axis=2, keepdims=True)
-        a = m + accurate_log(jnp.einsum(c2_sub, W_c2, accurate_exp(a - m),
-                                        precision=hi))
+        if pair is not None:
+            e = accurate_exp(a - m).reshape(R, n_i, n_y, n_b, n_j)
+            v = jnp.einsum("ybB,tiyBJ->tiybJ", Pzpi_p, e, precision=hi)
+            u = jnp.einsum("ijbJ,tiybJ->tiybj", Pz_p, v, precision=hi)
+            a = m + accurate_log(u.reshape(R, n_c1, n_c2))
+        else:
+            a = m + accurate_log(jnp.einsum(c2_sub, W_c2,
+                                            accurate_exp(a - m),
+                                            precision=hi))
         b = a.reshape(n_r1, n_r2, C)
         m = jnp.max(b, axis=0, keepdims=True)
         b = m + accurate_log(jnp.einsum("lm,mkt->lkt", W_r1,

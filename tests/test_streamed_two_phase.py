@@ -306,3 +306,133 @@ class TestContinuousSSY:
             np.asarray(T(ell), np.float64),
             np.asarray(T_ref(jnp.asarray(ell, jnp.float64))),
             atol=5e-6)
+
+
+class TestContinuousGCYPair:
+    """Pair configuration: continuous six-state GCY, whose conditioned
+    z/z_pi expectation matrices (P_z on current h_z AND z_pi, P_zpi on
+    current h_zpi) contract per-slice in pass C (reference semantics
+    ``/root/reference/code/gcy/continuous/gcy_wc_ratio_continuous.py:
+    158-187``)."""
+
+    # (h_lam, h_c, h_z, h_zpi, z, z_pi): n_hlam % 8, (n_hz*n_hzpi) % 8,
+    # n_z % 128 — the pair configuration's layout constraints.
+    GSHAPES = (8, 3, 2, 4, 128, 2)
+
+    @pytest.fixture(scope="class")
+    def gcy_pair(self):
+        from sdfs_via_autodiff_tpu import GCY, build_grid_gcy
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_gcy_continuous)
+        model = GCY()
+        grids = build_grid_gcy(model, *self.GSHAPES)
+        ops = two_phase_operands_gcy_continuous(model, grids, degree=5,
+                                                baseline="loglinear")
+        return model, grids, ops
+
+    def test_config_is_pair(self, gcy_pair):
+        from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+            _streamed_config)
+        _, _, ops = gcy_pair
+        cfg = _streamed_config(ops)
+        assert cfg is not None and cfg["kind"] == "pair"
+        assert streamed_supported(ops)
+
+    def test_twin_matches_factored_chain_f64(self, gcy_pair):
+        from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+            T_gcy_continuous_factory)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            make_xla_two_phase_T)
+        model, grids, ops = gcy_pair
+        Ttwin = make_xla_two_phase_T(ops, dtype=jnp.float64)
+        T_ref = T_gcy_continuous_factory(
+            model, grids, method="quadrature", interp="pre", space="log",
+            quad_degree=5, baseline="loglinear", jit=False)
+        ell = _rand_ell(self.GSHAPES, scale=0.05)
+        view = jnp.transpose(ell, ops.perm).reshape(ops.shapes)
+        out = jnp.transpose(
+            Ttwin(view).reshape([self.GSHAPES[p] for p in ops.perm]),
+            ops.inv_perm)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(T_ref(ell)), atol=1e-12)
+
+    def test_kernel_matches_factored_chain(self, gcy_pair):
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy_continuous)
+        from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+            T_gcy_continuous_factory)
+        model, grids, _ = gcy_pair
+        T = make_tiled_T_log_gcy_continuous(model, grids, degree=5,
+                                            baseline="loglinear",
+                                            interpret=True)
+        assert T.engine == "streamed-pair" and T.mode == "lse"
+        ell = (jnp.asarray(T.baseline_log_w, jnp.float32)
+               + 0.05 * jnp.asarray(np.random.default_rng(2)
+                                    .standard_normal(self.GSHAPES),
+                                    jnp.float32))
+        T_ref = T_gcy_continuous_factory(
+            model, grids, method="quadrature", interp="pre", space="log",
+            quad_degree=5, baseline="loglinear", jit=False)
+        np.testing.assert_allclose(
+            np.asarray(T(ell), np.float64),
+            np.asarray(T_ref(jnp.asarray(ell, jnp.float64))), atol=5e-5)
+
+    def test_jvp_and_grad(self, gcy_pair):
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy_continuous)
+        model, grids, _ = gcy_pair
+        T = make_tiled_T_log_gcy_continuous(model, grids, degree=5,
+                                            baseline="loglinear",
+                                            interpret=True)
+        ell = jnp.asarray(T.baseline_log_w, jnp.float32)
+        v = 0.01 * jnp.ones_like(ell)
+        got = jax.jvp(T, (ell,), (v,))[1]
+        want = jax.jvp(T.xla_twin, (ell,), (v,))[1]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+        g = jax.grad(lambda x: jnp.sum(T(x)))(ell)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_solve_through_pair_kernel(self, gcy_pair):
+        # The f32 recipe: a coarse-fit ADDITIVE baseline.  GCY's
+        # theta = -36 with the closed-form log-linear baseline leaves
+        # theta * (residual span) ~ 95 > exp's f32 range on this grid —
+        # the solution itself sits outside the plain fold's envelope
+        # (the same effect docs/precision.md documents for wide
+        # discrete grids) — while the ANOVA main effects of the true
+        # solution leave only the non-separable remainder.
+        model, grids, _ = gcy_pair
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log_gcy_continuous)
+        from sdfs_via_autodiff_tpu.operators.continuous_common import (
+            additive_profiles)
+        from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+            T_gcy_continuous_factory)
+        T64 = T_gcy_continuous_factory(
+            model, grids, method="quadrature", interp="pre", space="log",
+            quad_degree=5, baseline="loglinear")
+        res64 = solve(T64, jnp.asarray(T64.baseline_log_w, jnp.float64),
+                      method="newton", tol=1e-10)
+        baseline = additive_profiles(res64.x)
+        T = make_tiled_T_log_gcy_continuous(model, grids, degree=5,
+                                            baseline=baseline,
+                                            interpret=True)
+        res = solve(T, jnp.asarray(T.baseline_log_w, jnp.float32),
+                    method="newton", tol=2e-4, max_iter=8)
+        assert bool(res.converged)
+        np.testing.assert_allclose(np.asarray(res.x),
+                                   np.asarray(res64.x, np.float32),
+                                   atol=5e-4)
+
+    def test_nonconforming_shapes_report_pair_constraints(self):
+        from sdfs_via_autodiff_tpu import GCY, build_grid_gcy
+        from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+            make_tiled_T_log)
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_gcy_continuous)
+        model = GCY()
+        grids = build_grid_gcy(model, 4, 3, 2, 4, 5, 2)   # n_z = 5
+        ops = two_phase_operands_gcy_continuous(model, grids,
+                                                baseline="loglinear")
+        with pytest.raises(ValueError, match="pair configuration"):
+            make_tiled_T_log(ops, interpret=True)
