@@ -41,6 +41,7 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
                                dtype=None, mode: str = "auto",
                                precision: str = "3x",
                                transcendentals: str = "accurate",
+                               batch_axis=None,
                                interpret: bool = False) -> Callable:
     """Multi-device *Pallas fast tier*: the streamed big-matmul kernels
     (``kernels/streamed_two_phase.py``) composed over an ICI mesh.
@@ -70,6 +71,19 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
 
     Differentiable via a custom JVP whose tangent runs through the GSPMD
     XLA twin.  Requires n_r1 and n_c1 divisible by the total mesh size.
+
+    ``batch_axis`` (multi-slice / DCN layout): name of a mesh axis that
+    models the slow inter-slice network.  The returned operator then
+    maps a BATCHED field ``(n_slices, *shapes)`` — one independent sweep
+    member per slice (e.g. a parameter sweep, the realistic multi-slice
+    deployment of a fixed-point solver) — with the batch axis sharded
+    over ``batch_axis`` and each member's rows/columns over the
+    remaining ``axis_names``.  Every per-iteration collective (the two
+    all-to-all reshards, the pmax/all_gather of fast-mode scales) names
+    only the intra-slice axes, so NOTHING crosses the DCN axis per
+    application — asserted against compiled-HLO replica groups in
+    tests/test_sharding.py (TestTwoSliceDCN) and exercised by
+    ``__graft_entry__.dryrun_multichip``.
     """
     import numpy as np
 
@@ -106,11 +120,18 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     ops = covered
     deferred = _streamed_config(ops)["kind"] == "deferred"
     if axis_names is None:
-        axis_names = tuple(mesh.axis_names)
+        axis_names = tuple(a for a in mesh.axis_names if a != batch_axis)
     elif isinstance(axis_names, str):
         axis_names = (axis_names,)
     else:
         axis_names = tuple(axis_names)
+    n_slice = 0
+    if batch_axis is not None:
+        if batch_axis in axis_names:
+            raise ValueError(
+                f"batch_axis {batch_axis!r} must not be one of the "
+                f"intra-slice axes {axis_names}")
+        n_slice = mesh.shape[batch_axis]
     n_dev = int(np.prod([mesh.shape[a] for a in axis_names]))
     L, K, I, J = ops.shapes
     R, C = L * K, I * J
@@ -254,7 +275,16 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
                              tiled=True)                      # (R_loc, C)
         return out.reshape(L_loc, K, I, J)
 
-    spec = PartitionSpec(axis_names, None, None, None)
+    if batch_axis is None:
+        spec = PartitionSpec(axis_names, None, None, None)
+        body = local_T
+    else:
+        # Multi-slice: one sweep member per slice, replicated operands;
+        # local_T's collectives name only the intra-slice axes.
+        spec = PartitionSpec(batch_axis, axis_names, None, None, None)
+
+        def body(ell5, *rest):
+            return local_T(ell5[0], *rest)[None]
     rep = lambda a: PartitionSpec(*(None,) * a.ndim)
     # Column-sharded operands feed pass C (the block-diagonal z maps
     # over their leading block index; the add_col strip over columns).
@@ -284,12 +314,17 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         args.append(mid_col)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-
     # axes annotation, so shard_map's VMA checker cannot type it.
-    mapped = shard_map(local_T, mesh=mesh, in_specs=tuple(in_specs),
+    mapped = shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=spec, check_vma=False)
 
     xla_twin = make_xla_two_phase_T(ops, work)
 
     def _primal(ell):
+        if batch_axis is not None and ell.shape[0] != n_slice:
+            raise ValueError(
+                f"multi-slice operator expects a leading batch of "
+                f"{n_slice} (one member per {batch_axis!r} slice); got "
+                f"{ell.shape}")
         return mapped(ell.astype(work), *args)
 
     @jax.custom_jvp
@@ -303,6 +338,10 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         return _primal(ell), dout
 
     def xla_twin_4d(ell):
+        if batch_axis is not None:
+            return jax.vmap(
+                lambda e: xla_twin(e.reshape(R, I, J)).reshape(ops.shapes)
+            )(ell)
         return xla_twin(ell.reshape(R, I, J)).reshape(ops.shapes)
 
     T.input_sharding = NamedSharding(mesh, spec)

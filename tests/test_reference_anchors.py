@@ -17,6 +17,10 @@ from sdfs_via_autodiff_tpu import (
 @pytest.mark.parametrize("sizes,std,degree,anchor", [
     ((15, 15, 15, 15), 3.2, 5, (670.75128139, 6.60051464)),
     ((15, 15, 15, 15), 2.5, 5, (983.28449407, 8.76520362)),
+    # The reference's largest recorded configuration
+    # (test_newton.md:219): 20^4, ±2.5 sigma, degree-8 quadrature.
+    pytest.param((20, 20, 20, 20), 2.5, 8, (976.43571268, 8.62554633),
+                 marks=pytest.mark.slow),
 ])
 def test_ssy_one_step_moment_anchors(sizes, std, degree, anchor):
     model = SSY()
@@ -27,5 +31,28 @@ def test_ssy_one_step_moment_anchors(sizes, std, degree, anchor):
     f = construct_wstar_callable(sol.w_star, sol.grids)
     mean, stdev = one_step_w_moments(model, f, num_draws=1_000_000)
     # 0.1% band: generous against PRNG-stream and accumulation differences.
+    assert abs(mean - anchor[0]) / anchor[0] < 1e-3
+    assert abs(stdev - anchor[1]) / anchor[1] < 5e-3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("std,anchor", [
+    # "Interpolate ln(w)" rows (test_newton.md:232-236): the solve runs
+    # the ln(w)-interpolation semantics (interp="loglin"); the one-step
+    # moment pipeline interpolates the solved w field linearly, exactly
+    # as the reference's lin_interp(x_seq, xstar, grids) does for every
+    # tabulated row.
+    (2.5, (1077.95676508, 9.61219993)),
+    (3.2, (865.00929848, 8.35713019)),
+])
+def test_ssy_loglin_interp_moment_anchors(std, anchor):
+    model = SSY()
+    sol = wc_ratio_continuous(model, (15, 15, 15, 15),
+                              algorithm="newton", tol=1e-9,
+                              interp="loglin", quad_degree=5,
+                              num_std_devs=std)
+    assert sol.converged
+    f = construct_wstar_callable(sol.w_star, sol.grids)
+    mean, stdev = one_step_w_moments(model, f, num_draws=1_000_000)
     assert abs(mean - anchor[0]) / anchor[0] < 1e-3
     assert abs(stdev - anchor[1]) / anchor[1] < 5e-3

@@ -507,3 +507,76 @@ class TestShardingPreservedInHLO:
         assert worst < n, (
             f"compiled SA loop all-gathers {worst} elements "
             f"(iterate is {n})")
+
+
+@needs_devices
+class TestTwoSliceDCN:
+    """Multi-slice (DCN) layout (round-4 VERDICT item 8): a 2x4 mesh
+    whose outer 'slice' axis models the slow inter-slice network.  The
+    realistic multi-slice deployment of a fixed-point solver is a
+    parameter sweep — one independent member per slice, with the
+    streamed Pallas tier's row/column sharding riding ICI *within* each
+    slice — so per-iteration collectives must name only the intra-slice
+    axis.  Asserted both numerically (bit-equal per member) and against
+    compiled-HLO replica groups (no group spans two slices)."""
+
+    SHAPES = (8, 8, 8, 16)
+
+    @pytest.fixture(scope="class")
+    def two_slice(self):
+        from jax.sharding import Mesh
+
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+            streamed_shard_map_factory)
+        model = SSY()
+        ops = two_phase_operands_ssy(model, discretize_ssy(model,
+                                                           self.SHAPES))
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    ("slice", "tp"))
+        T_ms = streamed_shard_map_factory(ops, mesh, axis_names=("tp",),
+                                          batch_axis="slice",
+                                          interpret=True)
+        return ops, mesh, T_ms
+
+    def test_members_bit_equal_single_device(self, two_slice):
+        from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+            make_streamed_T_log)
+        ops, _, T_ms = two_slice
+        T_1d = make_streamed_T_log(ops, interpret=True)
+        x0 = jnp.full(self.SHAPES, jnp.log(800.0), jnp.float32)
+        batch = jnp.stack([x0, x0 + 0.01])
+        out = np.asarray(T_ms(jax.device_put(batch, T_ms.input_sharding)))
+        np.testing.assert_array_equal(out[0], np.asarray(T_1d(x0)))
+        np.testing.assert_array_equal(out[1], np.asarray(T_1d(x0 + 0.01)))
+
+    def test_no_collective_crosses_the_slice_axis(self, two_slice):
+        import re
+        _, mesh, T_ms = two_slice
+        batch = jnp.zeros((2,) + self.SHAPES, jnp.float32)
+        b_sh = jax.device_put(batch, T_ms.input_sharding)
+        txt = jax.jit(T_ms).lower(b_sh).compile().as_text()
+        n_tp = mesh.shape["tp"]
+        seen = 0
+        for line in txt.splitlines():
+            if "replica_groups" not in line:
+                continue
+            m = re.search(r"replica_groups=\{(\{.*?\})\}", line)
+            if not m:
+                continue
+            seen += 1
+            for grp in re.findall(r"\{([0-9,]+)\}", m.group(1)):
+                ids = [int(v) for v in grp.split(",")]
+                slices = {d // n_tp for d in ids}
+                assert len(slices) == 1, (
+                    f"collective group {ids} spans slices {slices} "
+                    f"(DCN crossing): {line[:160]}")
+        assert seen >= 2, "no grouped collectives found; program not partitioned"
+        # The heavy reshards exist and are intra-slice by the check above.
+        assert "all-to-all" in txt
+
+    def test_batch_size_must_match_slices(self, two_slice):
+        _, _, T_ms = two_slice
+        with pytest.raises(ValueError, match="one member per"):
+            T_ms(jnp.zeros((3,) + self.SHAPES, jnp.float32))
