@@ -118,7 +118,9 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         # corrections can re-amplify them).
         _warn_conjugated_f32_floor(covered)
     ops = covered
-    deferred = _streamed_config(ops)["kind"] == "deferred"
+    _cfg = _streamed_config(ops)
+    deferred = _cfg["kind"] == "deferred"
+    pair = _cfg["kind"] == "pair"
     if axis_names is None:
         axis_names = tuple(a for a in mesh.axis_names if a != batch_axis)
     elif isinstance(axis_names, str):
@@ -139,15 +141,24 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         raise ValueError(
             f"row axis n_r1={L} and column axis n_c1={I} must each be "
             f"divisible by the mesh size {n_dev}")
+    if pair and ops.pair_shapes[0] % n_dev:
+        # Column shards must own whole current-h_z groups: the pair
+        # pass-C kernel's slice -> (i, y) mapping and its streamed P_z
+        # slice both index i LOCALLY, which is only consistent when the
+        # contiguous column shard boundary falls on an i-group boundary.
+        raise ValueError(
+            f"pair operand sets need n_hz = {ops.pair_shapes[0]} "
+            f"divisible by the mesh size {n_dev}")
     L_loc, I_loc = L // n_dev, I // n_dev
     R_loc, C_loc = L_loc * K, I_loc * J
 
     if mode == "auto":
-        mode = "lse" if (ops.has_sub or deferred) else "fast"
+        mode = "lse" if (ops.has_sub or deferred or pair) else "fast"
     if mode not in ("fast", "lse"):
         raise ValueError(f"unknown mode {mode!r}")
-    if deferred and mode == "fast":
-        raise ValueError("deferred-c2 operand sets run per-axis LSE only")
+    if (deferred or pair) and mode == "fast":
+        raise ValueError("deferred-c2/pair operand sets run per-axis "
+                         "LSE only")
     fast = mode == "fast"
     prec = _PRECISION[precision]
     trx = transcendentals
@@ -174,14 +185,14 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
             raise ValueError("mid_col (conjugated-shared) operands need "
                              "the lse mode")
 
-    if deferred:
+    if deferred or pair:
         # Deferred-c2 (oversized column group, e.g. the GCY Kronecker
-        # grouping): per-shard pass B contracts only c1 on (TB, I, TJ)
-        # blocks of the local rows; the shared c2 map rides into the
-        # per-shard pass C (replicated (J, J) operand).  Same two
-        # all-to-all reshards as the full-strip composition; the
-        # per-slice LSE shifts are block-independent, so results stay
-        # bit-equal to the single-device deferred kernel.
+        # grouping) and the pair configuration (continuous GCY): per-
+        # shard pass B contracts only c1 on (TB, I, TJ) blocks of the
+        # local rows; the c2 contraction rides into the per-shard
+        # pass C.  Same two all-to-all reshards as the full-strip
+        # composition; the per-slice LSE shifts are block-independent,
+        # so results stay bit-equal to the single-device kernels.
         bcfg = _deferred_b_config((L_loc, K, I, J))
         if bcfg is None:
             raise ValueError(
@@ -198,11 +209,19 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
                                  has_sub=has_sub, c2_here=not c2_batched,
                                  dtype=work, has_mid=has_mid,
                                  interpret=interpret)
-    c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C_loc,
-                              theta=theta_f, beta=beta_f, prec=prec,
-                              trx=trx, mode=mode, c2_batched=c2_batched,
-                              c2_deferred=deferred, dtype=work,
-                              interpret=interpret)
+    if pair:
+        from ..kernels.streamed_two_phase import build_c_call_pair
+        c_call, TC = build_c_call_pair(
+            shapes=ops.shapes, pair_shapes=ops.pair_shapes,
+            C_cols=C_loc, g=_cfg["g"], theta=theta_f, beta=beta_f,
+            prec=prec, trx=trx, dtype=work, interpret=interpret)
+    else:
+        c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C_loc,
+                                  theta=theta_f, beta=beta_f, prec=prec,
+                                  trx=trx, mode=mode,
+                                  c2_batched=c2_batched,
+                                  c2_deferred=deferred, dtype=work,
+                                  interpret=interpret)
     if TC % 128 and not interpret:
         raise ValueError(
             f"per-shard column range C/n = {C_loc} has no 128-aligned "
@@ -227,7 +246,20 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
             f"per-shard pass-C block width TC = {TC} does not hold whole "
             f"c2 slices (J = {J}): choose grid sizes with C/n a multiple "
             f"of lcm(J, 128), or a smaller mesh")
-    if c2_batched:
+    Pzpi_dev = PzT_dev = None
+    if pair:
+        Z2 = None
+        # Pair factors: P_zpi replicated (tiny, y-indexed); P_z in the
+        # kernel's (i, b, J, j) transpose SHARDED over its leading
+        # current-h_z axis — each column shard owns a contiguous range
+        # of c1 slices whose i-group range matches its P_z shard, so
+        # the kernel's local (c*g)//n_hzpi block index is exactly the
+        # local i index.
+        P_z, P_zpi = ops.pair_c2
+        Pzpi_dev = cast(P_zpi)
+        PzT_dev = cast(np.ascontiguousarray(
+            np.asarray(P_z, np.float64).transpose(0, 2, 3, 1)))
+    elif c2_batched:
         Z2 = cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
     elif deferred:
         Z2 = W_c2                       # shared map, contracted in pass C
@@ -237,8 +269,8 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     exp_ = _TRX[trx][0]
     names = axis_names if len(axis_names) > 1 else axis_names[0]
 
-    def local_T(ell_loc, W_c1_, W_c2_, Z2_loc, W_r1_, W_r2_, add_row_,
-                addc_loc, *maybe_sub):
+    def local_T(ell_loc, W_c1_, W_c2_, Z2_loc, Pzpi_, PzT_loc, W_r1_,
+                W_r2_, add_row_, addc_loc, *maybe_sub):
         # ell_loc: (L_loc, K, I, J)
         b_args = [W_c1_]
         if not (c2_batched or deferred):
@@ -265,7 +297,9 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         c_args = [midv]
         if fast:
             c_args.append(scale)
-        if c2_batched or deferred:
+        if pair:
+            c_args += [Pzpi_, PzT_loc]
+        elif c2_batched or deferred:
             c_args.append(Z2_loc)
         c_args += [W_r1_, W_r2_, add_row_, addc_loc]
         if fast:
@@ -301,9 +335,19 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     # dense tensor to every device in those configurations.
     W_c2_ship = (jnp.zeros((1, 1), work)
                  if (c2_batched or deferred) else W_c2)
-    in_specs = [spec, rep(W_c1), rep(W_c2_ship), z2_spec, rep(W_r1),
-                rep(W_r2), rep(add_row), PartitionSpec(None, axis_names)]
-    args = [W_c1, W_c2_ship, Z2, W_r1, W_r2, add_row, add_colC]
+    if pair:
+        pzt_spec = PartitionSpec(axis_names, None, None, None)
+        pzpi_spec = rep(Pzpi_dev)
+    else:
+        Pzpi_dev = jnp.zeros((1, 1, 1), work)       # placeholder, unused
+        PzT_dev = jnp.zeros((n_dev, 1, 1, 1), work)
+        pzpi_spec = rep(Pzpi_dev)
+        pzt_spec = PartitionSpec(axis_names, None, None, None)
+    in_specs = [spec, rep(W_c1), rep(W_c2_ship), z2_spec, pzpi_spec,
+                pzt_spec, rep(W_r1), rep(W_r2), rep(add_row),
+                PartitionSpec(None, axis_names)]
+    args = [W_c1, W_c2_ship, Z2, Pzpi_dev, PzT_dev, W_r1, W_r2, add_row,
+            add_colC]
     if has_sub:
         # sub_row is per-row (sharded with the field); sub_col feeds the
         # row-local pass B, whose columns are complete -> replicated.

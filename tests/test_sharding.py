@@ -580,3 +580,29 @@ class TestTwoSliceDCN:
         _, _, T_ms = two_slice
         with pytest.raises(ValueError, match="one member per"):
             T_ms(jnp.zeros((3,) + self.SHAPES, jnp.float32))
+
+
+@needs_devices
+def test_sharded_pair_configuration_matches_single_device():
+    """Continuous-GCY pair operand sets over the mesh: per-shard pass B
+    (deferred c1) + per-shard pair pass C with P_z sharded over its
+    current-h_z axis — bit-equal to the single-device pair kernel
+    (block-local LSE shifts, like the deferred configuration)."""
+    from sdfs_via_autodiff_tpu import GCY, build_grid_gcy
+    from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+        make_streamed_T_log)
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        two_phase_operands_gcy_continuous)
+    from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+        streamed_shard_map_factory)
+    model = GCY()
+    grids = build_grid_gcy(model, 8, 8, 8, 2, 128, 2)
+    ops = two_phase_operands_gcy_continuous(model, grids, degree=5,
+                                            baseline="loglinear")
+    mesh = make_mesh(8)
+    T_sh = streamed_shard_map_factory(ops, mesh, interpret=True)
+    T_1d = make_streamed_T_log(ops, interpret=True)
+    x0 = (jnp.asarray(ops.baseline_log_w, jnp.float32) + 0.03
+          ).reshape(ops.shapes)
+    got = np.asarray(T_sh(jax.device_put(x0, T_sh.input_sharding)))
+    np.testing.assert_array_equal(got, np.asarray(T_1d(x0)))
