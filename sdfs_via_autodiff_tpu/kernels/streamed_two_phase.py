@@ -770,6 +770,7 @@ def blockdiag_z(W_c2: np.ndarray, TC: int) -> np.ndarray:
 def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                         mode: str = "auto", precision: str = "3x",
                         transcendentals: str = "accurate",
+                        twin_precision: str = "highest",
                         interpret: bool = False) -> Callable:
     """Streamed two-pass operator from a two-phase operand set.
 
@@ -908,7 +909,10 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
             args += [W_r1, W_r2, add_row, add_colC]
         return c_call(*args).reshape(ops.shapes)
 
-    xla_twin = make_xla_two_phase_T(ops, dtype)
+    # twin_precision: the JVP tangent (= every Newton inner matvec)
+    # runs through the XLA twin; "3x" halves its MXU cost at ~2^-17
+    # relative — ample for inexact-Newton forcing tolerances.
+    xla_twin = make_xla_two_phase_T(ops, dtype, precision=twin_precision)
 
     @jax.custom_jvp
     def T(ell):

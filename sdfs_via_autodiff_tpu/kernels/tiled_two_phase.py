@@ -290,6 +290,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                      strip_bytes: int = _STRIP_BYTES,
                      lazy_bytes: int = 6 * 1024 * 1024,
                      engine: str = "auto",
+                     twin_precision: str = "highest",
                      interpret: bool = False) -> Callable:
     """Tiled two-pass Pallas operator from a two-phase operand set.
 
@@ -335,6 +336,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                                            precision=("3x" if precision ==
                                                       "auto" else precision),
                                            transcendentals=transcendentals,
+                                           twin_precision=twin_precision,
                                            interpret=interpret)
             except ValueError:
                 # Coverable operand set but a streamed-incompatible
@@ -551,7 +553,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                            add_col)
             return out.reshape(ops.shapes)
 
-    xla_twin = make_xla_two_phase_T(ops, dtype)
+    xla_twin = make_xla_two_phase_T(ops, dtype, precision=twin_precision)
 
     @jax.custom_jvp
     def T(ell):

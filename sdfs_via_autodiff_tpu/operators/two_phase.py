@@ -729,14 +729,19 @@ def conjugate_to_shared(ops: TwoPhaseOperands
     return conj
 
 
-def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
-                         ) -> Callable:
+def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32,
+                         precision: str = "highest") -> Callable:
     """Plain-XLA evaluator of a two-phase operand set.
 
     Bit-for-bit the same math as the tiled Pallas kernels (same contraction
     order, same per-step shifts): the agreement oracle in the tests, the
     tangent body for the kernels' custom JVP, and the GSPMD-shardable
     fallback at sizes/backends the kernels don't cover.
+
+    ``precision``: "highest" (default), "3x" (three-pass bf16 hi/lo
+    splits — ``ops/contract.einsum_p``; ~2^-17 relative at half the MXU
+    cost, the tier for Newton inner matvecs whose forcing tolerance is
+    1e-4-class), or "default".  f64 always contracts at HIGHEST.
     """
     pair = getattr(ops, "pair_c2", None)
     if pair is None and getattr(ops, "dense_placeholder", False):
@@ -767,39 +772,39 @@ def make_xla_two_phase_T(ops: TwoPhaseOperands, dtype=jnp.float32
     beta = jnp.asarray(ops.beta, dtype)
     c1_sub = "jim,tmj->tij" if ops.c1_batched else "im,tmj->tij"
     c2_sub = "ijm,tim->tij" if ops.c2_batched else "jm,tim->tij"
-    # True-f32 MXU passes (the TPU default demotes f32 operands to bf16,
-    # a measured ~6x loss on one-application accuracy); accurate
-    # transcendentals (the hardware f32 log costs ~1e-4 abs per stage,
-    # see ops/accurate.py).
-    hi = jax.lax.Precision.HIGHEST
+    # True-f32 MXU passes by default (the TPU default demotes f32
+    # operands to bf16, a measured ~6x loss on one-application
+    # accuracy); accurate transcendentals (the hardware f32 log costs
+    # ~1e-4 abs per stage, see ops/accurate.py).
     from ..ops.accurate import accurate_exp, accurate_log, accurate_log1p
+    from ..ops.contract import einsum_p
+    if precision not in ("highest", "3x", "default"):
+        raise ValueError(f"unknown precision {precision!r}")
+    ein = lambda sub_, A, B: einsum_p(sub_, A, B, precision)
 
     def T(ell):
         a = theta * ell.astype(dtype).reshape(R, n_c1, n_c2)
         if sub is not None:
             a = a - sub
         m = jnp.max(a, axis=1, keepdims=True)
-        a = m + accurate_log(jnp.einsum(c1_sub, W_c1, accurate_exp(a - m),
-                                        precision=hi))
+        a = m + accurate_log(ein(c1_sub, W_c1, accurate_exp(a - m)))
         if mid is not None:
             a = a + mid
         m = jnp.max(a, axis=2, keepdims=True)
         if pair is not None:
             e = accurate_exp(a - m).reshape(R, n_i, n_y, n_b, n_j)
-            v = jnp.einsum("ybB,tiyBJ->tiybJ", Pzpi_p, e, precision=hi)
-            u = jnp.einsum("ijbJ,tiybJ->tiybj", Pz_p, v, precision=hi)
+            v = ein("ybB,tiyBJ->tiybJ", Pzpi_p, e)
+            u = ein("ijbJ,tiybJ->tiybj", Pz_p, v)
             a = m + accurate_log(u.reshape(R, n_c1, n_c2))
         else:
-            a = m + accurate_log(jnp.einsum(c2_sub, W_c2,
-                                            accurate_exp(a - m),
-                                            precision=hi))
+            a = m + accurate_log(ein(c2_sub, W_c2, accurate_exp(a - m)))
         b = a.reshape(n_r1, n_r2, C)
         m = jnp.max(b, axis=0, keepdims=True)
-        b = m + accurate_log(jnp.einsum("lm,mkt->lkt", W_r1,
-                                        accurate_exp(b - m), precision=hi))
+        b = m + accurate_log(ein("lm,mkt->lkt", W_r1,
+                                 accurate_exp(b - m)))
         m = jnp.max(b, axis=1, keepdims=True)
-        b = m + accurate_log(jnp.einsum("km,lmt->lkt", W_r2,
-                                        accurate_exp(b - m), precision=hi))
+        b = m + accurate_log(ein("km,lmt->lkt", W_r2,
+                                 accurate_exp(b - m)))
         log_hwt = b + add
         return accurate_log1p(
             beta * accurate_exp(log_hwt / theta)).reshape(ops.shapes)

@@ -18,11 +18,39 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lse_matmul"]
+__all__ = ["lse_matmul", "einsum_p"]
+
+
+def einsum_p(subscripts: str, M, E, precision: str = "highest"):
+    """Two-operand einsum with a named precision tier.
+
+    "highest": true-f32 MXU passes (6 bf16 passes on TPU — the accuracy
+    default).  "3x": three native-bf16 passes on hi/lo operand splits
+    (the streamed kernels' scheme, ``kernels/streamed_two_phase._dot_p``
+    — ~2^-17 relative on positive summands at half HIGHEST's cost; the
+    inexact-Newton inner matvecs with inner_tol=1e-4 are its intended
+    consumer).  "default": one bf16 pass (~1e-3, throughput
+    experiments).  float64 operands always use HIGHEST (the bf16 split
+    would destroy f64 precision)."""
+    if precision not in ("highest", "3x", "default"):
+        raise ValueError(f"unknown precision {precision!r} "
+                         "(choose 'highest', '3x', or 'default')")
+    if precision == "3x" and jnp.result_type(M, E) == jnp.float32:
+        Mh = M.astype(jnp.bfloat16)
+        Ml = (M - Mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        Eh = E.astype(jnp.bfloat16)
+        El = (E - Eh.astype(jnp.float32)).astype(jnp.bfloat16)
+        ein = lambda a, b: jnp.einsum(subscripts, a, b,
+                                      preferred_element_type=jnp.float32)
+        return ein(Mh, Eh) + ein(Mh, El) + ein(Ml, Eh)
+    prec = (jax.lax.Precision.DEFAULT if precision == "default"
+            else jax.lax.Precision.HIGHEST)
+    return jnp.einsum(subscripts, M, E, precision=prec)
 
 
 def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
-               axis: int, transcendentals: str = "accurate") -> jnp.ndarray:
+               axis: int, transcendentals: str = "accurate",
+               precision: str = "highest") -> jnp.ndarray:
     """log of ``einsum(subscripts, M, exp(log_v))`` with a per-slice shift
     over the contracted ``axis`` of ``log_v``.
 
@@ -45,6 +73,11 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     dominant error) with the accurate log, matching the strip/streamed
     kernels' tier of the same name so ``engine="auto"`` fallbacks keep
     the option.  No-op for float64 either way.
+
+    ``precision``: "highest" (default — true-f32 MXU passes), "3x"
+    (three-pass bf16 hi/lo splits, ~2^-17 relative at half the matmul
+    cost — the Newton inner-matvec tier), or "default" (one bf16 pass);
+    see :func:`einsum_p`.
     """
     if transcendentals == "fast":
         exp_, log_ = jnp.exp, jnp.log
@@ -61,6 +94,5 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     # demotes them to one-pass bf16, a measured ~6x loss on the operator's
     # one-application error); these contractions are bandwidth-bound, so
     # the extra multiplier passes are ~free.  No-op for float64.
-    u = jnp.einsum(subscripts, M, exp_(log_v - m),
-                   precision=jax.lax.Precision.HIGHEST)
+    u = einsum_p(subscripts, M, exp_(log_v - m), precision)
     return m + log_(u)

@@ -436,3 +436,42 @@ class TestContinuousGCYPair:
                                                 baseline="loglinear")
         with pytest.raises(ValueError, match="pair configuration"):
             make_tiled_T_log(ops, interpret=True)
+
+
+class TestTwinPrecisionTiers:
+    """The 3x (bf16 hi/lo split) tier on the XLA twin / lse_matmul —
+    the Newton inner-matvec knob (round-4; inexact-Newton forcing at
+    1e-4-class tolerance does not need 6-pass HIGHEST matvecs)."""
+
+    def test_twin_3x_close_to_highest_and_f64_guarded(self, ssy_disc):
+        from sdfs_via_autodiff_tpu.operators.two_phase import (
+            make_xla_two_phase_T)
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc)
+        x = jnp.asarray(_rand_ell(SHAPES), jnp.float32)
+        hi = make_xla_two_phase_T(ops, jnp.float32)(x)
+        x3 = make_xla_two_phase_T(ops, jnp.float32, precision="3x")(x)
+        assert float(jnp.max(jnp.abs(hi - x3))) < 2e-5
+        # float64 operands must never take the bf16-split path.
+        f64 = make_xla_two_phase_T(ops, jnp.float64, precision="3x")(x)
+        f64h = make_xla_two_phase_T(ops, jnp.float64)(x)
+        np.testing.assert_array_equal(np.asarray(f64), np.asarray(f64h))
+
+    def test_newton_through_3x_twin(self, ssy_disc):
+        model, disc = ssy_disc
+        ops = two_phase_operands_ssy(model, disc)
+        T = make_streamed_T_log(ops, twin_precision="3x", interpret=True)
+        res = solve(T, jnp.full(SHAPES, jnp.log(800.0), jnp.float32),
+                    method="newton", tol=2e-5)
+        assert bool(res.converged)
+
+    def test_lse_matmul_precision_tiers(self):
+        from sdfs_via_autodiff_tpu.ops.contract import lse_matmul
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.standard_normal((8, 16, 32)), jnp.float32)
+        M = jnp.asarray(np.abs(rng.standard_normal((16, 16))), jnp.float32)
+        hi = lse_matmul(M, a, "im,tmj->tij", 1)
+        x3 = lse_matmul(M, a, "im,tmj->tij", 1, precision="3x")
+        assert float(jnp.max(jnp.abs(hi - x3))) < 5e-5
+        with pytest.raises(ValueError):
+            lse_matmul(M, a, "im,tmj->tij", 1, precision="nope")
