@@ -584,6 +584,7 @@ def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
                          transcendentals: str = "accurate",
                          strip_bytes: int = _STRIP_BYTES,
                          lazy_bytes: int = 6 * 1024 * 1024,
+                         twin_precision: str = "highest",
                          interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *discrete* SSY operator
     (reference ``ssy_wc_ratio.py:82-151``); ``baseline="loglinear"`` folds
@@ -593,6 +594,7 @@ def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
                             dtype=dtype, mode=mode, precision=precision,
                             transcendentals=transcendentals,
                             strip_bytes=strip_bytes, lazy_bytes=lazy_bytes,
+                            twin_precision=twin_precision,
                             interpret=interpret)
 
 
@@ -602,6 +604,7 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
                                     precision: str = "auto",
                                     transcendentals: str = "accurate",
                                     strip_bytes: int = _STRIP_BYTES,
+                                    twin_precision: str = "highest",
                                     interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *continuous* factored-quadrature
     SSY operator (reference ``ssy_wc_ratio_continuous.py:125-153``,
@@ -611,7 +614,7 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
         two_phase_operands_ssy_continuous(model, grids, degree, baseline),
         dtype=dtype, mode=mode, precision=precision,
         transcendentals=transcendentals, strip_bytes=strip_bytes,
-        interpret=interpret)
+        twin_precision=twin_precision, interpret=interpret)
 
 
 def make_tiled_T_log_gcy_continuous(model, grids, degree: int = 5,
@@ -619,6 +622,7 @@ def make_tiled_T_log_gcy_continuous(model, grids, degree: int = 5,
                                     mode: str = "auto",
                                     precision: str = "auto",
                                     transcendentals: str = "accurate",
+                                    twin_precision: str = "highest",
                                     interpret: bool = False) -> Callable:
     """Streamed-pair log-space T for the *continuous* factored-quadrature
     six-state GCY operator (reference
@@ -654,7 +658,9 @@ def make_tiled_T_log_gcy_continuous(model, grids, degree: int = 5,
     view_T = make_tiled_T_log(ops, dtype=dtype, mode=mode,
                               precision=precision,
                               transcendentals=transcendentals,
-                              engine="streamed", interpret=interpret)
+                              engine="streamed",
+                              twin_precision=twin_precision,
+                              interpret=interpret)
     perm, inv_perm = ops.perm, ops.inv_perm
     state_shapes = ops.state_shapes
     view_shapes = tuple(state_shapes[p] for p in perm)
@@ -692,6 +698,7 @@ def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
                          engine: str = "auto",
                          baseline: "Optional[str]" = None,
                          lazy_bytes: int = 6 * 1024 * 1024,
+                         twin_precision: str = "highest",
                          interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *discrete six-state GCY*
     operator (reference ``gcy_wc_ratio.py:134-238``) via Kronecker
@@ -749,6 +756,7 @@ def make_tiled_T_log_gcy(model, disc, dtype=jnp.float32,
                               precision=precision,
                               transcendentals=transcendentals,
                               engine=engine, lazy_bytes=lazy_bytes,
+                              twin_precision=twin_precision,
                               interpret=interpret)
     perm, inv_perm = ops.perm, ops.inv_perm
     state_shapes = ops.state_shapes
