@@ -20,6 +20,26 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Heavyweight modules (interpret-mode Pallas sweeps, 8-device sharded
+# loops, large solves): every test in them is marked ``slow`` unless it
+# carries an explicit ``fast`` marker (the per-subsystem smoke tests
+# kept in the commit-gating core).  The core is ``pytest -m "not slow"``
+# — budgeted at < 90 s on the single-core build host (round-4 VERDICT
+# item 9); the full suite stays the CI run.
+SLOW_MODULES = {
+    "test_sharding", "test_streamed_two_phase", "test_tiled_two_phase",
+    "test_post_interp", "test_continuous_ssy", "test_continuous_gcy",
+    "test_kernels", "test_reference_anchors", "test_cli",
+    "test_sdf_pipeline", "test_krylov",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES and "fast" not in item.keywords:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -53,6 +53,9 @@ def test_round_trip():
     assert np.max(np.abs(got - np.asarray(x, np.float64))) < 1e-5
 
 
+@pytest.mark.slow
+
+
 def test_custom_jvp_rules():
     x = jnp.asarray([-3.0, -0.5, 0.7, 5.0], jnp.float32)
     v = jnp.ones_like(x)
@@ -75,6 +78,9 @@ def test_accurate_passthrough_f64():
     assert accurate_exp(x).dtype == jnp.float64
     assert accurate_log(x).dtype == jnp.float64
     assert accurate_log1p(x).dtype == jnp.float64
+
+
+@pytest.mark.slow
 
 
 def test_two_phase_f32_one_application_floor():

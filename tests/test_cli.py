@@ -7,6 +7,9 @@ import pytest
 from sdfs_via_autodiff_tpu.cli import main
 
 
+@pytest.mark.fast
+
+
 def test_info(capsys):
     assert main(["info"]) == 0
     out = json.loads(capsys.readouterr().out)
@@ -43,6 +46,9 @@ def test_solve_discrete_and_simulate(tmp_path, capsys):
     pr2 = json.loads(capsys.readouterr().out)
     assert pr2["state"] == [0.01, 0, 0, 0]
     assert pr2["expected_sdf"] != pr["expected_sdf"]
+
+
+@pytest.mark.fast
 
 
 def test_solve_discrete_small(capsys):

@@ -22,6 +22,9 @@ def rand_w(rng, scale=500.0, spread=0.05):
     return jnp.asarray(scale * np.exp(spread * rng.standard_normal(SIZES)))
 
 
+@pytest.mark.fast
+
+
 def test_next_state_matches_dynamics(setup, rng):
     model, _ = setup
     x = jnp.asarray(rng.standard_normal(6) * 0.01)

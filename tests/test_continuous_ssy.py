@@ -23,6 +23,9 @@ def rand_w(rng, scale=700.0, spread=0.1):
     return jnp.asarray(scale * np.exp(spread * rng.standard_normal(SIZES)))
 
 
+@pytest.mark.fast
+
+
 def test_next_state_matches_dynamics(setup, rng):
     model, _ = setup
     x = jnp.asarray(rng.standard_normal(4) * 0.01)

@@ -135,6 +135,9 @@ def test_gcy_tauchen_discretization_solves():
     assert np.all(w > 1.0) and np.all(np.isfinite(w))
 
 
+@pytest.mark.slow
+
+
 def test_wide_rouwenhorst_f32_via_normalized_xla_chain():
     # Round-2 review item #5: the f32 range cap on wide Rouwenhorst GCY
     # grids was a property of the Kronecker-grouped tiled kernel's joint

@@ -131,6 +131,9 @@ def test_normalized_operator_matches_plain(setup, rng):
                                atol=1e-9)
 
 
+@pytest.mark.slow
+
+
 def test_normalized_f32_wide_grid_stays_finite():
     # On wide Rouwenhorst grids a single state axis carries more log-range
     # than f32 exp can represent; the baseline-normalized operator stays
@@ -168,6 +171,9 @@ def test_existence_check_matches_dense_eig(setup):
     assert "exists_unique=True" in repr(rep)
 
 
+@pytest.mark.slow
+
+
 def test_discrete_polish_refines_f32_solve():
     # f32 fast solve -> f64 Newton polish, mirroring the continuous
     # driver's two-stage recipe (reference default tol 1e-7,
@@ -181,6 +187,9 @@ def test_discrete_polish_refines_f32_solve():
     ref = wc_ratio_discrete(model, shapes, algorithm="newton", tol=1e-10)
     np.testing.assert_allclose(np.asarray(sol.w_star),
                                np.asarray(ref.w_star), atol=1e-6)
+
+
+@pytest.mark.slow
 
 
 def test_discrete_polish_stage_placements():

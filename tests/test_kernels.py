@@ -26,6 +26,9 @@ def setup():
     return model, disc
 
 
+@pytest.mark.fast
+
+
 def test_kron_operands_match_factored_chain(setup, rng):
     # M1 @ v @ M2^T must equal the per-axis contraction chain.
     from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
@@ -46,6 +49,9 @@ def test_kron_operands_match_factored_chain(setup, rng):
         np.asarray(A2[None, :, None, None]
                    * A3[None, None, :, :]
                    * jnp.ones((SHAPES[0], 1, 1, 1))), rtol=1e-10)
+
+
+@pytest.mark.fast
 
 
 def test_fused_T_matches_xla(setup, rng):

@@ -22,6 +22,7 @@ def _true_residual(matvec, b, x):
 
 
 class TestBicgstabMixed:
+    @pytest.mark.fast
     def test_matches_direct_solve_f64(self, rng):
         n = 40
         A = np.eye(n) + 0.3 * rng.standard_normal((n, n)) / np.sqrt(n)
@@ -31,6 +32,8 @@ class TestBicgstabMixed:
         np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
                                    atol=1e-9)
         assert int(it) < 200
+
+    @pytest.mark.fast
 
     def test_f32_vectors_f64_scalars(self, rng):
         n = 64

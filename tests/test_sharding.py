@@ -34,6 +34,7 @@ def test_mesh_construction():
 
 
 @needs_devices
+@pytest.mark.fast
 def test_sharded_operator_matches_single_device(rng):
     model = SSY()
     shapes = (8, 8, 6, 6)

@@ -52,6 +52,8 @@ class TestDiscreteSSY:
             np.asarray(T_ref(jnp.asarray(ell, jnp.float64))),
             atol=5e-6)
 
+    @pytest.mark.fast
+
     def test_auto_mode_is_fast_for_plain(self, ssy_disc):
         model, disc = ssy_disc
         T = make_streamed_T_log(two_phase_operands_ssy(model, disc),

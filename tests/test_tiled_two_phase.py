@@ -35,6 +35,7 @@ def ssy_disc():
 
 
 class TestDiscreteSSY:
+    @pytest.mark.fast
     def test_xla_twin_matches_reference_operator(self, ssy_disc):
         model, disc = ssy_disc
         ops = two_phase_operands_ssy(model, disc)
@@ -80,6 +81,8 @@ class TestDiscreteSSY:
         np.testing.assert_allclose(np.asarray(T(ell.astype(jnp.float32)),
                                               np.float64),
                                    np.asarray(T_ref(ell)), atol=5e-5)
+
+    @pytest.mark.fast
 
     def test_auto_mode_selection(self, ssy_disc):
         # Plain operands: small certified range -> fast single-shift path.
