@@ -110,15 +110,15 @@ def anderson_solver(T: Callable,
         # limit cycles from spinning to max_iter, not to police progress.
         stall_iters, stall_rtol = 500, 1e-5
 
-        def cond(state):
-            _, _, _, err, it, _, since = state
-            return ((err > tol) & (it < max_iter) & ~jnp.isnan(err)
-                    & (since < stall_iters))
-
         def body(state):
-            x, X, F, err, it, best, since = state
+            x, x_best, X, F, err, it, best, since = state
             fx = T(x)
             err = jnp.max(jnp.abs(fx - x))
+            # Best-iterate carry: an AA combination can leave the f32
+            # operator's envelope (T(x_plus) -> NaN poisons the next
+            # iterate); keeping the lowest-residual point lets a failed
+            # run return usable partial progress instead of NaN.
+            x_best = jnp.where(err < best, x, x_best)
             if verbose:
                 jax.debug.print("iter = {it}, error = {err}", it=it, err=err,
                                 ordered=False)
@@ -131,11 +131,23 @@ def anderson_solver(T: Callable,
                               lambda: fx)
             improved = err < best * (1.0 - stall_rtol)
             since = jnp.where(improved, 0, since + 1)
-            best = jnp.minimum(best, err)
-            return x_next, X, F, err, it + 1, best, since
+            # jnp.minimum propagates NaN; a poisoned final error must
+            # not destroy the best-residual record.
+            best = jnp.minimum(best, jnp.where(jnp.isnan(err), big, err))
+            return x_next, x_best, X, F, err, it + 1, best, since
 
-        x, _, _, err, it, _, _ = lax.while_loop(
-            cond, body, (x_init, X0, F0, big, 0, big, 0))
+        def cond_(state):
+            _, _, _, _, err, it, _, since = state
+            return ((err > tol) & (it < max_iter) & ~jnp.isnan(err)
+                    & (since < stall_iters))
+
+        x, x_best, _, _, err, it, best, _ = lax.while_loop(
+            cond_, body, (x_init, x_init, X0, F0, big, 0, big, 0))
+        # A NaN stop returns the best finite iterate (and its residual)
+        # rather than the poisoned point.
+        nan_stop = jnp.isnan(err)
+        x = jnp.where(nan_stop, x_best, x)
+        err = jnp.where(nan_stop, best, err)
         converged = (err <= tol) & ~jnp.isnan(err)
         return SolveResult(x=x, iterations=it, residual=err,
                            converged=converged)

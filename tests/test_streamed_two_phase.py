@@ -477,3 +477,25 @@ class TestTwinPrecisionTiers:
         assert float(jnp.max(jnp.abs(hi - x3))) < 5e-5
         with pytest.raises(ValueError):
             lse_matmul(M, a, "im,tmj->tij", 1, precision="nope")
+
+
+def test_anderson_nan_stop_returns_best_finite_iterate():
+    """Round-4: an Anderson combination that leaves the f32 operator's
+    exp envelope poisons the next iterate with NaN; the solver must stop
+    AND return the best finite iterate + its residual, not the poisoned
+    point.  Deterministic scenario: the continuous-GCY f32 twin under
+    the log-linear fold, whose true solution sits ~2.6 log units from
+    the baseline (theta * span ~ 95 > exp's f32 range)."""
+    from sdfs_via_autodiff_tpu import GCY, build_grid_gcy
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        make_xla_two_phase_T, two_phase_operands_gcy_continuous)
+    model = GCY()
+    grids = build_grid_gcy(model, 8, 3, 2, 4, 128, 2)
+    ops = two_phase_operands_gcy_continuous(model, grids, degree=5,
+                                            baseline="loglinear")
+    T32 = make_xla_two_phase_T(ops, dtype=jnp.float32)
+    res = solve(T32, jnp.asarray(ops.baseline_log_w, jnp.float32),
+                method="anderson", tol=2e-4, max_iter=400)
+    assert not bool(res.converged)
+    assert bool(jnp.isfinite(res.x).all())
+    assert np.isfinite(float(res.residual))
