@@ -666,62 +666,70 @@ def _c_kernel_pair(theta, beta, prec, trx, shapes, pair_shapes, TC,
     Block c holds g whole (z_pi, z) slices — c1 indices q = c*g + s with
     a fixed current h_z (g divides n_hzpi, so i = q // n_hzpi is block-
     constant; the (1, n_b, n_j, n_j) ``pzt_ref`` block streams P_z's
-    current-h_z slice, transposed host-side to (b, J, j)).  Per slice:
-    one per-row LSE shift over the contracted (B', J') group, the tiny
-    z_pi' contraction as a middle-axis einsum (always HIGHEST — its
-    FLOPs are ~n_z/128 of one MXU pass), then n_b minor-axis
+    current-h_z slice, transposed host-side to (b, J, j), and the
+    (g, n_b, n_b) ``pzpi_ref`` block streams the slices' z_pi weights
+    pre-expanded per c1 slice — every in-kernel index is STATIC).  Per
+    slice: one per-row LSE shift over the contracted (B', J') group,
+    the tiny z_pi' contraction as a middle-axis einsum (always HIGHEST —
+    its FLOPs are ~n_z/128 of one MXU pass), then n_b minor-axis
     (R, n_j) @ (n_j, n_j) dots for z' — current-z_pi-conditioned,
-    exactly the factored chain's FLOPs."""
+    exactly the factored chain's FLOPs — written straight into a scoped
+    scratch (no lane concatenations)."""
     _exp, _log, _log1p = _TRX[trx]
     L, K, IY, C2 = shapes
     n_i, n_y, n_b, n_j = pair_shapes
     R = L * K
     g = TC // C2
-    c = pl.program_id(0)
     hi = jax.lax.Precision.HIGHEST
     a = mid_ref[:]                                   # (R, TC) log domain
     pzt = pzt_ref[0]                                 # (n_b, n_j, n_j)
-    cols, shifts = [], []
-    for s in range(g):
-        y = (c * g + s) % n_y                        # traced; g | n_y
-        asl = a[:, s * C2:(s + 1) * C2]              # (R, C2)
-        m1 = jnp.max(asl, axis=1, keepdims=True)     # (R, 1)
-        e = _exp(asl - m1).reshape(R, n_b, n_j)      # next (B', J')
-        w_y = pzpi_ref[pl.ds(y, 1), :, :][0]
-        v = jnp.einsum("bB,tBJ->tbJ", w_y, e,
-                       preferred_element_type=jnp.float32, precision=hi)
-        parts = [_dot_p(v[:, b, :], pzt[b], prec) for b in range(n_b)]
-        cols.append(jnp.concatenate(parts, axis=1))  # (R, C2) linear
-        shifts.append(m1)
-    u = cols[0] if g == 1 else jnp.concatenate(cols, axis=1)   # (R, TC)
-    sh = (shifts[0] if g == 1
-          else jnp.concatenate(shifts, axis=1))                # (R, g)
-    # Linear-carry row phase (see _c_kernel's deferred branch).
-    sh3 = sh.reshape(L, K, g)
-    M2 = jnp.max(sh3, axis=0, keepdims=True)                   # (1, K, g)
-    u = (u.reshape(L, K, g, C2)
-         * _exp(sh3 - M2)[:, :, :, None]).reshape(L, K, TC)
-    u = _contract_lead(wr1_ref[:], u, prec)
-    M3 = jnp.max(M2, axis=1, keepdims=True)                    # (1, 1, g)
-    u = (u.reshape(L, K, g, C2)
-         * _exp(M2 - M3)[:, :, :, None]).reshape(L, K, TC)
-    u = jnp.swapaxes(u, 0, 1)                                  # (K', L, TC)
-    u = _contract_lead(wr2_ref[:], u, prec)
-    v = jnp.swapaxes(u, 0, 1)                                  # (L, K, TC)
-    shift = jnp.broadcast_to(M3[:, :, :, None],
-                             (1, 1, g, C2)).reshape(1, 1, TC)
-    lh = _log(v) + shift
-    lh = lh + addr_ref[:][:, :, None] + addc_ref[:][0][None, None, :]
-    out_ref[:] = _log1p(beta * _exp(lh / theta)).reshape(R, TC)
+
+    def body(u_scr, sh_scr):
+        for s in range(g):
+            asl = a[:, s * C2:(s + 1) * C2]          # (R, C2)
+            m1 = jnp.max(asl, axis=1, keepdims=True)   # (R, 1)
+            e = _exp(asl - m1).reshape(R, n_b, n_j)  # next (B', J')
+            w_s = pzpi_ref[s]                        # (n_b, n_b) static
+            v = jnp.einsum("bB,tBJ->tbJ", w_s, e,
+                           preferred_element_type=jnp.float32,
+                           precision=hi)
+            base = s * C2
+            for b in range(n_b):
+                u_scr[:, base + b * n_j:base + (b + 1) * n_j] = _dot_p(
+                    v[:, b, :], pzt[b], prec)
+            sh_scr[:, s:s + 1] = m1
+        u = u_scr[:]                                 # (R, TC) linear
+        sh = sh_scr[:]                               # (R, g)
+        # Linear-carry row phase (see _c_kernel's deferred branch).
+        sh3 = sh.reshape(L, K, g)
+        M2 = jnp.max(sh3, axis=0, keepdims=True)     # (1, K, g)
+        u2 = (u.reshape(L, K, g, C2)
+              * _exp(sh3 - M2)[:, :, :, None]).reshape(L, K, TC)
+        u2 = _contract_lead(wr1_ref[:], u2, prec)
+        M3 = jnp.max(M2, axis=1, keepdims=True)      # (1, 1, g)
+        u2 = (u2.reshape(L, K, g, C2)
+              * _exp(M2 - M3)[:, :, :, None]).reshape(L, K, TC)
+        u2 = jnp.swapaxes(u2, 0, 1)                  # (K', L, TC)
+        u2 = _contract_lead(wr2_ref[:], u2, prec)
+        v2 = jnp.swapaxes(u2, 0, 1)                  # (L, K, TC)
+        shift = jnp.broadcast_to(M3[:, :, :, None],
+                                 (1, 1, g, C2)).reshape(1, 1, TC)
+        lh = _log(v2) + shift
+        lh = lh + addr_ref[:][:, :, None] + addc_ref[:][0][None, None, :]
+        out_ref[:] = _log1p(beta * _exp(lh / theta)).reshape(R, TC)
+
+    pl.run_scoped(body, pltpu.VMEM((R, TC), jnp.float32),
+                  pltpu.VMEM((R, g), jnp.float32))
 
 
 def build_c_call_pair(*, shapes, pair_shapes, C_cols: int, g: int,
                       theta: float, beta: float, prec, trx, dtype,
                       interpret: bool = False):
     """Pair-kind pass-C ``pallas_call`` (see :func:`_c_kernel_pair`).
-    Operands: midway field (R, C_cols), P_zpi (n_y, n_b, n_b) resident,
-    P_z transposed (n_i, n_b, n_j, n_j) streamed one current-h_z slice
-    per block.  Returns ``(call, TC)``."""
+    Operands: midway field (R, C_cols), per-slice z_pi weights
+    (n_slices_local, n_b, n_b) streamed g slices per block, P_z
+    transposed (n_i_local, n_b, n_j, n_j) streamed one current-h_z
+    slice per block.  Returns ``(call, TC)``."""
     L, K, IY, C2 = shapes
     n_i, n_y, n_b, n_j = pair_shapes
     R = L * K
@@ -731,11 +739,14 @@ def build_c_call_pair(*, shapes, pair_shapes, C_cols: int, g: int,
         memory_space=pltpu.VMEM)
     colstrip = pl.BlockSpec((R, TC), lambda c: (_i32(0), _i32(c)),
                             memory_space=pltpu.VMEM)
+    pzpi_spec = pl.BlockSpec(
+        (g, n_b, n_b), lambda c: (_i32(c), _i32(0), _i32(0)),
+        memory_space=pltpu.VMEM)
     pzt_spec = pl.BlockSpec(
         (1, n_b, n_j, n_j),
         lambda c: (_i32((c * g) // n_y), _i32(0), _i32(0), _i32(0)),
         memory_space=pltpu.VMEM)
-    in_specs = [colstrip, full((n_y, n_b, n_b)), pzt_spec,
+    in_specs = [colstrip, pzpi_spec, pzt_spec,
                 full((L, L)), full((K, K)), full((L, K)),
                 pl.BlockSpec((1, TC), lambda c: (_i32(0), _i32(c)),
                              memory_space=pltpu.VMEM)]
@@ -876,8 +887,13 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         # (i, j, b, J) -> (i, b, J, j): the kernel's per-b z' dot.
         PzT = cast(np.ascontiguousarray(
             np.asarray(P_z, np.float64).transpose(0, 2, 3, 1)))
-        Pzpi_dev = cast(P_zpi)
-        pair_args = [Pzpi_dev, PzT]
+        # z_pi weights pre-expanded per c1 slice (q = i*n_y + y -> row
+        # q holds P_zpi[y]): the kernel indexes its (g, n_b, n_b) block
+        # statically — no dynamic VMEM slicing.
+        n_i_p = ops.pair_shapes[0]
+        PzpiS = cast(np.tile(np.asarray(P_zpi, np.float64),
+                             (n_i_p, 1, 1)))
+        pair_args = [PzpiS, PzT]
         Z2 = None
     else:
         c_call, TC = build_c_call(shapes=ops.shapes, C_cols=C,

@@ -249,14 +249,17 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     Pzpi_dev = PzT_dev = None
     if pair:
         Z2 = None
-        # Pair factors: P_zpi replicated (tiny, y-indexed); P_z in the
-        # kernel's (i, b, J, j) transpose SHARDED over its leading
-        # current-h_z axis — each column shard owns a contiguous range
-        # of c1 slices whose i-group range matches its P_z shard, so
-        # the kernel's local (c*g)//n_hzpi block index is exactly the
-        # local i index.
+        # Pair factors, both SHARDED over their leading axis with the
+        # column shards: the per-slice z_pi weights (q = i*n_y + y ->
+        # row q holds P_zpi[y]) and P_z in the kernel's (i, b, J, j)
+        # transpose.  Each column shard owns a contiguous range of c1
+        # slices whose (slice, i-group) ranges match its operand
+        # shards, so the kernel's static in-block indices and its
+        # (c*g)//n_hzpi block index are exactly the local ones.
         P_z, P_zpi = ops.pair_c2
-        Pzpi_dev = cast(P_zpi)
+        n_i_p = ops.pair_shapes[0]
+        Pzpi_dev = cast(np.tile(np.asarray(P_zpi, np.float64),
+                                (n_i_p, 1, 1)))
         PzT_dev = cast(np.ascontiguousarray(
             np.asarray(P_z, np.float64).transpose(0, 2, 3, 1)))
     elif c2_batched:
@@ -335,14 +338,11 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     # dense tensor to every device in those configurations.
     W_c2_ship = (jnp.zeros((1, 1), work)
                  if (c2_batched or deferred) else W_c2)
-    if pair:
-        pzt_spec = PartitionSpec(axis_names, None, None, None)
-        pzpi_spec = rep(Pzpi_dev)
-    else:
-        Pzpi_dev = jnp.zeros((1, 1, 1), work)       # placeholder, unused
+    if not pair:
+        Pzpi_dev = jnp.zeros((n_dev, 1, 1), work)   # placeholder, unused
         PzT_dev = jnp.zeros((n_dev, 1, 1, 1), work)
-        pzpi_spec = rep(Pzpi_dev)
-        pzt_spec = PartitionSpec(axis_names, None, None, None)
+    pzpi_spec = PartitionSpec(axis_names, None, None)
+    pzt_spec = PartitionSpec(axis_names, None, None, None)
     in_specs = [spec, rep(W_c1), rep(W_c2_ship), z2_spec, pzpi_spec,
                 pzt_spec, rep(W_r1), rep(W_r2), rep(add_row),
                 PartitionSpec(None, axis_names)]
