@@ -30,7 +30,7 @@ from .solvers import SolveResult, solve
 from .utils.checkpoint import save_solution
 
 __all__ = ["WCSolution", "wc_ratio_discrete", "wc_ratio_continuous",
-           "wc_ratio_continuation", "prolong_w"]
+           "wc_ratio_continuation", "wc_ratio_sweep", "prolong_w"]
 
 DEFAULT_INIT_W = 800.0   # reference w_init, ssy_wc_ratio.py:233
 
@@ -486,6 +486,94 @@ def wc_ratio_continuous(model,
                                 iterations=int(sol.result.iterations),
                                 residual=float(sol.result.residual)))
     return sol
+
+
+def wc_ratio_sweep(models: Sequence,
+                   grid_sizes: Sequence[int],
+                   *,
+                   num_std_devs: float = 3.2,
+                   quad_degree: int = 5,
+                   algorithm: str = "newton",
+                   tol: float = 1e-7,
+                   space: str = "log",
+                   w_init=None,
+                   dtype=None,
+                   **solver_opts):
+    """Solve MANY calibrations of one model family in a single compiled
+    program — build-operator-and-solve, vmapped over the stacked model
+    parameters (and each calibration's own grids).
+
+    The natural consumer of a calibration sweep (e.g. a gamma/psi grid
+    for moment matching): one compile covers the whole sweep, and the
+    batched program is exactly what the multi-slice (DCN) layout shards
+    one-member-per-slice (``parallel/shard_ops`` ``batch_axis``; the
+    reference solves calibrations one notebook run at a time).
+
+    Covers the factored quadrature interp="pre" chain (the one operator
+    construction that is jnp-traceable end to end over model
+    parameters); ``baseline`` folds are not supported in a sweep — the
+    log-linear closed form runs a host-side root-find (``brentq``), so
+    sweeps run f64 (default) or an explicitly-passed f32 ``dtype`` with
+    in-envelope calibrations.
+
+    Returns a :class:`SolveResult` whose fields carry a leading sweep
+    axis, plus the stacked ``w_star`` as ``result.x``'s exp when
+    ``space="log"`` — as ``(w_star, result, grids_stacked)``.
+    """
+    import dataclasses as _dc
+
+    import jax
+
+    models = list(models)
+    if not models:
+        raise ValueError("empty sweep")
+    fam = type(models[0])
+    if any(type(m) is not fam for m in models):
+        raise ValueError("one sweep = one model family; got mixed types")
+    if space not in ("w", "log"):
+        raise ValueError(f"unknown space {space!r}")
+    is_ssy = isinstance(models[0], SSY)
+    if is_ssy:
+        from .operators.continuous_ssy import _factored_T as _fT
+        builder = build_grid_ssy
+    else:
+        from .operators.continuous_gcy import _factored_T as _fT
+        builder = build_grid_gcy
+    gdtype = dtype or jnp.float64
+    if len(grid_sizes) != (4 if is_ssy else 6):
+        raise ValueError(f"grid_sizes must have {4 if is_ssy else 6} "
+                         "entries for this family")
+    # Per-calibration grids (bounds depend on the parameters), stacked
+    # with a leading sweep axis; the vmapped body sees its own grids.
+    grids_list = [builder(m, *grid_sizes, num_std_devs=num_std_devs,
+                          dtype=gdtype) for m in models]
+    grids_stacked = tuple(jnp.stack([g[d] for g in grids_list])
+                          for d in range(len(grid_sizes)))
+    fields = [f.name for f in _dc.fields(fam)]
+    params = {name: jnp.asarray([getattr(m, name) for m in models],
+                                gdtype) for name in fields}
+    S = len(models)
+    shape = tuple(int(s) for s in grid_sizes)
+    if w_init is None:
+        w0 = jnp.full((S,) + shape, DEFAULT_INIT_W, gdtype)
+    else:
+        w0 = jnp.asarray(w_init, gdtype)
+        if w0.shape == shape:
+            w0 = jnp.broadcast_to(w0[None], (S,) + shape)
+        elif w0.shape != (S,) + shape:
+            raise ValueError(f"w_init shape {w0.shape} matches neither "
+                             f"{shape} nor {(S,) + shape}")
+    x0 = jnp.log(w0) if space == "log" else w0
+
+    def one(pvec, grids, x0_m):
+        m = fam(**{k: pvec[k] for k in fields})
+        T = _fT(m, grids, quad_degree, space, gdtype, None)
+        return solve(T, x0_m, method=algorithm, tol=tol, jit=False,
+                     **solver_opts)
+
+    res = jax.jit(jax.vmap(one))(params, grids_stacked, x0)
+    w_star = jnp.exp(res.x) if space == "log" else res.x
+    return w_star, res, grids_stacked
 
 
 def prolong_w(w_coarse, grids_coarse, grids_fine):

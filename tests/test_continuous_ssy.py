@@ -193,3 +193,49 @@ def test_polish_refines_f32_solve():
                               tol=1e-10)
     np.testing.assert_allclose(np.asarray(sol.w_star),
                                np.asarray(ref.w_star), atol=1e-6)
+
+
+class TestCalibrationSweep:
+    """wc_ratio_sweep: many calibrations, one compiled vmapped program
+    (round 4 — the batched form the multi-slice DCN layout shards
+    one-member-per-slice)."""
+
+    def test_ssy_sweep_matches_individual_solves(self):
+        import dataclasses
+
+        from sdfs_via_autodiff_tpu import (SSY, wc_ratio_continuous,
+                                           wc_ratio_sweep)
+        models = [SSY(), dataclasses.replace(SSY(), gamma=7.5),
+                  dataclasses.replace(SSY(), psi=1.5)]
+        w, res, _ = wc_ratio_sweep(models, (6, 6, 6, 8), quad_degree=3,
+                                   tol=1e-9)
+        assert w.shape == (3, 6, 6, 6, 8)
+        assert bool(jnp.all(res.converged))
+        for i, m in enumerate(models):
+            sol = wc_ratio_continuous(m, (6, 6, 6, 8), quad_degree=3,
+                                      tol=1e-9, interp="pre", space="log")
+            assert float(jnp.max(jnp.abs(w[i] - sol.w_star))) < 1e-6
+
+    def test_gcy_sweep(self):
+        import dataclasses
+
+        from sdfs_via_autodiff_tpu import (GCY, wc_ratio_continuous,
+                                           wc_ratio_sweep)
+        models = [GCY(), dataclasses.replace(GCY(), gamma=12.0)]
+        w, res, _ = wc_ratio_sweep(models, (3, 3, 3, 3, 4, 3),
+                                   quad_degree=3, tol=1e-8,
+                                   algorithm="successive_approx",
+                                   max_iter=20000)
+        assert bool(jnp.all(res.converged))
+        sol = wc_ratio_continuous(GCY(), (3, 3, 3, 3, 4, 3),
+                                  quad_degree=3, tol=1e-8, interp="pre",
+                                  space="log")
+        # SA at tol 1e-8 on the log iterate: the fixed-point
+        # amplification 1/(1-rate) and w ~ 40 put the w-space agreement
+        # at ~1e-5.
+        assert float(jnp.max(jnp.abs(w[0] - sol.w_star))) < 5e-5
+
+    def test_sweep_rejects_mixed_families(self):
+        from sdfs_via_autodiff_tpu import GCY, SSY, wc_ratio_sweep
+        with pytest.raises(ValueError, match="one model family"):
+            wc_ratio_sweep([SSY(), GCY()], (4, 4, 4, 4))
