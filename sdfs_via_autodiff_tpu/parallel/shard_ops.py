@@ -108,16 +108,59 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     if precision not in ("highest", "3x", "default"):
         raise ValueError(f"unknown precision {precision!r} "
                          "(choose 'highest', '3x', or 'default')")
-    covered = streamed_coverable(ops)
-    if covered is None:
-        raise ValueError("operand set not covered by the streamed kernels")
-    if covered is not ops:
-        # Same accuracy-envelope warning the single-device factory emits
-        # for conjugated-shared operand sets (shared-factor entries
-        # below f32's floor flush to zero and the conjugation
-        # corrections can re-amplify them).
-        _warn_conjugated_f32_floor(covered)
-    ops = covered
+    members = None
+    if isinstance(ops, (list, tuple)):
+        # Per-slice operand sweep: one operand SET per slice (a
+        # calibration sweep on the Pallas fast tier) — requires
+        # batch_axis; the kernels are compiled once and shared, so
+        # theta/beta (baked into them as scalars) must match across
+        # members, as must the grid shapes and operand structure.
+        # Sweeps over gamma/psi/beta change theta and belong on the XLA
+        # tier (drivers.wc_ratio_sweep).
+        if batch_axis is None:
+            raise ValueError("a per-slice operand sweep (list of operand "
+                             "sets) requires batch_axis")
+        if not ops:
+            raise ValueError("empty operand sweep")
+        members = []
+        for om in ops:
+            c = streamed_coverable(om)
+            if c is None:
+                raise ValueError("sweep member not covered by the "
+                                 "streamed kernels")
+            if c is not om:
+                _warn_conjugated_f32_floor(c)
+            members.append(c)
+        ops = members[0]
+        for om in members[1:]:
+            if om.shapes != ops.shapes:
+                raise ValueError("sweep members must share grid shapes")
+            if (float(om.theta) != float(ops.theta)
+                    or float(om.beta) != float(ops.beta)):
+                raise ValueError(
+                    "sweep members must share theta and beta (compiled "
+                    "into the kernels as scalars); gamma/psi/beta sweeps "
+                    "belong on the XLA tier (drivers.wc_ratio_sweep)")
+            if (om.c2_batched != ops.c2_batched
+                    or om.has_sub != ops.has_sub
+                    or om.has_mid != ops.has_mid
+                    or ((getattr(om, "pair_c2", None) is None)
+                        != (getattr(ops, "pair_c2", None) is None))):
+                raise ValueError(
+                    "sweep members must share operand structure "
+                    "(baseline/batching/pair configuration)")
+    else:
+        covered = streamed_coverable(ops)
+        if covered is None:
+            raise ValueError("operand set not covered by the streamed "
+                             "kernels")
+        if covered is not ops:
+            # Same accuracy-envelope warning the single-device factory
+            # emits for conjugated-shared operand sets (shared-factor
+            # entries below f32's floor flush to zero and the
+            # conjugation corrections can re-amplify them).
+            _warn_conjugated_f32_floor(covered)
+        ops = covered
     _cfg = _streamed_config(ops)
     deferred = _cfg["kind"] == "deferred"
     pair = _cfg["kind"] == "pair"
@@ -166,24 +209,12 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     theta_f, beta_f = float(ops.theta), float(ops.beta)
     cast = lambda a: jnp.asarray(a, work)
 
-    W_r1, W_r2, W_c1 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1))
-    # Batched c2 is shipped only as the block-diagonal Z2 (built from
-    # the host array below), so skip materializing the (I, J, J) dense
-    # tensor on device in that configuration.
-    W_c2 = None if ops.c2_batched else cast(ops.W_c2)
-    add_row = cast(ops.add_row)
-    add_colC = cast(np.asarray(ops.add_col, np.float64).reshape(1, C))
     c2_batched = ops.c2_batched
     has_sub = ops.has_sub
-    if has_sub:
-        sub_row = cast(np.asarray(ops.sub_row, np.float64).reshape(R, 1))
-        sub_col = cast(ops.sub_col)
     has_mid = ops.has_mid
-    if has_mid:
-        mid_col = cast(ops.mid_col)
-        if mode == "fast":
-            raise ValueError("mid_col (conjugated-shared) operands need "
-                             "the lse mode")
+    if has_mid and mode == "fast":
+        raise ValueError("mid_col (conjugated-shared) operands need "
+                         "the lse mode")
 
     if deferred or pair:
         # Deferred-c2 (oversized column group, e.g. the GCY Kronecker
@@ -246,28 +277,46 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
             f"per-shard pass-C block width TC = {TC} does not hold whole "
             f"c2 slices (J = {J}): choose grid sizes with C/n a multiple "
             f"of lcm(J, 128), or a smaller mesh")
-    Pzpi_dev = PzT_dev = None
-    if pair:
-        Z2 = None
-        # Pair factors, both SHARDED over their leading axis with the
-        # column shards: the per-slice z_pi weights (q = i*n_y + y ->
-        # row q holds P_zpi[y]) and P_z in the kernel's (i, b, J, j)
-        # transpose.  Each column shard owns a contiguous range of c1
-        # slices whose (slice, i-group) ranges match its operand
-        # shards, so the kernel's static in-block indices and its
-        # (c*g)//n_hzpi block index are exactly the local ones.
-        P_z, P_zpi = ops.pair_c2
-        n_i_p = ops.pair_shapes[0]
-        Pzpi_dev = cast(np.tile(np.asarray(P_zpi, np.float64),
-                                (n_i_p, 1, 1)))
-        PzT_dev = cast(np.ascontiguousarray(
-            np.asarray(P_z, np.float64).transpose(0, 2, 3, 1)))
-    elif c2_batched:
-        Z2 = cast(blockdiag_z(np.asarray(ops.W_c2, np.float64), TC))
-    elif deferred:
-        Z2 = W_c2                       # shared map, contracted in pass C
-    else:
-        Z2 = None
+    def member_operands(om):
+        """Ordered device-operand list for ONE operand set (shared by
+        the single-operator path and the per-slice sweep, which stacks
+        these elementwise).  Pair factors ship SHARDED over their
+        leading axis with the column shards: the per-slice z_pi weights
+        (q = i*n_y + y -> row q holds P_zpi[y]) and P_z in the kernel's
+        (i, b, J, j) transpose — each column shard owns a contiguous
+        range of c1 slices whose (slice, i-group) ranges match its
+        operand shards, so the kernel's static in-block indices and its
+        (c*g)//n_hzpi block index are exactly the local ones.  Batched
+        c2 ships as per-block block-diagonal maps; deferred c2 as the
+        shared (J, J) map; unused slots carry tiny placeholders."""
+        W_c1m = cast(om.W_c1)
+        W_c2m = None if c2_batched else cast(om.W_c2)
+        Pzpim = jnp.zeros((n_dev, 1, 1), work)
+        PzTm = jnp.zeros((n_dev, 1, 1, 1), work)
+        if pair:
+            Z2m = jnp.zeros((n_dev, 1, 1), work)
+            P_zm, P_zpim = om.pair_c2
+            Pzpim = cast(np.tile(np.asarray(P_zpim, np.float64),
+                                 (om.pair_shapes[0], 1, 1)))
+            PzTm = cast(np.ascontiguousarray(
+                np.asarray(P_zm, np.float64).transpose(0, 2, 3, 1)))
+        elif c2_batched:
+            Z2m = cast(blockdiag_z(np.asarray(om.W_c2, np.float64), TC))
+        elif deferred:
+            Z2m = W_c2m                 # shared map, contracted in pass C
+        else:
+            Z2m = jnp.zeros((n_dev, 1, 1), work)
+        W_c2_shipm = (jnp.zeros((1, 1), work)
+                      if (c2_batched or deferred) else W_c2m)
+        out = [W_c1m, W_c2_shipm, Z2m, Pzpim, PzTm,
+               cast(om.W_r1), cast(om.W_r2), cast(om.add_row),
+               cast(np.asarray(om.add_col, np.float64).reshape(1, C))]
+        if has_sub:
+            out += [cast(np.asarray(om.sub_row, np.float64)
+                         .reshape(R, 1)), cast(om.sub_col)]
+        if has_mid:
+            out.append(cast(om.mid_col))
+        return out
 
     exp_ = _TRX[trx][0]
     names = axis_names if len(axis_names) > 1 else axis_names[0]
@@ -315,53 +364,58 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     if batch_axis is None:
         spec = PartitionSpec(axis_names, None, None, None)
         body = local_T
-    else:
+    elif members is None:
         # Multi-slice: one sweep member per slice, replicated operands;
         # local_T's collectives name only the intra-slice axes.
         spec = PartitionSpec(batch_axis, axis_names, None, None, None)
 
         def body(ell5, *rest):
             return local_T(ell5[0], *rest)[None]
-    rep = lambda a: PartitionSpec(*(None,) * a.ndim)
-    # Column-sharded operands feed pass C (the block-diagonal z maps
-    # over their leading block index; the add_col strip over columns).
-    if Z2 is None:
-        Z2 = jnp.zeros((n_dev, 1, 1), work)    # placeholder, unused
-        z2_spec = PartitionSpec(axis_names, None, None)
-    elif deferred:
-        z2_spec = rep(Z2)                      # shared (J, J) c2 map
     else:
-        z2_spec = PartitionSpec(axis_names, None, None)
-    # W_c2 feeds pass B only in the shared-c2 full-strip configuration;
-    # batched c2 ships as the block-diagonal Z2 and deferred c2 as the
-    # shared Z2 map, so don't replicate the (possibly (I, J, J)-sized)
-    # dense tensor to every device in those configurations.
-    W_c2_ship = (jnp.zeros((1, 1), work)
-                 if (c2_batched or deferred) else W_c2)
-    if not pair:
-        Pzpi_dev = jnp.zeros((n_dev, 1, 1), work)   # placeholder, unused
-        PzT_dev = jnp.zeros((n_dev, 1, 1, 1), work)
-    pzpi_spec = PartitionSpec(axis_names, None, None)
-    pzt_spec = PartitionSpec(axis_names, None, None, None)
-    in_specs = [spec, rep(W_c1), rep(W_c2_ship), z2_spec, pzpi_spec,
-                pzt_spec, rep(W_r1), rep(W_r2), rep(add_row),
-                PartitionSpec(None, axis_names)]
-    args = [W_c1, W_c2_ship, Z2, Pzpi_dev, PzT_dev, W_r1, W_r2, add_row,
-            add_colC]
+        # Per-slice operand sweep: operands stacked with a leading
+        # member axis sharded over batch_axis; each slice computes with
+        # ITS calibration's factors.
+        spec = PartitionSpec(batch_axis, axis_names, None, None, None)
+
+        def body(ell5, *rest):
+            return local_T(ell5[0], *[r[0] for r in rest])[None]
+    # Column-sharded operands feed pass C (the block-diagonal z maps /
+    # pair factors over their leading block index; the add_col strip
+    # over columns); everything else is replicated within a slice.
+    repn = lambda n: PartitionSpec(*(None,) * n)
+    z2_spec = (repn(2) if deferred
+               else PartitionSpec(axis_names, None, None))
+    base_specs = [repn(2),                                    # W_c1
+                  repn(2),                                    # W_c2_ship
+                  z2_spec,
+                  PartitionSpec(axis_names, None, None),      # Pzpi
+                  PartitionSpec(axis_names, None, None, None),  # PzT
+                  repn(2), repn(2), repn(2),                  # Wr1 Wr2 addr
+                  PartitionSpec(None, axis_names)]            # add_colC
     if has_sub:
         # sub_row is per-row (sharded with the field); sub_col feeds the
         # row-local pass B, whose columns are complete -> replicated.
-        in_specs += [PartitionSpec(axis_names, None), rep(sub_col)]
-        args += [sub_row, sub_col]
+        base_specs += [PartitionSpec(axis_names, None), repn(2)]
     if has_mid:
-        in_specs.append(rep(mid_col))
-        args.append(mid_col)
+        base_specs.append(repn(2))
+    if members is None:
+        args = member_operands(ops)
+        op_specs = base_specs
+    else:
+        per = [member_operands(om) for om in members]
+        args = [jnp.stack(xs) for xs in zip(*per)]
+        op_specs = [PartitionSpec(batch_axis, *tuple(s))
+                    for s in base_specs]
+    in_specs = [spec] + op_specs
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-
     # axes annotation, so shard_map's VMA checker cannot type it.
     mapped = shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=spec, check_vma=False)
 
-    xla_twin = make_xla_two_phase_T(ops, work)
+    if members is None:
+        xla_twin = make_xla_two_phase_T(ops, work)
+    else:
+        twins = [make_xla_two_phase_T(om, work) for om in members]
 
     def _primal(ell):
         if batch_axis is not None and ell.shape[0] != n_slice:
@@ -382,6 +436,12 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         return _primal(ell), dout
 
     def xla_twin_4d(ell):
+        if members is not None:
+            # Per-member twins (different operand constants), unrolled
+            # over the small slice count.
+            return jnp.stack([
+                twins[i](ell[i].reshape(R, I, J)).reshape(ops.shapes)
+                for i in range(n_slice)])
         if batch_axis is not None:
             return jax.vmap(
                 lambda e: xla_twin(e.reshape(R, I, J)).reshape(ops.shapes)
@@ -391,7 +451,11 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
     T.input_sharding = NamedSharding(mesh, spec)
     T.mode = mode
     T.xla_twin = xla_twin_4d
-    if ops.baseline_log_w is not None:
+    if members is not None:
+        if all(om.baseline_log_w is not None for om in members):
+            T.baseline_log_w = jnp.stack(
+                [cast(om.baseline_log_w) for om in members])
+    elif ops.baseline_log_w is not None:
         T.baseline_log_w = cast(ops.baseline_log_w)
     return jax.jit(T)
 

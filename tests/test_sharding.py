@@ -607,3 +607,48 @@ def test_sharded_pair_configuration_matches_single_device():
           ).reshape(ops.shapes)
     got = np.asarray(T_sh(jax.device_put(x0, T_sh.input_sharding)))
     np.testing.assert_array_equal(got, np.asarray(T_1d(x0)))
+
+
+@needs_devices
+def test_per_slice_operand_sweep_matches_single_device():
+    """Stacked per-slice operand sets over a two-slice mesh (a
+    calibration sweep on the Pallas fast tier): each slice computes with
+    its own calibration's factors, bit-equal per member to the
+    single-device kernels.  theta/beta are compiled into the kernels,
+    so members must share them (gamma/psi sweeps belong on the XLA
+    tier, drivers.wc_ratio_sweep)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
+        make_streamed_T_log)
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        two_phase_operands_ssy)
+    from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+        streamed_shard_map_factory)
+    shapes = (8, 8, 8, 16)
+    m0 = SSY()
+    m1 = dataclasses.replace(SSY(), rho_z=0.99)
+    ops0 = two_phase_operands_ssy(m0, discretize_ssy(m0, shapes))
+    ops1 = two_phase_operands_ssy(m1, discretize_ssy(m1, shapes))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("slice", "tp"))
+    T_sw = streamed_shard_map_factory([ops0, ops1], mesh,
+                                      axis_names=("tp",),
+                                      batch_axis="slice", interpret=True)
+    x0 = jnp.full(shapes, jnp.log(800.0), jnp.float32)
+    batch = jnp.stack([x0, x0 + 0.01])
+    out = np.asarray(T_sw(jax.device_put(batch, T_sw.input_sharding)))
+    np.testing.assert_array_equal(
+        out[0], np.asarray(make_streamed_T_log(ops0, interpret=True)(x0)))
+    np.testing.assert_array_equal(
+        out[1], np.asarray(make_streamed_T_log(ops1, interpret=True)(
+            x0 + 0.01)))
+    # theta is baked into the kernels: gamma sweeps are rejected.
+    mg = dataclasses.replace(SSY(), gamma=7.0)
+    opsg = two_phase_operands_ssy(mg, discretize_ssy(mg, shapes))
+    with pytest.raises(ValueError, match="share theta"):
+        streamed_shard_map_factory([ops0, opsg], mesh,
+                                   axis_names=("tp",),
+                                   batch_axis="slice", interpret=True)
