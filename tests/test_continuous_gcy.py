@@ -150,3 +150,26 @@ def test_monte_carlo_log_space(setup, rng):
     np.testing.assert_allclose(
         np.exp(np.asarray(T_mc_log(jnp.log(w)))), np.asarray(T_mc(w)),
         rtol=1e-10)
+
+
+def test_driver_gcy_tiled_pair_kernel_end_to_end(monkeypatch):
+    """wc_ratio_continuous(GCY, kernel='tiled'): the pair-kernel driver
+    branch end to end (coarse additive baseline -> streamed pair kernel
+    -> Newton), with the Pallas tier in interpret mode."""
+    import functools
+
+    from sdfs_via_autodiff_tpu import wc_ratio_continuous
+    from sdfs_via_autodiff_tpu.kernels import tiled_two_phase as ttp
+
+    monkeypatch.setattr(
+        ttp, "make_tiled_T_log_gcy_continuous",
+        functools.partial(ttp.make_tiled_T_log_gcy_continuous,
+                          interpret=True))
+    model = GCY()
+    sol = wc_ratio_continuous(model, (8, 3, 2, 4, 128, 2),
+                              kernel="tiled", baseline="coarse",
+                              space="log", algorithm="newton", tol=2e-4,
+                              quad_degree=5, inner_maxiter=12)
+    assert bool(sol.result.converged)
+    assert sol.w_star.shape == (8, 3, 2, 4, 128, 2)
+    assert bool(jnp.isfinite(sol.w_star).all())
