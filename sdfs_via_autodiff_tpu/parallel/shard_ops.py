@@ -487,6 +487,17 @@ def two_phase_shard_map_factory(ops, mesh: Mesh,
         raise ValueError(
             f"row axes {(n_r1, n_r2)} not divisible by mesh {(n_dp, n_tp)}")
 
+    if getattr(ops, "pair_c2", None) is not None or getattr(
+            ops, "dense_placeholder", False):
+        # These sets carry a W_c2 placeholder (the real factors live in
+        # pair_c2 / the lazy triples); contracting the placeholder here
+        # would be silent garbage.  Multi-device continuous GCY runs the
+        # GSPMD per-axis chain (parallel/mesh.py) in f64 or the sharded
+        # streamed pair tier in f32.
+        raise ValueError(
+            "two_phase_shard_map_factory does not evaluate pair-"
+            "factored or dense=False operand sets; use the GSPMD "
+            "per-axis chain (f64) or streamed_shard_map_factory (f32)")
     work = dtype or jnp.float32
     cast = lambda a: jnp.asarray(a, work)
     W_r1, W_r2, W_c1, W_c2 = map(cast, (ops.W_r1, ops.W_r2, ops.W_c1,
