@@ -576,6 +576,86 @@ def wc_ratio_sweep(models: Sequence,
     return w_star, res, grids_stacked
 
 
+def wc_ratio_differentiable(model,
+                            grid_sizes: Sequence[int],
+                            *,
+                            fields: Sequence[str] = ("beta", "gamma", "psi"),
+                            quad_degree: int = 5,
+                            space: str = "log",
+                            num_std_devs: float = 3.2,
+                            dtype=None,
+                            algorithm: str = "newton",
+                            tol: float = 1e-7,
+                            w_init=None,
+                            adjoint_rtol: float = 1e-8,
+                            adjoint_maxiter: int = 200,
+                            **solver_opts):
+    """Build a *differentiable* calibration map ``p -> w*(p)``.
+
+    Returns ``(wc_fn, p0)``: ``p0`` is a dict of the base model's values
+    for the named ``fields`` (as jnp scalars), and ``wc_fn(p)`` solves the
+    continuous model with those field values substituted and returns the
+    W/C ratio field in level space — differentiable in ``p`` through the
+    implicit function theorem (:func:`solvers.implicit_fixed_point`), so
+
+        ``jax.grad(lambda p: loss(wc_fn(p)))(p0)``
+
+    prices a calibration gradient at one fixed-point solve plus one
+    adjoint Krylov solve, regardless of iteration count.  The reference
+    offers nothing comparable — its notebooks re-solve per calibration by
+    hand (``code/ssy/continuous_junnan/ssy_test_continuous.md``).
+
+    Grids and quadrature nodes are FIXED at the base calibration (the
+    sensitivity is of collocation values; see the implicit module's
+    docstring).  Like :func:`wc_ratio_sweep`, this covers the factored
+    quadrature ``interp="pre"`` chain — the operator construction that is
+    jnp-traceable end to end over model parameters — with no ``baseline``
+    fold, f64 by default.
+    """
+    import dataclasses as _dc
+
+    from .solvers.implicit import implicit_fixed_point
+
+    fam = type(model)
+    is_ssy = isinstance(model, SSY)
+    valid = {f.name for f in _dc.fields(fam)}
+    bad = [f for f in fields if f not in valid]
+    if bad:
+        raise ValueError(f"unknown model fields {bad}; valid: {sorted(valid)}")
+    if space not in ("w", "log"):
+        raise ValueError(f"unknown space {space!r}")
+    if is_ssy:
+        from .operators.continuous_ssy import _factored_T as _fT
+        builder = build_grid_ssy
+    else:
+        from .operators.continuous_gcy import _factored_T as _fT
+        builder = build_grid_gcy
+    gdtype = dtype or jnp.float64
+    if len(grid_sizes) != (4 if is_ssy else 6):
+        raise ValueError(f"grid_sizes must have {4 if is_ssy else 6} "
+                         "entries for this family")
+    grids = builder(model, *grid_sizes, num_std_devs=num_std_devs,
+                    dtype=gdtype)
+    shape = tuple(int(s) for s in grid_sizes)
+    w0 = (jnp.full(shape, DEFAULT_INIT_W, gdtype) if w_init is None
+          else jnp.asarray(w_init, gdtype).reshape(shape))
+    x0 = jnp.log(w0) if space == "log" else w0
+
+    def T_of_p(p, x):
+        m = _dc.replace(model, **{k: p[k] for k in fields})
+        return _fT(m, grids, quad_degree, space, gdtype, None)(x)
+
+    def wc_fn(p):
+        x_star = implicit_fixed_point(
+            T_of_p, p, x0, method=algorithm, tol=tol,
+            adjoint_rtol=adjoint_rtol, adjoint_maxiter=adjoint_maxiter,
+            **solver_opts)
+        return jnp.exp(x_star) if space == "log" else x_star
+
+    p0 = {f: jnp.asarray(getattr(model, f), gdtype) for f in fields}
+    return wc_fn, p0
+
+
 def prolong_w(w_coarse, grids_coarse, grids_fine):
     """Prolongate a solved w field from coarse grids to finer grids by
     multilinear interpolation (in log space, preserving positivity).

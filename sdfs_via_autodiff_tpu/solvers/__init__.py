@@ -3,9 +3,11 @@ from .fixed_point import successive_approx, newton_solver, DEFAULT_TOL, DEFAULT_
 from .anderson import anderson_solver
 from .gradient import gradient_solver
 from .api import SOLVERS, solve, solver
+from .implicit import implicit_fixed_point, implicit_sensitivity
 
 __all__ = [
     "SolveResult", "successive_approx", "newton_solver", "anderson_solver",
     "gradient_solver", "SOLVERS", "solve", "solver",
     "DEFAULT_TOL", "DEFAULT_MAX_ITER",
+    "implicit_fixed_point", "implicit_sensitivity",
 ]
