@@ -7,6 +7,7 @@ config section); this exposes the end-to-end drivers:
     sdfs-tpu solve gcy --kind continuous --shapes 4,4,4,4,6,4 --checkpoint out.npz
     sdfs-tpu simulate ssy --checkpoint out.npz --steps 1000000
     sdfs-tpu price --checkpoint out.npz --state 0.01,0,0,0
+    sdfs-tpu grad ssy --shapes 10,10,10,12 --fields beta,gamma
     sdfs-tpu info
 """
 
@@ -141,6 +142,32 @@ def cmd_check(args):
     return 0 if rep.exists_unique else 3
 
 
+def cmd_grad(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .drivers import wc_ratio_differentiable
+
+    model = _model(args.model)
+    shapes = _parse_shapes(args.shapes)
+    want = 4 if args.model == "ssy" else 6
+    if len(shapes) != want:
+        raise SystemExit(f"{args.model} needs {want} shape entries")
+    fields = tuple(f.strip() for f in args.fields.split(",") if f.strip())
+    t0 = time.time()
+    wc_fn, p0 = wc_ratio_differentiable(
+        model, shapes, fields=fields, quad_degree=args.quad_degree,
+        num_std_devs=args.num_std_devs, algorithm=args.algorithm,
+        tol=args.tol)
+    moment = lambda p: jnp.mean(jnp.log(wc_fn(p)))
+    val, grad = jax.value_and_grad(moment)(p0)
+    print(json.dumps(dict(
+        model=args.model, shapes=list(shapes), moment="mean_log_w",
+        value=float(val), grad={k: float(v) for k, v in grad.items()},
+        seconds=round(time.time() - t0, 3))))
+    return 0
+
+
 def cmd_info(_args):
     import jax
 
@@ -230,6 +257,19 @@ def main(argv=None) -> int:
     pc.add_argument("--quad-degree", type=int, default=5)
     pc.add_argument("--num-std-devs", type=float, default=3.2)
     pc.set_defaults(fn=cmd_check)
+
+    pg = sub.add_parser(
+        "grad", help="calibration gradient of mean(log w*) in the model "
+        "parameters (implicit function theorem)")
+    pg.add_argument("model", choices=["ssy", "gcy"])
+    pg.add_argument("--shapes", required=True)
+    pg.add_argument("--fields", default="beta,gamma,psi",
+                    help="comma-separated model fields to differentiate")
+    pg.add_argument("--quad-degree", type=int, default=5)
+    pg.add_argument("--num-std-devs", type=float, default=3.2)
+    pg.add_argument("--algorithm", default="newton")
+    pg.add_argument("--tol", type=float, default=1e-9)
+    pg.set_defaults(fn=cmd_grad)
 
     pi = sub.add_parser("info", help="backend / version info")
     pi.set_defaults(fn=cmd_info)

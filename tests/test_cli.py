@@ -99,3 +99,16 @@ def test_cli_solve_tauchen_discrete(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["converged"] and out["iterations"] > 0
+
+
+def test_grad_command(capsys):
+    rc = main(["grad", "ssy", "--shapes", "4,4,4,4", "--fields",
+               "beta,gamma", "--quad-degree", "3", "--tol", "1e-9"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["moment"] == "mean_log_w"
+    assert set(out["grad"]) == {"beta", "gamma"}
+    # beta -> 1 blows up w, so the beta-gradient of mean log w is large
+    # and positive; gamma raises risk aversion and lowers w.
+    assert out["grad"]["beta"] > 10
+    assert out["grad"]["gamma"] < 0

@@ -652,3 +652,37 @@ def test_per_slice_operand_sweep_matches_single_device():
         streamed_shard_map_factory([ops0, opsg], mesh,
                                    axis_names=("tp",),
                                    batch_axis="slice", interpret=True)
+
+
+@needs_devices
+def test_implicit_gradient_on_sharded_iterate():
+    """Calibration gradients ride the GSPMD tier: implicit_fixed_point
+    started from a mesh-sharded iterate (the solver loop keeps it sharded,
+    and the adjoint Krylov solve's VJP matvecs inherit the layout) returns
+    the same gradient as the single-device run."""
+    import dataclasses as dc
+
+    from sdfs_via_autodiff_tpu.operators.continuous_ssy import _factored_T
+    from sdfs_via_autodiff_tpu.solvers import implicit_fixed_point
+
+    model = SSY()
+    sizes = (8, 8, 6, 6)
+    grids = build_grid_ssy(model, *sizes)
+
+    def T_of_p(p, x):
+        return _factored_T(dc.replace(model, beta=p["beta"]), grids, 3,
+                           "log", jnp.float64, None)(x)
+
+    p0 = {"beta": jnp.asarray(model.beta)}
+
+    def grad_for(x0):
+        loss = lambda p: jnp.mean(implicit_fixed_point(
+            T_of_p, p, x0, method="newton", tol=1e-10))
+        return jax.grad(loss)(p0)
+
+    x0 = jnp.full(sizes, jnp.log(800.0))
+    g_ref = grad_for(x0)
+    mesh = make_mesh(8)
+    g_sh = grad_for(shard_grid_array(x0, mesh))
+    np.testing.assert_allclose(float(g_sh["beta"]), float(g_ref["beta"]),
+                               rtol=1e-8)
