@@ -576,10 +576,19 @@ def wc_ratio_sweep(models: Sequence,
     return w_star, res, grids_stacked
 
 
+# Fields that enter the discrete Koopmans operator only through the
+# factor construction (theta, kappa) — differentiable with the
+# discretization held fixed.  Dynamics fields (rho_*, s_*, phi_*) shape
+# the Rouwenhorst chains themselves (host-side setup) and need the
+# continuous path, whose operator construction is traceable end to end.
+_PREFERENCE_FIELDS = frozenset({"beta", "gamma", "psi", "mu_c"})
+
+
 def wc_ratio_differentiable(model,
                             grid_sizes: Sequence[int],
                             *,
                             fields: Sequence[str] = ("beta", "gamma", "psi"),
+                            kind: str = "continuous",
                             quad_degree: int = 5,
                             space: str = "log",
                             num_std_devs: float = 3.2,
@@ -594,7 +603,7 @@ def wc_ratio_differentiable(model,
 
     Returns ``(wc_fn, p0)``: ``p0`` is a dict of the base model's values
     for the named ``fields`` (as jnp scalars), and ``wc_fn(p)`` solves the
-    continuous model with those field values substituted and returns the
+    model with those field values substituted and returns the
     W/C ratio field in level space — differentiable in ``p`` through the
     implicit function theorem (:func:`solvers.implicit_fixed_point`), so
 
@@ -605,12 +614,16 @@ def wc_ratio_differentiable(model,
     offers nothing comparable — its notebooks re-solve per calibration by
     hand (``code/ssy/continuous_junnan/ssy_test_continuous.md``).
 
-    Grids and quadrature nodes are FIXED at the base calibration (the
-    sensitivity is of collocation values; see the implicit module's
-    docstring).  Like :func:`wc_ratio_sweep`, this covers the factored
-    quadrature ``interp="pre"`` chain — the operator construction that is
-    jnp-traceable end to end over model parameters — with no ``baseline``
-    fold, f64 by default.
+    ``kind="continuous"`` (default) covers the factored quadrature
+    ``interp="pre"`` chain — the operator construction that is
+    jnp-traceable end to end over model parameters — with grids and
+    quadrature nodes FIXED at the base calibration (the sensitivity is of
+    collocation values; see the implicit module's docstring), no
+    ``baseline`` fold, f64 by default; any model field differentiates.
+    ``kind="discrete"`` differentiates through the factored discrete
+    operator with the Rouwenhorst discretization held fixed, which is
+    exact for the *preference* fields (beta, gamma, psi, mu_c) — dynamics
+    fields are rejected there since they reshape the chains themselves.
     """
     import dataclasses as _dc
 
@@ -624,26 +637,49 @@ def wc_ratio_differentiable(model,
         raise ValueError(f"unknown model fields {bad}; valid: {sorted(valid)}")
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
-    if is_ssy:
-        from .operators.continuous_ssy import _factored_T as _fT
-        builder = build_grid_ssy
-    else:
-        from .operators.continuous_gcy import _factored_T as _fT
-        builder = build_grid_gcy
+    if kind not in ("continuous", "discrete"):
+        raise ValueError(f"unknown kind {kind!r}")
     gdtype = dtype or jnp.float64
     if len(grid_sizes) != (4 if is_ssy else 6):
         raise ValueError(f"grid_sizes must have {4 if is_ssy else 6} "
                          "entries for this family")
-    grids = builder(model, *grid_sizes, num_std_devs=num_std_devs,
-                    dtype=gdtype)
     shape = tuple(int(s) for s in grid_sizes)
     w0 = (jnp.full(shape, DEFAULT_INIT_W, gdtype) if w_init is None
           else jnp.asarray(w_init, gdtype).reshape(shape))
     x0 = jnp.log(w0) if space == "log" else w0
 
-    def T_of_p(p, x):
-        m = _dc.replace(model, **{k: p[k] for k in fields})
-        return _fT(m, grids, quad_degree, space, gdtype, None)(x)
+    if kind == "discrete":
+        non_pref = [f for f in fields if f not in _PREFERENCE_FIELDS]
+        if non_pref:
+            raise ValueError(
+                f"kind='discrete' holds the Rouwenhorst discretization "
+                f"fixed, so only preference fields "
+                f"{sorted(_PREFERENCE_FIELDS & valid)} differentiate "
+                f"exactly; {non_pref} shape the chains themselves — use "
+                f"kind='continuous' for dynamics-field gradients")
+        if is_ssy:
+            disc = discretize_ssy(model, shape)
+            factory = T_ssy_factory
+        else:
+            disc = discretize_gcy(model, shape)
+            factory = T_gcy_factory
+
+        def T_of_p(p, x):
+            m = _dc.replace(model, **{k: p[k] for k in fields})
+            return factory(m, disc, space=space, dtype=gdtype, jit=False)(x)
+    else:
+        if is_ssy:
+            from .operators.continuous_ssy import _factored_T as _fT
+            builder = build_grid_ssy
+        else:
+            from .operators.continuous_gcy import _factored_T as _fT
+            builder = build_grid_gcy
+        grids = builder(model, *grid_sizes, num_std_devs=num_std_devs,
+                        dtype=gdtype)
+
+        def T_of_p(p, x):
+            m = _dc.replace(model, **{k: p[k] for k in fields})
+            return _fT(m, grids, quad_degree, space, gdtype, None)(x)
 
     def wc_fn(p):
         x_star = implicit_fixed_point(

@@ -133,3 +133,28 @@ def test_ssy_sensitivity_matches_grad_direction():
 def test_bad_field_raises():
     with pytest.raises(ValueError):
         wc_ratio_differentiable(SSY(), (4, 4, 4, 4), fields=("nope",))
+
+
+def test_discrete_preference_gradient_vs_fd():
+    model = SSY()
+    shapes = (4, 4, 4, 4)
+    wc_fn, p0 = wc_ratio_differentiable(
+        model, shapes, fields=("gamma", "mu_c"), kind="discrete", tol=1e-11)
+    loss = lambda p: jnp.mean(jnp.log(wc_fn(p)))
+    g = jax.grad(loss)(p0)
+
+    eps_g, eps_m = 1e-5, 1e-7
+    def at(gamma, mu_c):
+        return float(loss({"gamma": jnp.asarray(gamma),
+                           "mu_c": jnp.asarray(mu_c)}))
+    g0, m0 = float(p0["gamma"]), float(p0["mu_c"])
+    fd_gamma = (at(g0 + eps_g, m0) - at(g0 - eps_g, m0)) / (2 * eps_g)
+    fd_mu = (at(g0, m0 + eps_m) - at(g0, m0 - eps_m)) / (2 * eps_m)
+    np.testing.assert_allclose(float(g["gamma"]), fd_gamma, rtol=2e-4)
+    np.testing.assert_allclose(float(g["mu_c"]), fd_mu, rtol=2e-4)
+
+
+def test_discrete_rejects_dynamics_fields():
+    with pytest.raises(ValueError, match="preference fields"):
+        wc_ratio_differentiable(SSY(), (4, 4, 4, 4), fields=("rho_z",),
+                                kind="discrete")
