@@ -30,7 +30,7 @@ SLOW_MODULES = {
     "test_sharding", "test_streamed_two_phase", "test_tiled_two_phase",
     "test_post_interp", "test_continuous_ssy", "test_continuous_gcy",
     "test_kernels", "test_reference_anchors", "test_cli",
-    "test_sdf_pipeline", "test_krylov",
+    "test_sdf_pipeline", "test_krylov", "test_calibration",
 }
 
 
