@@ -69,3 +69,34 @@ def test_validation_errors():
     with pytest.raises(ValueError, match="continuous"):
         calibrate_moments(SSY(), SIZES, {"mean": 1.0}, fields=("beta",),
                           kind="discrete")
+
+
+def test_risk_free_rate_gradient_composes_through_pricing():
+    """Deep-parameter sensitivities of *prices*: jax.grad flows through
+    solve (IFT) -> w* interpolation -> SDF quadrature -> r_f, and matches
+    a finite-difference re-solve of the whole pipeline."""
+    from sdfs_via_autodiff_tpu import risk_free_rate_ssy
+    from sdfs_via_autodiff_tpu.ops.interp import lin_interp
+
+    model = SSY()
+    wc_fn, p0 = wc_ratio_differentiable(model, SIZES, fields=("gamma",),
+                                        quad_degree=3, tol=1e-10)
+    grids = build_grid_ssy(model, *SIZES, num_std_devs=3.2,
+                           dtype=jnp.float64)
+    x_eval = jnp.zeros(4)
+
+    def rf(p):
+        w_grid = wc_fn(p)
+        m = dataclasses.replace(model, gamma=p["gamma"])
+        # States arrive as (4,) or (4, N); interp wants (dim, N).
+        w_func = lambda x: lin_interp(x.reshape(4, -1), w_grid,
+                                      grids).reshape(
+                                          x.shape[1:] if x.ndim > 1 else ())
+        return risk_free_rate_ssy(m, w_func, degree=3)(x_eval)
+
+    g = jax.grad(rf)(p0)
+    eps = 1e-5
+    fd = (float(rf({"gamma": p0["gamma"] + eps}))
+          - float(rf({"gamma": p0["gamma"] - eps}))) / (2 * eps)
+    np.testing.assert_allclose(float(g["gamma"]), fd, rtol=2e-4)
+    assert np.isfinite(float(g["gamma"]))
