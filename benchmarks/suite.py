@@ -75,6 +75,21 @@ def main(argv=None):
     s, _ = timed(lambda x: solve(Tc, x, method="newton", tol=1e-9).x, c0)
     add("ssy_continuous_newton_15^4_factored_f64log", s, dict(points=15**4))
 
+    # 3b. Calibration gradient at 20^4: one fixed-point solve + one
+    #     adjoint Krylov solve through the implicit function theorem
+    #     (new-surface benchmark; the reference has no parameter-gradient
+    #     capability at all).  20^4 stays well inside the worker's safe
+    #     envelope for continuous-operator Krylov solves.
+    from sdfs_via_autodiff_tpu import wc_ratio_differentiable
+    wc_fn, p0 = wc_ratio_differentiable(ssy, (20, 20, 20, 20),
+                                        fields=("beta", "gamma"), tol=1e-9)
+    grad_fn = jax.grad(lambda p: jnp.mean(jnp.log(wc_fn(p))))
+    s, gval = timed(grad_fn, p0)
+    add("ssy_implicit_calibration_grad_20^4_f64log", s,
+        dict(points=20**4, fields=["beta", "gamma"],
+             grad_beta=round(float(gval["beta"]), 4),
+             grad_gamma=round(float(gval["gamma"]), 6)))
+
     # 4. Whole-solve Pallas kernel, continuous 20^4 (reference's largest
     #    recorded config), f32: fixed 20k iterations.
     grids32 = build_grid_ssy(ssy, 20, 20, 20, 20, dtype=jnp.float32)
