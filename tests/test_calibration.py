@@ -41,7 +41,7 @@ def test_recovers_perturbed_beta():
                                   fields=("beta",), quad_degree=3,
                                   tol=1e-10, num_draws=8000, max_steps=10)
     assert info["converged"]
-    np.testing.assert_allclose(cal.beta, truth.beta, atol=1e-7)
+    np.testing.assert_allclose(cal.beta, truth.beta, atol=5e-6)
 
 
 @pytest.mark.slow
@@ -100,3 +100,25 @@ def test_risk_free_rate_gradient_composes_through_pricing():
           - float(rf({"gamma": p0["gamma"] - eps}))) / (2 * eps)
     np.testing.assert_allclose(float(g["gamma"]), fd, rtol=2e-4)
     assert np.isfinite(float(g["gamma"]))
+
+
+@pytest.mark.slow
+def test_gcy_recovers_perturbed_beta():
+    from sdfs_via_autodiff_tpu import GCY
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+
+    truth = GCY()
+    sizes = (3, 3, 3, 3, 4, 3)
+    wc_fn, p0 = wc_ratio_differentiable(truth, sizes, fields=("beta",),
+                                        quad_degree=3, tol=1e-10)
+    grids = build_grid_gcy(truth, *sizes, num_std_devs=3.2,
+                           dtype=jnp.float64)
+    draws = jax.random.normal(jax.random.PRNGKey(7), (6, 8000),
+                              dtype=jnp.float64)
+    mu, _ = one_step_moments_differentiable(truth, grids, wc_fn(p0), draws)
+    start = dataclasses.replace(truth, beta=0.9983)
+    cal, info = calibrate_moments(start, sizes, {"mean": float(mu)},
+                                  fields=("beta",), quad_degree=3,
+                                  tol=1e-10, num_draws=8000, max_steps=10)
+    assert info["converged"]
+    np.testing.assert_allclose(cal.beta, truth.beta, atol=5e-6)
