@@ -27,7 +27,8 @@ from .sdf import (construct_wstar_callable, simulate_states,
                   expected_sdf_ssy, risk_free_rate_ssy,
                   sdf_factory_gcy, expected_sdf_gcy, risk_free_rate_gcy)
 from .calibrate import calibrate_moments, one_step_moments_differentiable
-from .utils import save_solution, load_solution, existence_check
+from .utils import (save_solution, load_solution, existence_check,
+                    stability_decomposition)
 from .solvers import (
     SolveResult, solve, solver, successive_approx, newton_solver,
     anderson_solver, gradient_solver,

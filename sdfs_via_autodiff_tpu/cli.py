@@ -133,12 +133,22 @@ def cmd_check(args):
             model, *shapes, num_std_devs=args.num_std_devs)
         rep = existence_check(model, grids=grids,
                               quad_degree=args.quad_degree)
-    print(json.dumps(dict(
+    out = dict(
         model=args.model, kind=args.kind, shapes=list(shapes),
         spectral_radius=rep.spectral_radius,
         stability_exponent=rep.stability_exponent,
         exists_unique=rep.exists_unique,
-        power_iterations=rep.iterations)))
+        power_iterations=rep.iterations)
+    if args.decompose:
+        if args.kind != "discrete":
+            raise SystemExit("--decompose needs --kind discrete "
+                             "(chain-exact channel split)")
+        from .utils.spectral import stability_decomposition
+        dec = stability_decomposition(model, disc)
+        out["decomposition"] = dict(
+            S=dec.S, ln_beta=dec.ln_beta, S_lambda=dec.S_lambda,
+            S_c=dec.S_c, coefficient=dec.coefficient)
+    print(json.dumps(out))
     return 0 if rep.exists_unique else 3
 
 
@@ -256,6 +266,9 @@ def main(argv=None) -> int:
     pc.add_argument("--shapes", required=True)
     pc.add_argument("--quad-degree", type=int, default=5)
     pc.add_argument("--num-std-devs", type=float, default=3.2)
+    pc.add_argument("--decompose", action="store_true",
+                    help="split S into ln beta + S_lambda + (1-1/psi) S_c "
+                    "(companion-paper decomposition; discrete kind)")
     pc.set_defaults(fn=cmd_check)
 
     pg = sub.add_parser(

@@ -1,5 +1,6 @@
 from .checkpoint import save_solution, load_solution, SolutionCheckpoint
-from .spectral import power_iteration, existence_check
+from .spectral import (power_iteration, existence_check,
+                       stability_decomposition)
 
 __all__ = ["save_solution", "load_solution", "SolutionCheckpoint",
-           "power_iteration", "existence_check"]
+           "power_iteration", "existence_check", "stability_decomposition"]

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["power_iteration", "existence_check"]
+__all__ = ["power_iteration", "existence_check", "stability_decomposition"]
 
 
 def power_iteration(apply_H: Callable, shape, *, tol: float = 1e-10,
@@ -126,3 +126,98 @@ def existence_check(model, disc=None, grids=None, *, tol=1e-10,
                            beta=model.beta, stability_exponent=expo,
                            exists_unique=bool(expo < 1.0),
                            iterations=int(it))
+
+
+@dataclasses.dataclass
+class StabilityDecomposition:
+    """Companion-paper decomposition of the (log) stability exponent."""
+    S: float               # ln beta + S_lambda + (1 - 1/psi) * S_c
+    ln_beta: float
+    S_lambda: float        # (1/theta) ln r(B_lambda)
+    S_c: float             # (1/(1-gamma)) ln r(M_c)
+    coefficient: float     # 1 - 1/psi
+    S_direct: float        # ln(beta) + (1/theta) ln r(H), full chain
+    exists_unique: bool    # S < 0
+
+    def __repr__(self):
+        return (f"StabilityDecomposition(S={self.S:.8f} = ln_beta "
+                f"{self.ln_beta:.6f} + S_lambda {self.S_lambda:.6f} + "
+                f"{self.coefficient:.4f}*S_c ({self.S_c:.6f}); "
+                f"direct {self.S_direct:.8f}; "
+                f"exists_unique={self.exists_unique})")
+
+
+def stability_decomposition(model, disc, *, tol: float = 1e-12
+                            ) -> StabilityDecomposition:
+    """Decompose the stability exponent S = ln(beta * r(H)^(1/theta)) as
+
+        S = ln beta + S_lambda + (1 - 1/psi) * S_c
+
+    (the companion paper's Proposition on stability-coefficient
+    decomposition under independence of preference shocks and
+    consumption, reference ``paper/temp.tex:820-870``; computation
+    recipe ``:2145-2223``).  S_lambda isolates the preference-shock
+    channel, S_c the consumption-growth channel.
+
+    On the discretized chain the independence is structural: H is
+    exactly the Kronecker product of the lambda-tilted chain B_lambda
+    (``_ssy_factors``'s first factor) and the consumption-tilted chain
+    M_c (the remaining per-axis factors with the A2/A3 current-state
+    tilt), so r(H) = r(B_lambda) * r(M_c) and the decomposition is
+    exact — ``S`` and ``S_direct`` agree to power-iteration tolerance,
+    which the tests assert.  S_lambda = ln(r(B_lambda))/theta and
+    S_c = ln(r(M_c))/(1-gamma), with (1-gamma)/theta = 1 - 1/psi.
+    """
+    import numpy as np
+
+    from ..models.gcy import GCY
+    from ..models.ssy import SSY
+
+    theta, beta, gamma, psi = (model.theta, model.beta, model.gamma,
+                               model.psi)
+    if isinstance(model, SSY):
+        from ..operators.discrete_ssy import _ssy_factors
+        B_lam, A2, A3 = _ssy_factors(model, disc)
+        Qc, Qhz, zP = disc.h_c_Q, disc.h_z_Q, disc.z_P
+
+        def apply_Mc(v):                      # v: (h_c, h_z, z)
+            u = jnp.einsum("km,mij->kij", Qc, v)
+            u = jnp.einsum("im,kmj->kij", Qhz, u)
+            u = jnp.einsum("jm,kim->kij", zP, u)
+            return A2[:, None, None] * A3[None, :, :] * u
+
+        mc_shape = disc.shapes[1:]            # (n_hc, n_hz, n_z)
+    elif isinstance(model, GCY):
+        from ..operators.discrete_gcy import _gcy_factors
+        B_lam, A2, A3 = _gcy_factors(model, disc)
+
+        def apply_Mc(v):                      # v: (z, z_pi, h_z, h_c, h_zpi)
+            u = jnp.einsum("dD,ABCDE->ABCdE", disc.h_c_Q, v)
+            u = jnp.einsum("cC,ABCdE->ABcdE", disc.h_z_Q, u)
+            u = jnp.einsum("eE,ABcdE->ABcde", disc.h_zpi_Q, u)
+            u = jnp.einsum("bB,ABcde->Abcde", disc.z_pi_P, u)
+            u = jnp.einsum("aA,Abcde->abcde", disc.z_P, u)
+            return (A2[None, None, None, :, None]
+                    * A3[:, :, :, None, :] * u)
+
+        mc_shape = disc.shapes[:-1]           # all axes but h_lam
+    else:
+        raise TypeError(f"unsupported model {type(model).__name__}")
+
+    # Preference-shock channel: B_lambda is small (n_lam x n_lam) —
+    # dense Perron root on host.
+    r_lam = float(np.max(np.abs(np.linalg.eigvals(np.asarray(B_lam)))))
+    S_lam = float(np.log(r_lam) / theta)
+
+    r_c, _ = jax.jit(lambda: power_iteration(apply_Mc, mc_shape, tol=tol))()
+    S_c = float(jnp.log(r_c) / (1.0 - gamma))
+
+    coeff = 1.0 - 1.0 / psi
+    S = float(np.log(beta)) + S_lam + coeff * S_c
+
+    rep = existence_check(model, disc, tol=tol)
+    S_direct = float(np.log(rep.stability_exponent))
+
+    return StabilityDecomposition(
+        S=S, ln_beta=float(np.log(beta)), S_lambda=S_lam, S_c=S_c,
+        coefficient=coeff, S_direct=S_direct, exists_unique=bool(S < 0))

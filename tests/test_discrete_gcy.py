@@ -179,3 +179,11 @@ def test_driver_discretizes_in_f64_for_f32_operator():
                         - np.asarray(sol64.w_star))
                  / np.asarray(sol64.w_star))
     assert rel < 3e-4, rel
+
+
+def test_stability_decomposition_exact_gcy(setup):
+    from sdfs_via_autodiff_tpu.utils.spectral import stability_decomposition
+    model, disc = setup
+    dec = stability_decomposition(model, disc)
+    np.testing.assert_allclose(dec.S, dec.S_direct, atol=1e-8)
+    assert dec.exists_unique

@@ -276,3 +276,15 @@ def test_f32_tol_floor_is_theta_aware():
     # converges at 3e-5) — the fixed 5e-6 warning missed it.
     assert 2e-5 < f32_tol_floor(GCY().theta) < 4e-5
     assert f32_tol_floor(None) == 5e-6
+
+
+def test_stability_decomposition_exact(setup):
+    # Companion-paper decomposition S = ln beta + S_lambda + (1-1/psi) S_c
+    # (paper/temp.tex:820-870): exact on the chain since H = B_lam (x) M_c.
+    from sdfs_via_autodiff_tpu.utils.spectral import stability_decomposition
+    model, disc = setup
+    dec = stability_decomposition(model, disc)
+    np.testing.assert_allclose(dec.S, dec.S_direct, atol=1e-8)
+    assert dec.exists_unique
+    assert dec.ln_beta < 0            # time preference always stabilizes
+    np.testing.assert_allclose(dec.coefficient, 1 - 1 / model.psi)
