@@ -1,6 +1,7 @@
 from .checkpoint import save_solution, load_solution, SolutionCheckpoint
 from .spectral import (power_iteration, existence_check,
-                       stability_decomposition)
+                       stability_decomposition, stability_exponent_mc)
 
 __all__ = ["save_solution", "load_solution", "SolutionCheckpoint",
-           "power_iteration", "existence_check", "stability_decomposition"]
+           "power_iteration", "existence_check", "stability_decomposition",
+           "stability_exponent_mc"]

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["power_iteration", "existence_check", "stability_decomposition"]
+__all__ = ["power_iteration", "existence_check", "stability_decomposition",
+           "stability_exponent_mc"]
 
 
 def power_iteration(apply_H: Callable, shape, *, tol: float = 1e-10,
@@ -221,3 +222,83 @@ def stability_decomposition(model, disc, *, tol: float = 1e-12
     return StabilityDecomposition(
         S=S, ln_beta=float(np.log(beta)), S_lambda=S_lam, S_c=S_c,
         coefficient=coeff, S_direct=S_direct, exists_unique=bool(S < 0))
+
+
+def stability_exponent_mc(model, *, T: int = 100_000, N: int = 10_000,
+                          seed: int = 0, dtype=jnp.float64):
+    """Monte Carlo estimate of the stability exponent S — the companion
+    paper's path-simulation estimator (reference ``paper/temp.tex:
+    2224-2270``, which uses T = 100,000 and N = 10,000), with the
+    consumption shock integrated out analytically per its computation
+    recipe (``:2195-2216``).
+
+    Estimates both channels from N simulated state paths of length T
+    (one device-resident ``lax.scan``):
+
+        S_lambda_hat = (1/(T theta))   ln (1/N) sum_n exp(theta * sum_t h_lam)
+        S_c_hat      = mu_c + (1/(T(1-gamma))) ln (1/N) sum_n
+                       exp((1-gamma) sum_t z + (1-gamma)^2/2 sum_t sigma_c^2)
+
+    and returns ``dict(S, S_lambda, S_c, T, N)`` with
+    S = ln beta + S_lambda + (1 - 1/psi) S_c.  This is the *continuous*
+    dynamics' exponent: it cross-checks :func:`stability_decomposition`
+    up to discretization + O(1/T) + Monte Carlo error.
+
+    CAVEAT (why the spectral route is the production check): a naive
+    sample average of exp(a * sum_t X_t) is consistent only if N grows
+    exponentially with Var(a * sum X) — when the tilted sum's standard
+    deviation is >> 1 the expectation lives in the unsampled tail and
+    the estimator biases toward zero exponent *no matter how large T
+    is*.  At the headline SSY calibration theta*sum h_lam has std ~ 22
+    at T = 20,000, so this estimator (and the paper's, which is the
+    same construction) understates |S_lambda| by ~3x there; the paper's
+    own footnote about needing "much longer sample paths ... in the
+    presence of preference shocks" is this effect.  The spectral
+    decomposition has no sampling step and agrees with the analytic
+    Gaussian long-run formula (theta/2) s_lam^2/(1-rho_lam)^2 to 3e-9
+    (tests).  Use the MC route only when the tilted-sum std is moderate
+    (tests validate it to ~5e-7 on such a calibration).
+    """
+    from jax.scipy.special import logsumexp
+
+    from ..models.ssy import SSY as _SSY
+
+    if isinstance(model, _SSY):
+        from ..operators.continuous_ssy import next_state_ssy as _step
+        dim, iz = 4, 3
+    else:
+        from ..operators.continuous_gcy import next_state_gcy as _step
+        dim, iz = 6, 4
+    theta, gamma, psi, beta = (model.theta, model.gamma, model.psi,
+                               model.beta)
+
+    def body(carry, key_t):
+        x, s_lam, s_z, s_sig2 = carry
+        # z and sigma_c^2 enter as time-(t-1) states (temp.tex:2166-2216).
+        s_z = s_z + x[iz]
+        s_sig2 = s_sig2 + (model.phi_c * jnp.exp(x[1])) ** 2
+        eps = jax.random.normal(key_t, (dim, x.shape[1]), dtype)
+        x_new = _step(model, x, eps)
+        s_lam = s_lam + x_new[0]                  # h_lam at time t
+        return (x_new, s_lam, s_z, s_sig2), None
+
+    @jax.jit
+    def run(key):
+        x0 = jnp.zeros((dim, N), dtype)
+        z0 = jnp.zeros((N,), dtype)
+        keys = jax.random.split(key, T)
+        (x, s_lam, s_z, s_sig2), _ = lax.scan(
+            body, (x0, z0, z0, z0), keys)
+        logN = jnp.log(jnp.asarray(float(N), dtype))
+        S_lam = (logsumexp(theta * s_lam) - logN) / (T * theta)
+        S_c = model.mu_c + (
+            logsumexp((1 - gamma) * s_z
+                      + 0.5 * (1 - gamma) ** 2 * s_sig2) - logN
+        ) / (T * (1 - gamma))
+        return S_lam, S_c
+
+    S_lam, S_c = run(jax.random.PRNGKey(seed))
+    S_lam, S_c = float(S_lam), float(S_c)
+    import numpy as np
+    S = float(np.log(beta)) + S_lam + (1 - 1 / psi) * S_c
+    return dict(S=S, S_lambda=S_lam, S_c=S_c, T=T, N=N)

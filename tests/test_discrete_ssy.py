@@ -288,3 +288,25 @@ def test_stability_decomposition_exact(setup):
     assert dec.exists_unique
     assert dec.ln_beta < 0            # time preference always stabilizes
     np.testing.assert_allclose(dec.coefficient, 1 - 1 / model.psi)
+
+
+def test_stability_exponent_mc_triple_crosscheck():
+    # On a damped calibration (tilted-sum std << 1, where naive MC of
+    # exponential moments is consistent) three independent routes agree:
+    # the chain-spectral decomposition, the paper's path-MC estimator
+    # (temp.tex:2224-2270), and the analytic Gaussian long-run formula
+    # S_lambda = (theta/2) s_lam^2 / (1 - rho_lam)^2.
+    import dataclasses
+    import math
+
+    from sdfs_via_autodiff_tpu.utils.spectral import (
+        stability_decomposition, stability_exponent_mc)
+
+    m = dataclasses.replace(SSY(), s_lam=4e-5, s_z=math.sqrt(0.0039) / 10,
+                            s_c=math.sqrt(0.0096) / 10, phi_z=1e-5)
+    dec = stability_decomposition(m, discretize_ssy(m, (8, 8, 8, 12)))
+    mc = stability_exponent_mc(m, T=10_000, N=2_000, seed=0)
+    S_lam_exact = m.theta / 2 * m.s_lam**2 / (1 - m.rho_lam)**2
+    np.testing.assert_allclose(dec.S_lambda, S_lam_exact, atol=1e-8)
+    np.testing.assert_allclose(mc["S"], dec.S, atol=1e-5)
+    np.testing.assert_allclose(mc["S_lambda"], S_lam_exact, atol=2e-6)
