@@ -290,6 +290,7 @@ def test_stability_decomposition_exact(setup):
     np.testing.assert_allclose(dec.coefficient, 1 - 1 / model.psi)
 
 
+@pytest.mark.slow
 def test_stability_exponent_mc_triple_crosscheck():
     # On a damped calibration (tilted-sum std << 1, where naive MC of
     # exponential moments is consistent) three independent routes agree:
