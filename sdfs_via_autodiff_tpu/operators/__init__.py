@@ -16,3 +16,6 @@ from .post_interp import (make_node_chain_T_ssy, node_basis_ssy,
                           ssy_quadrature_nodes)
 __all__ += ["make_node_chain_T_ssy", "node_basis_ssy",
             "ssy_quadrature_nodes"]
+
+from .degroot import T_degroot_factory, existence_check_degroot
+__all__ += ["T_degroot_factory", "existence_check_degroot"]

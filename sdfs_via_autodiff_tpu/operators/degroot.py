@@ -1,0 +1,163 @@
+"""de Groot-style recursive utility: the alternative specification.
+
+The reference's companion paper (``paper/temp.tex:1421-1516``) analyzes
+the de Groot (2018) / de Groot-Richter-Vyshnevskyi (2021) aggregator,
+which removes the preference-shock asymptote by moving the shocks into a
+*state-dependent discount factor* ``a_t = h(X_t)``:
+
+    V = [ (1 - a beta) C^(1-1/psi)
+          + a beta { R_{1-gamma}(V') }^(1-1/psi) ]^(1/(1-1/psi)).
+
+With ``g := (V/C)^(1-gamma)`` the stationary Markov solution solves the
+fixed point (``temp.tex:1440-1482``)
+
+    g(x) = (T~ g)(x) = ( 1 - h(x) beta
+                         + h(x) beta * (K~ g)(x)^(1/theta) )^theta,
+
+    (K~ g)(x) = E_x[ g(X') exp((1-gamma) g_c) ],
+
+where ``K~`` is the SAME factored per-axis contraction chain as the
+standard Koopmans operator with the preference-shock tilt REMOVED (plain
+``Q_lam`` in place of ``B_lam``); only the A2/A3 consumption tilt
+remains.  Existence/uniqueness (``temp.tex:1484-1508``, Proposition
+p:drt): ``S~ = ln beta + ln sup h + ln r(K~)/theta < 0`` — notably free
+of the preference-shock growth rate, which is exactly the paper's point
+about the asymptote.
+
+Exact cross-check used by the tests: at ``h == 1`` the recursion is the
+standard EZ aggregator with the (1 - beta) weight kept explicit, so with
+the lambda-tilt absent (s_lam = 0) the solution maps to the standard
+fixed point in closed form: ``u := g^(1/theta)`` satisfies
+``u = (1-beta) + beta (K~ u^theta)^(1/theta)``, and scaling by the
+degree-1 homogeneity of ``t -> (K~ t^theta)^(1/theta)`` gives
+``g* = ((1 - beta) * w*)^theta``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gcy import GCY
+from ..models.ssy import SSY
+
+__all__ = ["T_degroot_factory", "existence_check_degroot"]
+
+
+def _K_tilde(model, disc):
+    """The untilted-lambda expectation chain K~ and the grid shape."""
+    if isinstance(model, SSY):
+        from .discrete_ssy import _ssy_factors
+        _, A2, A3 = _ssy_factors(model, disc)
+        Ql, Qc, Qhz, zP = (disc.h_lam_Q, disc.h_c_Q, disc.h_z_Q, disc.z_P)
+
+        def apply_K(v):                        # v: (l, k, i, j)
+            u = jnp.einsum("lm,mkij->lkij", Ql, v)
+            u = jnp.einsum("km,lmij->lkij", Qc, u)
+            u = jnp.einsum("im,lkmj->lkij", Qhz, u)
+            u = jnp.einsum("jm,lkim->lkij", zP, u)
+            return A2[None, :, None, None] * A3[None, None, :, :] * u
+
+        return apply_K, disc.shapes
+    if isinstance(model, GCY):
+        from .discrete_gcy import _gcy_factors
+        _, A2, A3 = _gcy_factors(model, disc)
+
+        def apply_K(v):                        # v: (z, z_pi, h_z, h_c, h_zpi, h_lam)
+            u = jnp.einsum("lL,ABCDEL->ABCDEl", disc.h_lam_Q, v)
+            u = jnp.einsum("dD,ABCDEl->ABCdEl", disc.h_c_Q, u)
+            u = jnp.einsum("cC,ABCdEl->ABcdEl", disc.h_z_Q, u)
+            u = jnp.einsum("eE,ABcdEl->ABcdel", disc.h_zpi_Q, u)
+            u = jnp.einsum("bB,ABcdel->Abcdel", disc.z_pi_P, u)
+            u = jnp.einsum("aA,Abcdel->abcdel", disc.z_P, u)
+            return (A2[None, None, None, :, None, None]
+                    * A3[:, :, :, None, :, None] * u)
+
+        return apply_K, disc.shapes
+    raise TypeError(f"unsupported model {type(model).__name__}")
+
+
+def _h_array(h, shapes, beta, dtype):
+    if h is None:
+        h = 1.0
+    h = jnp.broadcast_to(jnp.asarray(h, dtype), shapes)
+    hmax = float(jnp.max(h))
+    if hmax * beta >= 1.0 or float(jnp.min(h)) <= 0.0:
+        raise ValueError(
+            f"h must take values in (0, 1/beta) = (0, {1/beta:.6f}); "
+            f"got range [{float(jnp.min(h)):.6f}, {hmax:.6f}]")
+    return h
+
+
+def T_degroot_factory(model, disc, *, h=None, space: str = "w",
+                      dtype=None, jit: bool = True
+                      ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build the de Groot fixed-point operator T~ on the discretized grid.
+
+    ``h``: None (constant discount a = 1, the de Groot 2018 case), a
+    scalar, or an array over the grid (state-dependent discounting —
+    how this specification carries preference shocks); values must lie
+    in ``(0, 1/beta)``.
+
+    ``space="w"`` iterates on g directly (f64 parity tier);
+    ``space="log"`` on ln g with the expectation chain in log-sum-exp
+    form (the f32/TPU-safe tier, same per-axis LSE structure as the
+    standard operators).
+    """
+    if space not in ("w", "log"):
+        raise ValueError(f"unknown space {space!r}")
+    theta, beta = model.theta, model.beta
+    apply_K, shapes = _K_tilde(model, disc)
+    wdtype = dtype or jnp.float64
+    hb = _h_array(h, shapes, beta, wdtype) * beta
+
+    if space == "w":
+        def T(g):
+            k = apply_K(g)
+            return (1.0 - hb + hb * k ** (1.0 / theta)) ** theta
+    else:
+        def T(ell):
+            # K~ exp(ell) in log space: one global LSE shift suffices
+            # (no theta amplification here — K~ consumes g itself, so
+            # the exponent range is that of ln g, not theta * ln g).
+            m = jax.lax.stop_gradient(jnp.max(ell))
+            k_log = jnp.log(apply_K(jnp.exp(ell - m))) + m
+            return theta * jnp.log(1.0 - hb + hb * jnp.exp(k_log / theta))
+
+    return jax.jit(T) if jit else T
+
+
+@dataclasses.dataclass
+class DeGrootExistenceReport:
+    spectral_radius: float          # r(K~)
+    S_alt: float                    # ln beta + ln sup h + ln r(K~)/theta
+    exists_unique: bool
+    iterations: int
+
+    def __repr__(self):
+        return (f"DeGrootExistenceReport(r(K~)={self.spectral_radius:.6g}, "
+                f"S_alt={self.S_alt:.6f}, "
+                f"exists_unique={self.exists_unique})")
+
+
+def existence_check_degroot(model, disc, *, h=None, tol: float = 1e-10
+                            ) -> DeGrootExistenceReport:
+    """Proposition p:drt's condition (``temp.tex:1484-1508``):
+    S~ = ln beta + ln(sup h) + ln r(K~)/theta < 0.  Unlike the standard
+    condition, the preference-shock *growth rate* never enters — only
+    the discount's maximum level."""
+    import numpy as np
+
+    from ..utils.spectral import power_iteration
+
+    apply_K, shapes = _K_tilde(model, disc)
+    a_bar = 1.0 if h is None else float(jnp.max(jnp.asarray(h)))
+    r, it = jax.jit(lambda: power_iteration(apply_K, shapes, tol=tol))()
+    S_alt = (float(np.log(model.beta)) + float(np.log(a_bar))
+             + float(np.log(r)) / model.theta)
+    return DeGrootExistenceReport(spectral_radius=float(r), S_alt=S_alt,
+                                  exists_unique=bool(S_alt < 0),
+                                  iterations=int(it))

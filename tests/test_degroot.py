@@ -1,0 +1,126 @@
+"""de Groot alternative-specification operator (companion paper
+``temp.tex:1421-1516``): oracle, closed-form mapping, log-space,
+state-dependent discounting, existence condition."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfs_via_autodiff_tpu import (GCY, SSY, T_ssy_factory, discretize_gcy,
+                                   discretize_ssy, solve)
+from sdfs_via_autodiff_tpu.operators.degroot import (
+    T_degroot_factory, existence_check_degroot)
+
+SHAPES = (4, 3, 5, 6)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SSY()
+    return model, discretize_ssy(model, SHAPES)
+
+
+def _dense_K_ssy(model, disc):
+    """Dense K~ oracle: Kron of plain transition factors x A2 A3 tilt."""
+    from sdfs_via_autodiff_tpu.operators.discrete_ssy import _ssy_factors
+    _, A2, A3 = _ssy_factors(model, disc)
+    K = np.einsum("lL,kK,iI,jJ->lkijLKIJ",
+                  np.asarray(disc.h_lam_Q), np.asarray(disc.h_c_Q),
+                  np.asarray(disc.h_z_Q), np.asarray(disc.z_P))
+    K = K * np.asarray(A2)[None, :, None, None, None, None, None, None] \
+          * np.asarray(A3)[None, None, :, :, None, None, None, None]
+    n = int(np.prod(SHAPES))
+    return K.reshape(n, n)
+
+
+def test_operator_matches_dense_oracle(setup, rng):
+    model, disc = setup
+    T = T_degroot_factory(model, disc)
+    K = _dense_K_ssy(model, disc)
+    g = np.exp(rng.standard_normal(SHAPES))
+    theta, beta = model.theta, model.beta
+    k = (K @ g.reshape(-1)).reshape(SHAPES)
+    expected = (1 - beta + beta * k ** (1 / theta)) ** theta
+    np.testing.assert_allclose(np.asarray(T(jnp.asarray(g))), expected,
+                               rtol=1e-10)
+
+
+def test_h1_no_lambda_maps_to_standard_fixed_point():
+    # With h == 1 and no preference shocks the de Groot solution is
+    # g* = ((1-beta) w*)^theta for the standard fixed point w* (module
+    # docstring derivation) — an exact cross-model oracle.
+    model = dataclasses.replace(SSY(), s_lam=0.0)
+    disc = discretize_ssy(model, SHAPES)
+    w_star = solve(T_ssy_factory(model, disc), jnp.full(SHAPES, 800.0),
+                   method="newton", tol=1e-11).x
+    T = T_degroot_factory(model, disc)
+    g0 = jnp.full(SHAPES, float(((1 - model.beta) * 800.0) ** model.theta))
+    res = solve(T, g0, method="newton", tol=1e-13)
+    assert bool(res.converged)
+    expected = ((1 - model.beta) * np.asarray(w_star)) ** model.theta
+    np.testing.assert_allclose(np.asarray(res.x), expected, rtol=1e-8)
+
+
+def test_log_space_consistent(setup, rng):
+    model, disc = setup
+    T = T_degroot_factory(model, disc)
+    T_log = T_degroot_factory(model, disc, space="log")
+    g = jnp.asarray(np.exp(rng.standard_normal(SHAPES))) * 1e-3
+    np.testing.assert_allclose(np.exp(np.asarray(T_log(jnp.log(g)))),
+                               np.asarray(T(g)), rtol=1e-11)
+
+
+def test_monotone(setup, rng):
+    model, disc = setup
+    T = T_degroot_factory(model, disc)
+    g = jnp.asarray(np.exp(rng.standard_normal(SHAPES)))
+    assert np.all(np.asarray(T(g + 0.5)) >= np.asarray(T(g)) - 1e-14)
+
+
+def test_state_dependent_discount_solves(setup):
+    model, disc = setup
+    # a_t rises with z (procyclical patience), values safely in (0, 1/beta).
+    z_dev = disc.z_states - jnp.mean(disc.z_states)
+    h = 1.0 + 40.0 * z_dev[None, None, :, :] / (1 + jnp.abs(40.0 * z_dev.max()))
+    h = jnp.clip(jnp.broadcast_to(h, SHAPES), 0.9, 1.0004)
+    T = T_degroot_factory(model, disc, h=h)
+    rep = existence_check_degroot(model, disc, h=h)
+    assert rep.exists_unique
+    g0 = jnp.full(SHAPES, float((0.001 * 800.0) ** model.theta))
+    res = solve(T, g0, method="newton", tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(T(res.x)), np.asarray(res.x),
+                               atol=1e-11)
+
+
+def test_h_validation(setup):
+    model, disc = setup
+    with pytest.raises(ValueError, match="1/beta"):
+        T_degroot_factory(model, disc, h=1.0 / model.beta)
+
+
+def test_existence_report(setup):
+    model, disc = setup
+    rep = existence_check_degroot(model, disc)
+    assert rep.exists_unique                    # default calibration
+    # r(K~) excludes the lambda tilt, so it differs from r(H); the
+    # S_alt formula is ln beta + ln 1 + ln r / theta.
+    expected = float(np.log(model.beta) + np.log(rep.spectral_radius)
+                     / model.theta)
+    np.testing.assert_allclose(rep.S_alt, expected, rtol=1e-12)
+
+
+def test_gcy_degroot_smoke():
+    model = GCY()
+    shapes = (3, 3, 3, 3, 3, 3)
+    disc = discretize_gcy(model, shapes)
+    rep = existence_check_degroot(model, disc)
+    assert rep.exists_unique
+    T = T_degroot_factory(model, disc)
+    g0 = jnp.full(shapes, float(((1 - model.beta) * 800.0) ** model.theta))
+    res = solve(T, g0, method="newton", tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(T(res.x)), np.asarray(res.x),
+                               atol=1e-11)
