@@ -84,6 +84,7 @@ def test_forward_reverse_consistency():
     np.testing.assert_allclose(directional, expected, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_ssy_calibration_gradient_vs_fd():
     model = SSY()
     sizes = (4, 4, 4, 4)
@@ -104,6 +105,7 @@ def test_ssy_calibration_gradient_vs_fd():
     np.testing.assert_allclose(float(g["gamma"]), fd_gamma, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_ssy_sensitivity_matches_grad_direction():
     model = SSY()
     sizes = (4, 4, 4, 4)
