@@ -57,7 +57,8 @@ def _log_kappa_gcy(model: GCY, h_c, z):
             + 0.5 * (1 - model.gamma) ** 2 * sigma_c ** 2)
 
 
-def _factored_arrays_gcy(model, grids, degree, baseline=None) -> dict:
+def _factored_arrays_gcy(model, grids, degree, baseline=None,
+                         tilt_lambda=True) -> dict:
     """Expectation matrices + baseline components of the factored GCY
     operator (quadrature + interp="pre").
 
@@ -76,7 +77,8 @@ def _factored_arrays_gcy(model, grids, degree, baseline=None) -> dict:
 
     P_lam = expectation_matrix(h_lam_grid, m.rho_lam * h_lam_grid, m.s_lam,
                                eta, omega,
-                               payoff=lambda xn: jnp.exp(theta * xn))
+                               payoff=(lambda xn: jnp.exp(theta * xn))
+                               if tilt_lambda else None)
     P_c = expectation_matrix(h_c_grid, m.rho_c * h_c_grid, m.s_c, eta, omega)
     P_hz = expectation_matrix(h_z_grid, m.rho_z * h_z_grid, m.s_z, eta, omega)
     P_hzpi = expectation_matrix(h_zpi_grid, m.rho_zpi * h_zpi_grid, m.s_zpi,

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from ..models.gcy import GCY
 from ..models.ssy import SSY
 
-__all__ = ["T_degroot_factory", "existence_check_degroot"]
+__all__ = ["T_degroot_factory", "T_degroot_continuous_factory",
+           "existence_check_degroot"]
 
 
 def _K_tilde(model, disc):
@@ -161,3 +162,72 @@ def existence_check_degroot(model, disc, *, h=None, tol: float = 1e-10
     return DeGrootExistenceReport(spectral_radius=float(r), S_alt=S_alt,
                                   exists_unique=bool(S_alt < 0),
                                   iterations=int(it))
+
+
+def _K_tilde_continuous(model, grids, degree):
+    """Continuous (quadrature + interp="pre") untilted-lambda chain."""
+    if isinstance(model, SSY):
+        from .continuous_ssy import _factored_arrays_ssy
+        arrs = _factored_arrays_ssy(model, grids, degree, None,
+                                    tilt_lambda=False)
+        P_lam, P_c, P_hz, P_z = (arrs["P_lam"], arrs["P_c"], arrs["P_hz"],
+                                 arrs["P_z"])
+        kappa = jnp.exp(arrs["log_A2"][:, None] + arrs["log_A3"][None, :])
+
+        def apply_K(g):                        # g: (l, k, i, j)
+            u = jnp.einsum("lL,LKIJ->lKIJ", P_lam, g)
+            u = jnp.einsum("kK,lKIJ->lkIJ", P_c, u)
+            u = jnp.einsum("iI,lkIJ->lkiJ", P_hz, u)
+            u = jnp.einsum("ijJ,lkiJ->lkij", P_z, u)
+            return kappa[None, :, None, :] * u
+
+        return apply_K, tuple(len(g) for g in grids)
+    if isinstance(model, GCY):
+        from .continuous_gcy import _factored_arrays_gcy
+        arrs = _factored_arrays_gcy(model, grids, degree, None,
+                                    tilt_lambda=False)
+        P_lam, P_c, P_hz, P_hzpi, P_zpi, P_z = (
+            arrs["P_lam"], arrs["P_c"], arrs["P_hz"], arrs["P_hzpi"],
+            arrs["P_zpi"], arrs["P_z"])
+        kappa = jnp.exp(arrs["log_A2"][:, None] + arrs["log_A3"][None, :])
+
+        def apply_K(g):                        # g: (l, k, i, y, j, b)
+            u = jnp.einsum("lL,LKIYJB->lKIYJB", P_lam, g)
+            u = jnp.einsum("kK,lKIYJB->lkIYJB", P_c, u)
+            u = jnp.einsum("iI,lkIYJB->lkiYJB", P_hz, u)
+            u = jnp.einsum("yY,lkiYJB->lkiyJB", P_hzpi, u)
+            u = jnp.einsum("ybB,lkiyJB->lkiyJb", P_zpi, u)
+            u = jnp.einsum("ijbJ,lkiyJb->lkiyjb", P_z, u)
+            return kappa[None, :, None, None, :, None] * u
+
+        return apply_K, tuple(len(g) for g in grids)
+    raise TypeError(f"unsupported model {type(model).__name__}")
+
+
+def T_degroot_continuous_factory(model, grids, *, h=None,
+                                 quad_degree: int = 5, space: str = "w",
+                                 dtype=None, jit: bool = True
+                                 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Continuous-state T~ on uniform grids (quadrature + interp="pre"),
+    mirroring :func:`T_degroot_factory`'s semantics: the factored
+    per-dimension Gauss-Hermite expectation chain with the lambda tilt
+    removed, then the de Groot outer map with discount field ``h``
+    (None | scalar | array over the grid, values in (0, 1/beta))."""
+    if space not in ("w", "log"):
+        raise ValueError(f"unknown space {space!r}")
+    theta, beta = model.theta, model.beta
+    apply_K, shapes = _K_tilde_continuous(model, grids, quad_degree)
+    wdtype = dtype or jnp.float64
+    hb = _h_array(h, shapes, beta, wdtype) * beta
+
+    if space == "w":
+        def T(g):
+            k = apply_K(g)
+            return (1.0 - hb + hb * k ** (1.0 / theta)) ** theta
+    else:
+        def T(ell):
+            m = jax.lax.stop_gradient(jnp.max(ell))
+            k_log = jnp.log(apply_K(jnp.exp(ell - m))) + m
+            return theta * jnp.log(1.0 - hb + hb * jnp.exp(k_log / theta))
+
+    return jax.jit(T) if jit else T

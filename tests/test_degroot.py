@@ -124,3 +124,83 @@ def test_gcy_degroot_smoke():
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(T(res.x)), np.asarray(res.x),
                                atol=1e-11)
+
+
+def test_continuous_matches_dense_oracle(rng):
+    from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+        _factored_arrays_ssy)
+    from sdfs_via_autodiff_tpu.operators.degroot import (
+        T_degroot_continuous_factory)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_ssy
+
+    model = SSY()
+    sizes = (4, 3, 4, 5)
+    grids = build_grid_ssy(model, *sizes)
+    arrs = _factored_arrays_ssy(model, grids, 3, None, tilt_lambda=False)
+    kappa = np.exp(np.asarray(arrs["log_A2"])[:, None]
+                   + np.asarray(arrs["log_A3"])[None, :])      # (k, j)
+    K = np.einsum("lL,kK,iI,ijJ->lkijLKIJ",
+                  np.asarray(arrs["P_lam"]), np.asarray(arrs["P_c"]),
+                  np.asarray(arrs["P_hz"]), np.asarray(arrs["P_z"]))
+    K = K * kappa[None, :, None, :, None, None, None, None]
+    n = int(np.prod(sizes))
+
+    T = T_degroot_continuous_factory(model, grids, quad_degree=3)
+    g = np.exp(rng.standard_normal(sizes))
+    theta, beta = model.theta, model.beta
+    k = (K.reshape(n, n) @ g.reshape(-1)).reshape(sizes)
+    expected = (1 - beta + beta * k ** (1 / theta)) ** theta
+    np.testing.assert_allclose(np.asarray(T(jnp.asarray(g))), expected,
+                               rtol=1e-10)
+
+
+def test_continuous_log_space_and_solve(rng):
+    from sdfs_via_autodiff_tpu.operators.degroot import (
+        T_degroot_continuous_factory)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_ssy
+
+    model = SSY()
+    grids = build_grid_ssy(model, 5, 5, 5, 6)
+    T = T_degroot_continuous_factory(model, grids, quad_degree=3)
+    T_log = T_degroot_continuous_factory(model, grids, quad_degree=3,
+                                         space="log")
+    g = jnp.asarray(np.exp(rng.standard_normal((5, 5, 5, 6)))) * 1e-3
+    np.testing.assert_allclose(np.exp(np.asarray(T_log(jnp.log(g)))),
+                               np.asarray(T(g)), rtol=1e-11)
+    # At h == 1 the continuous-grid existence margin is razor-thin
+    # (S~ = ln beta + ln r(K~)/theta ~ -1.5e-3 on this grid), so solve
+    # with a modest discount margin — state-dependent discounting being
+    # the point of the de Groot specification (temp.tex:1440-1482).
+    T_h = T_degroot_continuous_factory(model, grids, quad_degree=3, h=0.98)
+    g0 = jnp.full((5, 5, 5, 6), float(((1 - model.beta) * 800.0)
+                                      ** model.theta))
+    res = solve(T_h, g0, method="newton", tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(T_h(res.x)), np.asarray(res.x),
+                               atol=1e-11)
+
+
+def test_continuous_gcy_degroot_smoke():
+    from sdfs_via_autodiff_tpu.operators.degroot import (
+        T_degroot_continuous_factory)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+
+    model = GCY()
+    sizes = (3, 3, 3, 3, 4, 3)
+    grids = build_grid_gcy(model, *sizes)
+    # At h == 1 the GCY fixed point lives at g ~ e^97..e^124 (theta = -36
+    # amplifies the outer map), so the w-space tier overflows any useful
+    # absolute tolerance — this is exactly the case the log tier exists
+    # for.  SA to 1e-6 then Newton polish, all in ln g.
+    T_log = T_degroot_continuous_factory(model, grids, quad_degree=3,
+                                         space="log")
+    ell0 = jnp.full(sizes, float(model.theta
+                                 * np.log((1 - model.beta) * 800.0)))
+    pre = solve(T_log, ell0, method="successive_approx", tol=1e-6,
+                max_iter=5000)
+    assert bool(pre.converged)
+    res = solve(T_log, pre.x, method="newton", tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(T_log(res.x)), np.asarray(res.x),
+                               atol=1e-11)
+    assert 90.0 < float(jnp.min(res.x)) < float(jnp.max(res.x)) < 130.0
