@@ -124,13 +124,30 @@ def cmd_check(args):
 
     model = _model(args.model)
     shapes = _parse_shapes(args.shapes)
+    disc = grids = None
     if args.kind == "discrete":
         disc = (discretize_ssy if args.model == "ssy" else discretize_gcy)(
             model, shapes)
-        rep = existence_check(model, disc)
     else:
         grids = (build_grid_ssy if args.model == "ssy" else build_grid_gcy)(
             model, *shapes, num_std_devs=args.num_std_devs)
+    if args.spec == "degroot":
+        from .operators.degroot import existence_check_degroot
+        rep = existence_check_degroot(model, disc, grids=grids,
+                                      quad_degree=args.quad_degree,
+                                      h=args.h)
+        out = dict(
+            model=args.model, kind=args.kind, spec="degroot",
+            shapes=list(shapes), h_sup=1.0 if args.h is None else args.h,
+            spectral_radius=rep.spectral_radius,
+            stability_exponent=rep.S_alt,
+            exists_unique=rep.exists_unique,
+            power_iterations=rep.iterations)
+        print(json.dumps(out))
+        return 0 if rep.exists_unique else 3
+    if disc is not None:
+        rep = existence_check(model, disc)
+    else:
         rep = existence_check(model, grids=grids,
                               quad_degree=args.quad_degree)
     out = dict(
@@ -269,6 +286,15 @@ def main(argv=None) -> int:
     pc.add_argument("--decompose", action="store_true",
                     help="split S into ln beta + S_lambda + (1-1/psi) S_c "
                     "(companion-paper decomposition; discrete kind)")
+    pc.add_argument("--spec", choices=["standard", "degroot"],
+                    default="standard",
+                    help="recursive-utility specification: standard "
+                         "EZ-with-shocks or the de Groot state-dependent-"
+                         "discount alternative (S~ = ln beta + ln sup h "
+                         "+ ln r(K~)/theta)")
+    pc.add_argument("--h", type=float, default=None,
+                    help="constant discount level h for --spec degroot "
+                         "(default 1; must lie in (0, 1/beta))")
     pc.set_defaults(fn=cmd_check)
 
     pg = sub.add_parser(

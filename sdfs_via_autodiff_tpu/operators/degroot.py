@@ -144,17 +144,28 @@ class DeGrootExistenceReport:
                 f"exists_unique={self.exists_unique})")
 
 
-def existence_check_degroot(model, disc, *, h=None, tol: float = 1e-10
-                            ) -> DeGrootExistenceReport:
+def existence_check_degroot(model, disc=None, *, grids=None,
+                            quad_degree: int = 5, h=None,
+                            tol: float = 1e-10) -> DeGrootExistenceReport:
     """Proposition p:drt's condition (``temp.tex:1484-1508``):
     S~ = ln beta + ln(sup h) + ln r(K~)/theta < 0.  Unlike the standard
     condition, the preference-shock *growth rate* never enters — only
-    the discount's maximum level."""
+    the discount's maximum level.
+
+    Pass ``disc`` for the discretized chain or ``grids`` (+
+    ``quad_degree``) for the continuous quadrature chain — the same
+    dual surface as :func:`~..utils.spectral.existence_check`.
+    """
     import numpy as np
 
     from ..utils.spectral import power_iteration
 
-    apply_K, shapes = _K_tilde(model, disc)
+    if (disc is None) == (grids is None):
+        raise ValueError("pass exactly one of disc or grids")
+    if grids is not None:
+        apply_K, shapes = _K_tilde_continuous(model, grids, quad_degree)
+    else:
+        apply_K, shapes = _K_tilde(model, disc)
     a_bar = 1.0 if h is None else float(jnp.max(jnp.asarray(h)))
     r, it = jax.jit(lambda: power_iteration(apply_K, shapes, tol=tol))()
     S_alt = (float(np.log(model.beta)) + float(np.log(a_bar))

@@ -87,6 +87,18 @@ def test_check_command(capsys):
     assert out["stability_exponent"] < 1
 
 
+def test_check_degroot_spec(capsys):
+    # The alternative-specification existence check rides the same
+    # subcommand: S~ = ln beta + ln sup h + ln r(K~)/theta.
+    rc = main(["check", "ssy", "--kind", "discrete", "--shapes", "3,3,3,3",
+               "--spec", "degroot", "--h", "0.97"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["spec"] == "degroot" and out["h_sup"] == 0.97
+    assert out["exists_unique"] is True
+    assert out["stability_exponent"] < 0
+
+
 def test_cli_solve_tauchen_discrete(tmp_path, capsys):
     # The scale-tier options round-trip through the CLI: tauchen
     # discretization + explicit engine/kernel flags (xla on CPU).
