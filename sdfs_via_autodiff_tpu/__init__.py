@@ -21,7 +21,8 @@ from .operators import (
 from .ops import build_grid_ssy, build_grid_gcy
 from .drivers import (WCSolution, wc_ratio_discrete, wc_ratio_continuous,
                       wc_ratio_continuation, wc_ratio_sweep,
-                      wc_ratio_differentiable, prolong_w)
+                      wc_ratio_differentiable, prolong_w,
+                      DeGrootSolution, degroot_fixed_point)
 from .sdf import (construct_wstar_callable, simulate_states,
                   simulated_w_moments, one_step_w_moments, sdf_factory_ssy,
                   expected_sdf_ssy, risk_free_rate_ssy,

@@ -44,6 +44,25 @@ def cmd_solve(args):
             f"--shapes for {args.model} needs {want} comma-separated sizes "
             f"(got {len(shapes)}: {args.shapes})")
     t0 = time.time()
+    if getattr(args, "spec", "standard") == "degroot":
+        from .drivers import degroot_fixed_point
+        sol = degroot_fixed_point(
+            model, shapes, kind=args.kind, h=args.h,
+            algorithm=args.algorithm, tol=args.tol, space=args.space,
+            quad_degree=args.quad_degree, num_std_devs=args.num_std_devs,
+            discretization=args.discretization)
+        wall = time.time() - t0
+        lg = sol.log_g_star
+        out = dict(model=args.model, kind=args.kind, spec="degroot",
+                   shapes=list(shapes), algorithm=args.algorithm,
+                   h_sup=1.0 if args.h is None else args.h,
+                   iterations=int(sol.result.iterations),
+                   residual=float(sol.result.residual),
+                   converged=bool(sol.converged),
+                   log_g_min=float(lg.min()), log_g_max=float(lg.max()),
+                   log_g_mean=float(lg.mean()), seconds=round(wall, 3))
+        print(json.dumps(out))
+        return 0 if sol.converged else 2
     if args.kind == "discrete":
         sol = wc_ratio_discrete(
             model, shapes, algorithm=args.algorithm, tol=args.tol,
@@ -253,6 +272,15 @@ def main(argv=None) -> int:
                          "count (the in-envelope choice for fine f32 "
                          "discrete grids)")
     ps.add_argument("--checkpoint", default=None)
+    ps.add_argument("--spec", choices=["standard", "degroot"],
+                    default="standard",
+                    help="recursive-utility specification; 'degroot' "
+                         "solves the state-dependent-discount family "
+                         "for g = (V/C)^(1-gamma) (log tier; reports "
+                         "ln g)")
+    ps.add_argument("--h", type=float, default=None,
+                    help="constant discount level h for --spec degroot "
+                         "(default 1; must lie in (0, 1/beta))")
     ps.set_defaults(fn=cmd_solve)
 
     pm = sub.add_parser("simulate",

@@ -30,7 +30,8 @@ from .solvers import SolveResult, solve
 from .utils.checkpoint import save_solution
 
 __all__ = ["WCSolution", "wc_ratio_discrete", "wc_ratio_continuous",
-           "wc_ratio_continuation", "wc_ratio_sweep", "prolong_w"]
+           "wc_ratio_continuation", "wc_ratio_sweep", "prolong_w",
+           "DeGrootSolution", "degroot_fixed_point"]
 
 DEFAULT_INIT_W = 800.0   # reference w_init, ssy_wc_ratio.py:233
 
@@ -851,3 +852,103 @@ def _coarse_additive_baseline(model, grid_sizes, *, num_std_devs,
                        np.asarray(cg, np.float64), p)
              for fg, cg, p in zip(fine_grids, sol.grids, profiles)]
     return const, profs
+
+
+# ---------------------------------------------------------------------------
+# de Groot alternative specification (companion paper temp.tex:1421-1516)
+
+@dataclasses.dataclass
+class DeGrootSolution:
+    """Fixed point g* = (V/C)^(1-gamma) of the de Groot aggregator.
+
+    ``log_g_star`` is the canonical storage: theta enters T~ as an
+    *outer* power, so g* scales like (O(1))^theta — at the GCY
+    calibration (theta ~ -36, h = 1) it lives at e^97..e^124, and wider
+    grids can leave float range entirely.  ``g_star`` materializes
+    exp(log g*) on demand (docs/math.md §9).
+    """
+    log_g_star: jnp.ndarray
+    grids: Optional[Tuple[jnp.ndarray, ...]]
+    result: SolveResult
+    space: str
+
+    @property
+    def converged(self) -> bool:
+        return bool(self.result.converged)
+
+    @property
+    def g_star(self) -> jnp.ndarray:
+        return jnp.exp(self.log_g_star)
+
+
+def degroot_fixed_point(model,
+                        sizes: Sequence[int],
+                        *,
+                        kind: str = "discrete",
+                        h=None,
+                        algorithm: str = "newton",
+                        tol: float = 1e-10,
+                        space: Optional[str] = None,
+                        quad_degree: int = 5,
+                        num_std_devs: float = 3.2,
+                        discretization: str = "rouwenhorst",
+                        g_init_w: float = DEFAULT_INIT_W,
+                        sa_warm_tol: float = 1e-6,
+                        sa_warm_maxiter: int = 20000,
+                        **solver_opts) -> DeGrootSolution:
+    """End-to-end solve of the de Groot alternative specification.
+
+    Mirrors ``wc_ratio_discrete`` / ``wc_ratio_continuous`` for the
+    companion paper's state-dependent-discount family
+    (``temp.tex:1421-1516``): build the untilted chain on the
+    discretized (``kind="discrete"``) or continuous-quadrature
+    (``kind="continuous"``) tier, then solve T~g = g.
+
+    The log space is the default and the supported tier at production
+    calibrations (see :class:`DeGrootSolution`); ``algorithm="newton"``
+    there runs the validated two-stage recipe — SA to ``sa_warm_tol``
+    (the outer map is severely stiff in theta, so cold-start Newton can
+    safeguard-stall), then Newton to ``tol``.  ``space="w"`` solves in
+    g directly (small-theta / cross-check tier; absolute tolerances only
+    make sense when g* is O(1)-scaled, e.g. with a discount margin h<1).
+
+    The initial guess maps the reference's standard w_init = 800 through
+    the closed form g = ((1-beta) w)^theta (docs/math.md §9).
+    """
+    from .operators.degroot import (T_degroot_continuous_factory,
+                                    T_degroot_factory)
+
+    space = space or _auto_space()
+    theta, beta = model.theta, model.beta
+    if kind == "discrete":
+        disc = (discretize_ssy if isinstance(model, SSY)
+                else discretize_gcy)(model, tuple(sizes),
+                                     method=discretization)
+        T = T_degroot_factory(model, disc, h=h, space=space)
+        grids = None
+        shapes = disc.shapes
+    elif kind == "continuous":
+        builder = build_grid_ssy if isinstance(model, SSY) else build_grid_gcy
+        grids = builder(model, *sizes, num_std_devs=num_std_devs)
+        T = T_degroot_continuous_factory(model, grids, h=h,
+                                         quad_degree=quad_degree,
+                                         space=space)
+        shapes = tuple(int(len(g)) for g in grids)
+    else:
+        raise ValueError(f"kind must be 'discrete' or 'continuous', "
+                         f"got {kind!r}")
+
+    ell0 = jnp.full(shapes, float(theta) * float(np.log((1.0 - beta)
+                                                        * g_init_w)))
+    if space == "log":
+        x0 = ell0
+        if algorithm == "newton":
+            pre = solve(T, x0, method="successive_approx", tol=sa_warm_tol,
+                        max_iter=sa_warm_maxiter)
+            x0 = pre.x
+        res = solve(T, x0, method=algorithm, tol=tol, **solver_opts)
+        return DeGrootSolution(log_g_star=res.x, grids=grids, result=res,
+                               space=space)
+    res = solve(T, jnp.exp(ell0), method=algorithm, tol=tol, **solver_opts)
+    return DeGrootSolution(log_g_star=jnp.log(res.x), grids=grids,
+                           result=res, space=space)

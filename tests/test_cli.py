@@ -87,6 +87,15 @@ def test_check_command(capsys):
     assert out["stability_exponent"] < 1
 
 
+def test_solve_degroot_spec(capsys):
+    rc = main(["solve", "ssy", "--kind", "discrete", "--shapes", "3,3,3,3",
+               "--spec", "degroot", "--tol", "1e-10"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["spec"] == "degroot" and out["converged"] is True
+    assert out["log_g_min"] <= out["log_g_mean"] <= out["log_g_max"]
+
+
 def test_check_degroot_spec(capsys):
     # The alternative-specification existence check rides the same
     # subcommand: S~ = ln beta + ln sup h + ln r(K~)/theta.

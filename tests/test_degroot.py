@@ -126,6 +126,27 @@ def test_gcy_degroot_smoke():
                                atol=1e-11)
 
 
+def test_degroot_driver_end_to_end():
+    # Driver parity surface: discrete + continuous kinds through the
+    # two-stage log-tier recipe, solution returned in ln g.
+    from sdfs_via_autodiff_tpu.drivers import degroot_fixed_point
+
+    model = SSY()
+    sol = degroot_fixed_point(model, (4, 3, 4, 5), kind="discrete",
+                              tol=1e-11)
+    assert sol.converged and sol.space == "log"
+    # h=1, so the closed-form scale anchor applies loosely: ln g* should
+    # sit near theta * ln((1-beta) * w*) with w* a few hundred.
+    import numpy as np
+    lo, hi = (float(jnp.min(sol.log_g_star)), float(jnp.max(sol.log_g_star)))
+    assert model.theta * np.log(0.003 * 2000) < lo <= hi \
+        < model.theta * np.log(0.0005 * 200)
+    sol_c = degroot_fixed_point(model, (4, 4, 4, 5), kind="continuous",
+                                quad_degree=3, h=0.98, tol=1e-11)
+    assert sol_c.converged and sol_c.grids is not None
+    assert np.isfinite(float(jnp.max(sol_c.g_star)))
+
+
 def test_continuous_matches_dense_oracle(rng):
     from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
         _factored_arrays_ssy)
