@@ -48,12 +48,28 @@ __all__ = ["T_degroot_factory", "T_degroot_continuous_factory",
            "existence_check_degroot"]
 
 
-def _K_tilde(model, disc):
-    """The untilted-lambda expectation chain K~ and the grid shape."""
+def _K_tilde(model, disc, transcendentals: str = "accurate", dtype=None):
+    """The untilted-lambda expectation chain K~ and the grid shape.
+
+    Returns ``(apply_K, apply_K_log, shapes)``: the w-space chain and its
+    per-axis log-sum-exp twin ``ln K~ exp(ell)`` — the same per-axis-shift
+    structure as the standard log-space operators (a single global shift
+    overflows f32 on wide grids; ``ops/contract.py``).
+    """
+    from functools import partial
+
+    from ..ops.contract import lse_matmul
+    lse = partial(lse_matmul, transcendentals=transcendentals)
+
     if isinstance(model, SSY):
         from .discrete_ssy import _ssy_factors
         _, A2, A3 = _ssy_factors(model, disc)
         Ql, Qc, Qhz, zP = (disc.h_lam_Q, disc.h_c_Q, disc.h_z_Q, disc.z_P)
+        log_A2, log_A3 = jnp.log(A2), jnp.log(A3)
+        if dtype is not None:
+            Ql, Qc, Qhz, zP, A2, A3, log_A2, log_A3 = (
+                a.astype(dtype) for a in (Ql, Qc, Qhz, zP, A2, A3,
+                                          log_A2, log_A3))
 
         def apply_K(v):                        # v: (l, k, i, j)
             u = jnp.einsum("lm,mkij->lkij", Ql, v)
@@ -62,22 +78,48 @@ def _K_tilde(model, disc):
             u = jnp.einsum("jm,lkim->lkij", zP, u)
             return A2[None, :, None, None] * A3[None, None, :, :] * u
 
-        return apply_K, disc.shapes
+        def apply_K_log(a):                    # a = ln g
+            a = lse(Ql, a, "lm,mkij->lkij", 0)
+            a = lse(Qc, a, "km,lmij->lkij", 1)
+            a = lse(Qhz, a, "im,lkmj->lkij", 2)
+            a = lse(zP, a, "jm,lkim->lkij", 3)
+            return (a + log_A2[None, :, None, None]
+                    + log_A3[None, None, :, :])
+
+        return apply_K, apply_K_log, disc.shapes
     if isinstance(model, GCY):
         from .discrete_gcy import _gcy_factors
         _, A2, A3 = _gcy_factors(model, disc)
+        log_A2, log_A3 = jnp.log(A2), jnp.log(A3)
+        Ql, Qc, Qhz, Qhzpi = (disc.h_lam_Q, disc.h_c_Q, disc.h_z_Q,
+                              disc.h_zpi_Q)
+        zpiP, zP = disc.z_pi_P, disc.z_P
+        if dtype is not None:
+            (Ql, Qc, Qhz, Qhzpi, zpiP, zP, A2, A3, log_A2, log_A3) = (
+                a.astype(dtype) for a in (Ql, Qc, Qhz, Qhzpi, zpiP, zP,
+                                          A2, A3, log_A2, log_A3))
 
         def apply_K(v):                        # v: (z, z_pi, h_z, h_c, h_zpi, h_lam)
-            u = jnp.einsum("lL,ABCDEL->ABCDEl", disc.h_lam_Q, v)
-            u = jnp.einsum("dD,ABCDEl->ABCdEl", disc.h_c_Q, u)
-            u = jnp.einsum("cC,ABCdEl->ABcdEl", disc.h_z_Q, u)
-            u = jnp.einsum("eE,ABcdEl->ABcdel", disc.h_zpi_Q, u)
-            u = jnp.einsum("bB,ABcdel->Abcdel", disc.z_pi_P, u)
-            u = jnp.einsum("aA,Abcdel->abcdel", disc.z_P, u)
+            u = jnp.einsum("lL,ABCDEL->ABCDEl", Ql, v)
+            u = jnp.einsum("dD,ABCDEl->ABCdEl", Qc, u)
+            u = jnp.einsum("cC,ABCdEl->ABcdEl", Qhz, u)
+            u = jnp.einsum("eE,ABcdEl->ABcdel", Qhzpi, u)
+            u = jnp.einsum("bB,ABcdel->Abcdel", zpiP, u)
+            u = jnp.einsum("aA,Abcdel->abcdel", zP, u)
             return (A2[None, None, None, :, None, None]
                     * A3[:, :, :, None, :, None] * u)
 
-        return apply_K, disc.shapes
+        def apply_K_log(a):
+            a = lse(Ql, a, "lL,ABCDEL->ABCDEl", 5)
+            a = lse(Qc, a, "dD,ABCDEl->ABCdEl", 3)
+            a = lse(Qhz, a, "cC,ABCdEl->ABcdEl", 2)
+            a = lse(Qhzpi, a, "eE,ABcdEl->ABcdel", 4)
+            a = lse(zpiP, a, "bB,ABcdel->Abcdel", 1)
+            a = lse(zP, a, "aA,Abcdel->abcdel", 0)
+            return (a + log_A2[None, None, None, :, None, None]
+                    + log_A3[:, :, :, None, :, None])
+
+        return apply_K, apply_K_log, disc.shapes
     raise TypeError(f"unsupported model {type(model).__name__}")
 
 
@@ -94,7 +136,8 @@ def _h_array(h, shapes, beta, dtype):
 
 
 def T_degroot_factory(model, disc, *, h=None, space: str = "w",
-                      dtype=None, jit: bool = True
+                      dtype=None, transcendentals: str = "accurate",
+                      jit: bool = True
                       ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the de Groot fixed-point operator T~ on the discretized grid.
 
@@ -104,15 +147,19 @@ def T_degroot_factory(model, disc, *, h=None, space: str = "w",
     in ``(0, 1/beta)``.
 
     ``space="w"`` iterates on g directly (f64 parity tier);
-    ``space="log"`` on ln g with the expectation chain in log-sum-exp
-    form (the f32/TPU-safe tier, same per-axis LSE structure as the
-    standard operators).
+    ``space="log"`` on ln g with the expectation chain contracted by
+    per-axis log-sum-exp shifts (the f32/TPU-safe tier, the same
+    per-axis LSE structure as the standard operators — exact for any
+    dynamic range of ln g, which reaches ~e^100 scales at production
+    calibrations; docs/math.md §9).
     """
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
     theta, beta = model.theta, model.beta
-    apply_K, shapes = _K_tilde(model, disc)
+    apply_K, apply_K_log, shapes = _K_tilde(model, disc, transcendentals,
+                                            dtype)
     wdtype = dtype or jnp.float64
+    theta_c = jnp.asarray(theta, wdtype)
     hb = _h_array(h, shapes, beta, wdtype) * beta
 
     if space == "w":
@@ -121,12 +168,9 @@ def T_degroot_factory(model, disc, *, h=None, space: str = "w",
             return (1.0 - hb + hb * k ** (1.0 / theta)) ** theta
     else:
         def T(ell):
-            # K~ exp(ell) in log space: one global LSE shift suffices
-            # (no theta amplification here — K~ consumes g itself, so
-            # the exponent range is that of ln g, not theta * ln g).
-            m = jax.lax.stop_gradient(jnp.max(ell))
-            k_log = jnp.log(apply_K(jnp.exp(ell - m))) + m
-            return theta * jnp.log(1.0 - hb + hb * jnp.exp(k_log / theta))
+            k_log = apply_K_log(ell)
+            return theta_c * jnp.log(1.0 - hb
+                                     + hb * jnp.exp(k_log / theta_c))
 
     return jax.jit(T) if jit else T
 
@@ -163,9 +207,9 @@ def existence_check_degroot(model, disc=None, *, grids=None,
     if (disc is None) == (grids is None):
         raise ValueError("pass exactly one of disc or grids")
     if grids is not None:
-        apply_K, shapes = _K_tilde_continuous(model, grids, quad_degree)
+        apply_K, _, shapes = _K_tilde_continuous(model, grids, quad_degree)
     else:
-        apply_K, shapes = _K_tilde(model, disc)
+        apply_K, _, shapes = _K_tilde(model, disc)
     a_bar = 1.0 if h is None else float(jnp.max(jnp.asarray(h)))
     r, it = jax.jit(lambda: power_iteration(apply_K, shapes, tol=tol))()
     S_alt = (float(np.log(model.beta)) + float(np.log(a_bar))
@@ -175,15 +219,29 @@ def existence_check_degroot(model, disc=None, *, grids=None,
                                   iterations=int(it))
 
 
-def _K_tilde_continuous(model, grids, degree):
-    """Continuous (quadrature + interp="pre") untilted-lambda chain."""
+def _K_tilde_continuous(model, grids, degree,
+                        transcendentals: str = "accurate", dtype=None):
+    """Continuous (quadrature + interp="pre") untilted-lambda chain.
+
+    Same ``(apply_K, apply_K_log, shapes)`` contract as :func:`_K_tilde`.
+    """
+    from functools import partial
+
+    from ..ops.contract import lse_matmul
+    lse = partial(lse_matmul, transcendentals=transcendentals)
+
     if isinstance(model, SSY):
         from .continuous_ssy import _factored_arrays_ssy
         arrs = _factored_arrays_ssy(model, grids, degree, None,
                                     tilt_lambda=False)
         P_lam, P_c, P_hz, P_z = (arrs["P_lam"], arrs["P_c"], arrs["P_hz"],
                                  arrs["P_z"])
-        kappa = jnp.exp(arrs["log_A2"][:, None] + arrs["log_A3"][None, :])
+        log_A2, log_A3 = arrs["log_A2"], arrs["log_A3"]
+        if dtype is not None:
+            P_lam, P_c, P_hz, P_z, log_A2, log_A3 = (
+                a.astype(dtype) for a in (P_lam, P_c, P_hz, P_z,
+                                          log_A2, log_A3))
+        kappa = jnp.exp(log_A2[:, None] + log_A3[None, :])
 
         def apply_K(g):                        # g: (l, k, i, j)
             u = jnp.einsum("lL,LKIJ->lKIJ", P_lam, g)
@@ -192,7 +250,15 @@ def _K_tilde_continuous(model, grids, degree):
             u = jnp.einsum("ijJ,lkiJ->lkij", P_z, u)
             return kappa[None, :, None, :] * u
 
-        return apply_K, tuple(len(g) for g in grids)
+        def apply_K_log(a):                    # a = ln g
+            a = lse(P_lam, a, "lL,LKIJ->lKIJ", 0)
+            a = lse(P_c, a, "kK,lKIJ->lkIJ", 1)
+            a = lse(P_hz, a, "iI,lkIJ->lkiJ", 2)
+            a = lse(P_z, a, "ijJ,lkiJ->lkij", 3)
+            return (a + log_A2[None, :, None, None]
+                    + log_A3[None, None, None, :])
+
+        return apply_K, apply_K_log, tuple(len(g) for g in grids)
     if isinstance(model, GCY):
         from .continuous_gcy import _factored_arrays_gcy
         arrs = _factored_arrays_gcy(model, grids, degree, None,
@@ -200,7 +266,12 @@ def _K_tilde_continuous(model, grids, degree):
         P_lam, P_c, P_hz, P_hzpi, P_zpi, P_z = (
             arrs["P_lam"], arrs["P_c"], arrs["P_hz"], arrs["P_hzpi"],
             arrs["P_zpi"], arrs["P_z"])
-        kappa = jnp.exp(arrs["log_A2"][:, None] + arrs["log_A3"][None, :])
+        log_A2, log_A3 = arrs["log_A2"], arrs["log_A3"]
+        if dtype is not None:
+            (P_lam, P_c, P_hz, P_hzpi, P_zpi, P_z, log_A2, log_A3) = (
+                a.astype(dtype) for a in (P_lam, P_c, P_hz, P_hzpi,
+                                          P_zpi, P_z, log_A2, log_A3))
+        kappa = jnp.exp(log_A2[:, None] + log_A3[None, :])
 
         def apply_K(g):                        # g: (l, k, i, y, j, b)
             u = jnp.einsum("lL,LKIYJB->lKIYJB", P_lam, g)
@@ -211,24 +282,39 @@ def _K_tilde_continuous(model, grids, degree):
             u = jnp.einsum("ijbJ,lkiyJb->lkiyjb", P_z, u)
             return kappa[None, :, None, None, :, None] * u
 
-        return apply_K, tuple(len(g) for g in grids)
+        def apply_K_log(a):
+            a = lse(P_lam, a, "lL,LKIYJB->lKIYJB", 0)
+            a = lse(P_c, a, "kK,lKIYJB->lkIYJB", 1)
+            a = lse(P_hz, a, "iI,lkIYJB->lkiYJB", 2)
+            a = lse(P_hzpi, a, "yY,lkiYJB->lkiyJB", 3)
+            a = lse(P_zpi, a, "ybB,lkiyJB->lkiyJb", 5)
+            a = lse(P_z, a, "ijbJ,lkiyJb->lkiyjb", 4)
+            return (a + log_A2[None, :, None, None, None, None]
+                    + log_A3[None, None, None, None, :, None])
+
+        return apply_K, apply_K_log, tuple(len(g) for g in grids)
     raise TypeError(f"unsupported model {type(model).__name__}")
 
 
 def T_degroot_continuous_factory(model, grids, *, h=None,
                                  quad_degree: int = 5, space: str = "w",
-                                 dtype=None, jit: bool = True
+                                 dtype=None,
+                                 transcendentals: str = "accurate",
+                                 jit: bool = True
                                  ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Continuous-state T~ on uniform grids (quadrature + interp="pre"),
     mirroring :func:`T_degroot_factory`'s semantics: the factored
     per-dimension Gauss-Hermite expectation chain with the lambda tilt
     removed, then the de Groot outer map with discount field ``h``
-    (None | scalar | array over the grid, values in (0, 1/beta))."""
+    (None | scalar | array over the grid, values in (0, 1/beta)).
+    ``space="log"`` contracts by per-axis log-sum-exp (f32/TPU tier)."""
     if space not in ("w", "log"):
         raise ValueError(f"unknown space {space!r}")
     theta, beta = model.theta, model.beta
-    apply_K, shapes = _K_tilde_continuous(model, grids, quad_degree)
+    apply_K, apply_K_log, shapes = _K_tilde_continuous(
+        model, grids, quad_degree, transcendentals, dtype)
     wdtype = dtype or jnp.float64
+    theta_c = jnp.asarray(theta, wdtype)
     hb = _h_array(h, shapes, beta, wdtype) * beta
 
     if space == "w":
@@ -237,8 +323,8 @@ def T_degroot_continuous_factory(model, grids, *, h=None,
             return (1.0 - hb + hb * k ** (1.0 / theta)) ** theta
     else:
         def T(ell):
-            m = jax.lax.stop_gradient(jnp.max(ell))
-            k_log = jnp.log(apply_K(jnp.exp(ell - m))) + m
-            return theta * jnp.log(1.0 - hb + hb * jnp.exp(k_log / theta))
+            k_log = apply_K_log(ell)
+            return theta_c * jnp.log(1.0 - hb
+                                     + hb * jnp.exp(k_log / theta_c))
 
     return jax.jit(T) if jit else T

@@ -126,6 +126,32 @@ def test_gcy_degroot_smoke():
                                atol=1e-11)
 
 
+def test_log_tier_f32_per_axis_lse():
+    # The per-axis LSE chain keeps the log tier exact-in-structure at
+    # float32 even where the iterate sits at ln g ~ 110 (the GCY h=1
+    # scale) — the global-shift form this replaced loses headroom as
+    # grid width grows.  f32 evaluation agrees with f64 to ~f32 eps
+    # relative on the output.
+    from sdfs_via_autodiff_tpu.operators.degroot import (
+        T_degroot_continuous_factory)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+
+    model = GCY()
+    sizes = (3, 3, 3, 3, 4, 3)
+    g64 = build_grid_gcy(model, *sizes)
+    g32 = build_grid_gcy(model, *sizes, dtype=jnp.float32)
+    T64 = T_degroot_continuous_factory(model, g64, quad_degree=3,
+                                       space="log")
+    T32 = T_degroot_continuous_factory(model, g32, quad_degree=3,
+                                       space="log", dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ell = 110.0 + rng.standard_normal(sizes)
+    out64 = np.asarray(T64(jnp.asarray(ell)))
+    out32 = np.asarray(T32(jnp.asarray(ell, jnp.float32)))
+    assert out32.dtype == np.float32
+    np.testing.assert_allclose(out32, out64, rtol=2e-6)
+
+
 def test_degroot_driver_end_to_end():
     # Driver parity surface: discrete + continuous kinds through the
     # two-stage log-tier recipe, solution returned in ln g.
