@@ -227,6 +227,40 @@ def test_continuous_log_space_and_solve(rng):
                                atol=1e-11)
 
 
+def test_continuous_gcy_matches_dense_oracle(rng):
+    # 6-D dense-Kron oracle for the conditioned continuous chain:
+    # P_zpi rides current (h_zpi=y, z_pi=b), P_z rides current
+    # (h_z=i, z=j, z_pi=b) — the same conditioning geometry as the
+    # standard GCY quadrature operator.
+    from sdfs_via_autodiff_tpu.operators.continuous_gcy import (
+        _factored_arrays_gcy)
+    from sdfs_via_autodiff_tpu.operators.degroot import (
+        T_degroot_continuous_factory)
+    from sdfs_via_autodiff_tpu.ops.grids import build_grid_gcy
+
+    model = GCY()
+    sizes = (2, 2, 2, 2, 3, 2)
+    grids = build_grid_gcy(model, *sizes)
+    arrs = _factored_arrays_gcy(model, grids, 3, None, tilt_lambda=False)
+    kappa = np.exp(np.asarray(arrs["log_A2"])[:, None]
+                   + np.asarray(arrs["log_A3"])[None, :])      # (k, j)
+    K = np.einsum("lL,kK,iI,yY,ybB,ijbJ->lkiyjbLKIYJB",
+                  np.asarray(arrs["P_lam"]), np.asarray(arrs["P_c"]),
+                  np.asarray(arrs["P_hz"]), np.asarray(arrs["P_hzpi"]),
+                  np.asarray(arrs["P_zpi"]), np.asarray(arrs["P_z"]))
+    K = K * kappa[None, :, None, None, :, None,
+                  None, None, None, None, None, None]
+    n = int(np.prod(sizes))
+
+    T = T_degroot_continuous_factory(model, grids, quad_degree=3)
+    g = np.exp(rng.standard_normal(sizes))
+    theta, beta = model.theta, model.beta
+    k = (K.reshape(n, n) @ g.reshape(-1)).reshape(sizes)
+    expected = (1 - beta + beta * k ** (1 / theta)) ** theta
+    np.testing.assert_allclose(np.asarray(T(jnp.asarray(g))), expected,
+                               rtol=1e-10)
+
+
 def test_continuous_gcy_degroot_smoke():
     from sdfs_via_autodiff_tpu.operators.degroot import (
         T_degroot_continuous_factory)
