@@ -50,7 +50,8 @@ def cmd_solve(args):
             model, shapes, kind=args.kind, h=args.h,
             algorithm=args.algorithm, tol=args.tol, space=args.space,
             quad_degree=args.quad_degree, num_std_devs=args.num_std_devs,
-            discretization=args.discretization)
+            discretization=args.discretization,
+            checkpoint_path=args.checkpoint)
         wall = time.time() - t0
         lg = sol.log_g_star
         out = dict(model=args.model, kind=args.kind, spec="degroot",

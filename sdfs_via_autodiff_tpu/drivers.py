@@ -895,6 +895,7 @@ def degroot_fixed_point(model,
                         g_init_w: float = DEFAULT_INIT_W,
                         sa_warm_tol: float = 1e-6,
                         sa_warm_maxiter: int = 20000,
+                        checkpoint_path: Optional[str] = None,
                         **solver_opts) -> DeGrootSolution:
     """End-to-end solve of the de Groot alternative specification.
 
@@ -947,8 +948,22 @@ def degroot_fixed_point(model,
                         max_iter=sa_warm_maxiter)
             x0 = pre.x
         res = solve(T, x0, method=algorithm, tol=tol, **solver_opts)
-        return DeGrootSolution(log_g_star=res.x, grids=grids, result=res,
-                               space=space)
-    res = solve(T, jnp.exp(ell0), method=algorithm, tol=tol, **solver_opts)
-    return DeGrootSolution(log_g_star=jnp.log(res.x), grids=grids,
-                           result=res, space=space)
+        sol = DeGrootSolution(log_g_star=res.x, grids=grids, result=res,
+                              space=space)
+    else:
+        res = solve(T, jnp.exp(ell0), method=algorithm, tol=tol,
+                    **solver_opts)
+        sol = DeGrootSolution(log_g_star=jnp.log(res.x), grids=grids,
+                              result=res, space=space)
+    if checkpoint_path:
+        # Stored field is ln g* (scale-safe); spec/field markers in meta
+        # keep the checkpoint self-describing next to w* checkpoints.
+        save_solution(checkpoint_path, model, grids or (), sol.log_g_star,
+                      meta=dict(spec="degroot", field="log_g", kind=kind,
+                                shapes=list(shapes), algorithm=algorithm,
+                                tol=tol, space=space,
+                                h=(None if h is None
+                                   else np.asarray(h).tolist()),
+                                iterations=int(res.iterations),
+                                residual=float(res.residual)))
+    return sol

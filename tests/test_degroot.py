@@ -173,6 +173,18 @@ def test_degroot_driver_end_to_end():
     assert np.isfinite(float(jnp.max(sol_c.g_star)))
 
 
+def test_degroot_checkpoint_roundtrip(tmp_path):
+    from sdfs_via_autodiff_tpu.drivers import degroot_fixed_point
+    from sdfs_via_autodiff_tpu.utils.checkpoint import load_solution
+
+    path = str(tmp_path / "degroot.npz")
+    sol = degroot_fixed_point(SSY(), (3, 3, 3, 3), tol=1e-10,
+                              checkpoint_path=path)
+    ckpt = load_solution(path)
+    assert ckpt.meta["spec"] == "degroot" and ckpt.meta["field"] == "log_g"
+    np.testing.assert_array_equal(ckpt.w_star, np.asarray(sol.log_g_star))
+
+
 def test_continuous_matches_dense_oracle(rng):
     from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
         _factored_arrays_ssy)

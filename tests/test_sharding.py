@@ -686,3 +686,26 @@ def test_implicit_gradient_on_sharded_iterate():
     g_sh = grad_for(shard_grid_array(x0, mesh))
     np.testing.assert_allclose(float(g_sh["beta"]), float(g_ref["beta"]),
                                rtol=1e-8)
+
+
+@needs_devices
+def test_degroot_sharded_solve_matches_single_device():
+    # The de Groot chain is the standard per-axis contraction structure
+    # minus the lambda tilt, so the GSPMD mesh path covers it with no
+    # operator changes: sharded Newton solve bit-matches single-device.
+    from sdfs_via_autodiff_tpu.operators.degroot import T_degroot_factory
+
+    model = SSY()
+    disc = discretize_ssy(model, (8, 4, 4, 4))
+    T = T_degroot_factory(model, disc, space="log", h=0.99)
+    ell0 = jnp.full((8, 4, 4, 4),
+                    model.theta * float(np.log((1 - model.beta) * 800.0)))
+    res_single = solve(T, ell0, method="newton", tol=1e-11)
+    assert bool(res_single.converged)
+
+    mesh = make_mesh(8)
+    res_sharded = solve(T, shard_grid_array(ell0, mesh), method="newton",
+                        tol=1e-11)
+    assert bool(res_sharded.converged)
+    np.testing.assert_allclose(np.asarray(res_sharded.x),
+                               np.asarray(res_single.x), atol=1e-12)
