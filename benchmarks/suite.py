@@ -90,6 +90,35 @@ def main(argv=None):
              grad_beta=round(float(gval["beta"]), 4),
              grad_gamma=round(float(gval["gamma"]), 6)))
 
+    # 3c. de Groot alternative-specification family: per-axis-LSE log
+    #     chain throughput (the standard contraction structure minus the
+    #     lambda tilt; new surface — the reference has no implementation
+    #     of its companion paper's alternative aggregator), plus the
+    #     driver's two-stage SA->Newton solve at h=0.99 (bounded: S~
+    #     ~ -0.011 there, so the warm stage stays in the hundreds).
+    from sdfs_via_autodiff_tpu import degroot_fixed_point
+    from sdfs_via_autodiff_tpu.operators.degroot import T_degroot_factory
+    import numpy as _np
+    ddisc = discretize_ssy(ssy, (15, 15, 15, 15))
+    Td = T_degroot_factory(ssy, ddisc, space="log", h=0.99)
+    d0 = jnp.full((15,) * 4,
+                  ssy.theta * float(_np.log((1 - ssy.beta) * 800.0)))
+
+    def dapps(x0):
+        return jax.lax.fori_loop(0, 100, lambda i, v: Td(v), x0)
+
+    s, _ = timed(dapps, d0)
+    add("ssy_degroot_T_15^4_f64log_100apps", s,
+        dict(points=15**4, per_app_ms=round(s / 100 * 1e3, 3)))
+    t0 = time.perf_counter()
+    dsol = degroot_fixed_point(ssy, (15, 15, 15, 15), h=0.99, tol=1e-9)
+    s = time.perf_counter() - t0
+    add("ssy_degroot_solve_15^4_f64log_h0.99", s,
+        dict(points=15**4, converged=bool(dsol.converged),
+             iterations=int(dsol.result.iterations),
+             residual=float(dsol.result.residual),
+             note="includes compile + SA warm stage (driver wall time)"))
+
     # 4. Whole-solve Pallas kernel, continuous 20^4 (reference's largest
     #    recorded config), f32: fixed 20k iterations.
     grids32 = build_grid_ssy(ssy, 20, 20, 20, 20, dtype=jnp.float32)
