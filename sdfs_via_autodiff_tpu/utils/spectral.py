@@ -302,3 +302,62 @@ def stability_exponent_mc(model, *, T: int = 100_000, N: int = 10_000,
     import numpy as np
     S = float(np.log(beta)) + S_lam + (1 - 1 / psi) * S_c
     return dict(S=S, S_lambda=S_lam, S_c=S_c, T=T, N=N)
+
+
+def stability_exponent_transient(*, beta: float, gamma: float, psi: float,
+                                 mu_c: float, sigma_c: float,
+                                 s_lam: float, rho_lam: float
+                                 ) -> StabilityDecomposition:
+    """Closed-form stability exponent for the purely-transient benchmark
+    (companion paper Proposition p:ar1, ``temp.tex:967-1010``):
+    ``g_c = mu_c + sigma_c xi`` IID, preference shocks AR(1).
+
+        S_lambda = theta s_lam^2 / (2 (1 - rho_lam)^2)
+        S_c      = mu_c + (1 - gamma) sigma_c^2 / 2
+        S        = ln beta + S_lambda + (1 - 1/psi) S_c
+
+    Every term is analytic — this is the fixed point the chain-spectral
+    machinery converges to as the discretization refines (exactly, for
+    S_c, on any chain with the transient states frozen: the tilted
+    factor is scalar).
+    """
+    import math
+
+    theta = (1.0 - gamma) / (1.0 - 1.0 / psi)
+    S_lam = theta * s_lam**2 / (2.0 * (1.0 - rho_lam)**2)
+    S_c = mu_c + 0.5 * (1.0 - gamma) * sigma_c**2
+    coeff = 1.0 - 1.0 / psi
+    S = math.log(beta) + S_lam + coeff * S_c
+    return StabilityDecomposition(S=S, ln_beta=math.log(beta),
+                                  S_lambda=S_lam, S_c=S_c,
+                                  coefficient=coeff, S_direct=S,
+                                  exists_unique=bool(S < 0.0))
+
+
+def stability_exponent_constant_vol(*, beta: float, gamma: float,
+                                    psi: float, mu_c: float,
+                                    sigma_c: float, sigma: float,
+                                    rho: float, s_lam: float,
+                                    rho_lam: float
+                                    ) -> StabilityDecomposition:
+    """Closed-form stability exponent for the constant-volatility
+    long-run-risk benchmark (companion paper ``temp.tex:1101-1138``,
+    Bansal–Yaron §I.A dynamics): ``g_c = mu_c + z + sigma_c xi`` with
+    ``z' = rho z + sigma eta``.  Relative to the purely-transient case
+    the consumption channel gains the long-run term
+    ``sigma^2 / (1 - rho)^2``:
+
+        S_c = mu_c + (1 - gamma)(sigma_c^2 + sigma^2/(1-rho)^2) / 2.
+    """
+    import math
+
+    theta = (1.0 - gamma) / (1.0 - 1.0 / psi)
+    S_lam = theta * s_lam**2 / (2.0 * (1.0 - rho_lam)**2)
+    S_c = mu_c + 0.5 * (1.0 - gamma) * (sigma_c**2
+                                        + sigma**2 / (1.0 - rho)**2)
+    coeff = 1.0 - 1.0 / psi
+    S = math.log(beta) + S_lam + coeff * S_c
+    return StabilityDecomposition(S=S, ln_beta=math.log(beta),
+                                  S_lambda=S_lam, S_c=S_c,
+                                  coefficient=coeff, S_direct=S,
+                                  exists_unique=bool(S < 0.0))

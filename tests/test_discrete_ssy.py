@@ -311,3 +311,50 @@ def test_stability_exponent_mc_triple_crosscheck():
     np.testing.assert_allclose(dec.S_lambda, S_lam_exact, atol=1e-8)
     np.testing.assert_allclose(mc["S"], dec.S, atol=1e-5)
     np.testing.assert_allclose(mc["S_lambda"], S_lam_exact, atol=2e-6)
+
+
+def test_stability_closed_forms_match_chain():
+    # Companion-paper Applications closed forms (temp.tex:967-1138):
+    # purely-transient (Prop p:ar1) and constant-volatility long-run
+    # risk.  Cross-checked against the chain-spectral decomposition on
+    # degenerate damped calibrations where the Rouwenhorst chain
+    # converges to the Gaussian formulas.
+    import dataclasses
+
+    from sdfs_via_autodiff_tpu.utils.spectral import (
+        stability_decomposition, stability_exponent_constant_vol,
+        stability_exponent_transient)
+
+    base = dict(s_lam=4e-5, rho_lam=SSY().rho_lam)
+
+    # Purely transient: freeze h_c, h_z and kill z entirely.  The
+    # consumption-channel tilt is then scalar on the chain, so S_c
+    # matches EXACTLY; S_lambda converges at the damped calibration.
+    m_tr = dataclasses.replace(SSY(), s_lam=4e-5, s_c=0.0, s_z=0.0,
+                               phi_z=0.0)
+    cf = stability_exponent_transient(beta=m_tr.beta, gamma=m_tr.gamma,
+                                      psi=m_tr.psi, mu_c=m_tr.mu_c,
+                                      sigma_c=m_tr.phi_c, **base)
+    dec = stability_decomposition(m_tr, discretize_ssy(m_tr, (8, 1, 1, 1)))
+    np.testing.assert_allclose(dec.S_c, cf.S_c, atol=1e-12)
+    np.testing.assert_allclose(dec.S_lambda, cf.S_lambda, atol=1e-8)
+    np.testing.assert_allclose(dec.S, cf.S, atol=1e-8)
+    assert cf.exists_unique == dec.exists_unique
+
+    # Constant-vol LRR: keep z as a damped constant-volatility AR(1)
+    # (h_z frozen at 0 so sigma_z = phi_z).
+    m_cv = dataclasses.replace(SSY(), s_lam=4e-5, s_c=0.0, s_z=0.0,
+                               phi_z=2e-4, rho=0.9)
+    cf_cv = stability_exponent_constant_vol(
+        beta=m_cv.beta, gamma=m_cv.gamma, psi=m_cv.psi, mu_c=m_cv.mu_c,
+        sigma_c=m_cv.phi_c, sigma=m_cv.phi_z, rho=m_cv.rho, **base)
+    dec_cv = stability_decomposition(m_cv,
+                                     discretize_ssy(m_cv, (8, 1, 1, 12)))
+    np.testing.assert_allclose(dec_cv.S_c, cf_cv.S_c, atol=1e-7)
+    np.testing.assert_allclose(dec_cv.S, cf_cv.S, atol=1e-7)
+
+    # sigma -> 0 collapses constant-vol onto the transient formula.
+    cf0 = stability_exponent_constant_vol(
+        beta=m_tr.beta, gamma=m_tr.gamma, psi=m_tr.psi, mu_c=m_tr.mu_c,
+        sigma_c=m_tr.phi_c, sigma=0.0, rho=0.5, **base)
+    np.testing.assert_allclose(cf0.S, cf.S, rtol=1e-15)
