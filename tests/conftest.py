@@ -31,6 +31,7 @@ SLOW_MODULES = {
     "test_post_interp", "test_continuous_ssy", "test_continuous_gcy",
     "test_kernels", "test_reference_anchors", "test_cli",
     "test_sdf_pipeline", "test_krylov", "test_calibration",
+    "test_degroot",
 }
 
 

@@ -35,6 +35,7 @@ def _dense_K_ssy(model, disc):
     return K.reshape(n, n)
 
 
+@pytest.mark.fast
 def test_operator_matches_dense_oracle(setup, rng):
     model, disc = setup
     T = T_degroot_factory(model, disc)
@@ -47,6 +48,7 @@ def test_operator_matches_dense_oracle(setup, rng):
                                rtol=1e-10)
 
 
+@pytest.mark.fast
 def test_h1_no_lambda_maps_to_standard_fixed_point():
     # With h == 1 and no preference shocks the de Groot solution is
     # g* = ((1-beta) w*)^theta for the standard fixed point w* (module
@@ -185,6 +187,7 @@ def test_degroot_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(ckpt.w_star, np.asarray(sol.log_g_star))
 
 
+@pytest.mark.fast
 def test_continuous_matches_dense_oracle(rng):
     from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
         _factored_arrays_ssy)
