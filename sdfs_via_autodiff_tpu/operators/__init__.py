@@ -17,5 +17,7 @@ from .post_interp import (make_node_chain_T_ssy, node_basis_ssy,
 __all__ += ["make_node_chain_T_ssy", "node_basis_ssy",
             "ssy_quadrature_nodes"]
 
-from .degroot import T_degroot_factory, existence_check_degroot
-__all__ += ["T_degroot_factory", "existence_check_degroot"]
+from .degroot import (T_degroot_factory, T_degroot_continuous_factory,
+                      existence_check_degroot)
+__all__ += ["T_degroot_factory", "T_degroot_continuous_factory",
+            "existence_check_degroot"]

@@ -36,7 +36,7 @@ degree-1 homogeneity of ``t -> (K~ t^theta)^(1/theta)`` gives
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Union
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,7 @@ def _K_tilde(model, disc, transcendentals: str = "accurate", dtype=None):
     lse = partial(lse_matmul, transcendentals=transcendentals)
 
     if isinstance(model, SSY):
-        from .discrete_ssy import _ssy_factors
+        from .discrete_ssy import _hw_theta_factored, _ssy_factors
         _, A2, A3 = _ssy_factors(model, disc)
         Ql, Qc, Qhz, zP = (disc.h_lam_Q, disc.h_c_Q, disc.h_z_Q, disc.z_P)
         log_A2, log_A3 = jnp.log(A2), jnp.log(A3)
@@ -72,11 +72,8 @@ def _K_tilde(model, disc, transcendentals: str = "accurate", dtype=None):
                                           log_A2, log_A3))
 
         def apply_K(v):                        # v: (l, k, i, j)
-            u = jnp.einsum("lm,mkij->lkij", Ql, v)
-            u = jnp.einsum("km,lmij->lkij", Qc, u)
-            u = jnp.einsum("im,lkmj->lkij", Qhz, u)
-            u = jnp.einsum("jm,lkim->lkij", zP, u)
-            return A2[None, :, None, None] * A3[None, None, :, :] * u
+            # the canonical chain with plain Q_lam in place of B_lam
+            return _hw_theta_factored(v, Ql, Qc, Qhz, zP, A2, A3)
 
         def apply_K_log(a):                    # a = ln g
             a = lse(Ql, a, "lm,mkij->lkij", 0)
@@ -123,6 +120,30 @@ def _K_tilde(model, disc, transcendentals: str = "accurate", dtype=None):
     raise TypeError(f"unsupported model {type(model).__name__}")
 
 
+def _degroot_T(model, h, space, dtype, apply_K, apply_K_log, shapes,
+               jit):
+    """The de Groot outer map over a prepared K~ chain (shared by the
+    discrete and continuous factories)."""
+    if space not in ("w", "log"):
+        raise ValueError(f"unknown space {space!r}")
+    theta, beta = model.theta, model.beta
+    wdtype = dtype or jnp.float64
+    theta_c = jnp.asarray(theta, wdtype)
+    hb = _h_array(h, shapes, beta, wdtype) * beta
+
+    if space == "w":
+        def T(g):
+            k = apply_K(g)
+            return (1.0 - hb + hb * k ** (1.0 / theta)) ** theta
+    else:
+        def T(ell):
+            k_log = apply_K_log(ell)
+            return theta_c * jnp.log(1.0 - hb
+                                     + hb * jnp.exp(k_log / theta_c))
+
+    return jax.jit(T) if jit else T
+
+
 def _h_array(h, shapes, beta, dtype):
     if h is None:
         h = 1.0
@@ -153,26 +174,10 @@ def T_degroot_factory(model, disc, *, h=None, space: str = "w",
     dynamic range of ln g, which reaches ~e^100 scales at production
     calibrations; docs/math.md §9).
     """
-    if space not in ("w", "log"):
-        raise ValueError(f"unknown space {space!r}")
-    theta, beta = model.theta, model.beta
     apply_K, apply_K_log, shapes = _K_tilde(model, disc, transcendentals,
                                             dtype)
-    wdtype = dtype or jnp.float64
-    theta_c = jnp.asarray(theta, wdtype)
-    hb = _h_array(h, shapes, beta, wdtype) * beta
-
-    if space == "w":
-        def T(g):
-            k = apply_K(g)
-            return (1.0 - hb + hb * k ** (1.0 / theta)) ** theta
-    else:
-        def T(ell):
-            k_log = apply_K_log(ell)
-            return theta_c * jnp.log(1.0 - hb
-                                     + hb * jnp.exp(k_log / theta_c))
-
-    return jax.jit(T) if jit else T
+    return _degroot_T(model, h, space, dtype, apply_K, apply_K_log,
+                      shapes, jit)
 
 
 @dataclasses.dataclass
@@ -308,23 +313,7 @@ def T_degroot_continuous_factory(model, grids, *, h=None,
     removed, then the de Groot outer map with discount field ``h``
     (None | scalar | array over the grid, values in (0, 1/beta)).
     ``space="log"`` contracts by per-axis log-sum-exp (f32/TPU tier)."""
-    if space not in ("w", "log"):
-        raise ValueError(f"unknown space {space!r}")
-    theta, beta = model.theta, model.beta
     apply_K, apply_K_log, shapes = _K_tilde_continuous(
         model, grids, quad_degree, transcendentals, dtype)
-    wdtype = dtype or jnp.float64
-    theta_c = jnp.asarray(theta, wdtype)
-    hb = _h_array(h, shapes, beta, wdtype) * beta
-
-    if space == "w":
-        def T(g):
-            k = apply_K(g)
-            return (1.0 - hb + hb * k ** (1.0 / theta)) ** theta
-    else:
-        def T(ell):
-            k_log = apply_K_log(ell)
-            return theta_c * jnp.log(1.0 - hb
-                                     + hb * jnp.exp(k_log / theta_c))
-
-    return jax.jit(T) if jit else T
+    return _degroot_T(model, h, space, dtype, apply_K, apply_K_log,
+                      shapes, jit)
