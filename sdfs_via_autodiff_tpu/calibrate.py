@@ -79,9 +79,10 @@ def calibrate_moments(model,
     moments of w* hit ``targets`` (keys among ``{"mean", "std"}``).
 
     Damped Gauss-Newton on the normalized residuals: each iteration costs
-    one fixed-point solve for the residual plus one solve and
-    ``len(targets)`` adjoint Krylov solves for the Jacobian
-    (``jax.jacrev`` through :func:`drivers.wc_ratio_differentiable`).
+    one fixed-point solve per damping trial (which also yields the next
+    residual) plus ``len(targets)`` adjoint Krylov solves for the
+    Jacobian — the ``jax.vjp`` pullback is held from the accepted point,
+    so no primal solve is ever repeated.
     Returns ``(calibrated_model, info)`` where ``info`` carries the
     residual/parameter history and convergence flag.
 
@@ -98,12 +99,6 @@ def calibrate_moments(model,
     if len(targets) > len(fields):
         raise ValueError(f"{len(targets)} targets need >= that many "
                          f"fields; got {list(fields)}")
-
-    wc_fn, p0 = wc_ratio_differentiable(model, grid_sizes, fields=fields,
-                                        kind=kind, **diff_opts)
-    _, dim = _next_state_fn(model)
-    key = jax.random.PRNGKey(seed)
-    draws = jax.random.normal(key, (dim, num_draws), dtype=jnp.float64)
     if kind != "continuous":
         # The one-step moment methodology interpolates a continuous field
         # (the reference's anchors are continuous-model moments); the
@@ -111,11 +106,16 @@ def calibrate_moments(model,
         # tensor-product grid, so multilinear interpolation over them is
         # ill-posed.
         raise ValueError("calibrate_moments requires kind='continuous'")
-    from .ops.grids import build_grid_gcy, build_grid_ssy
-    builder = build_grid_ssy if isinstance(model, SSY) else build_grid_gcy
-    grids = builder(model, *grid_sizes,
-                    num_std_devs=diff_opts.get("num_std_devs", 3.2),
-                    dtype=jnp.float64)
+
+    wc_fn, p0 = wc_ratio_differentiable(model, grid_sizes, fields=fields,
+                                        kind=kind, **diff_opts)
+    _, dim = _next_state_fn(model)
+    key = jax.random.PRNGKey(seed)
+    draws = jax.random.normal(key, (dim, num_draws), dtype=jnp.float64)
+    # Interpolate on the exact grids the differentiable solve collocates
+    # on (no rebuild — a drifting num_std_devs default would silently
+    # skew the interpolated moments).
+    grids = wc_fn.grids
 
     names = list(fields)
     keys_t = [k for k in ("mean", "std") if k in targets]
@@ -131,34 +131,43 @@ def calibrate_moments(model,
         return jnp.stack([(vals[k] - targets[k]) / s
                           for k, s in zip(keys_t, scale)])
 
-    res_jac = jax.jacrev(residual)
-
     pvec = jnp.asarray([float(p0[n]) for n in names])
-    r = residual(pvec)
+    # One jax.vjp per primal point gives BOTH the residual value and the
+    # Jacobian pullback — each Jacobian row is then one adjoint Krylov
+    # solve with NO redundant fixed-point re-solve (jacrev would re-run
+    # the primal solve the accept step already paid for).
+    r, r_pullback = jax.vjp(residual, pvec)
+    n_t = len(keys_t)
+
+    def jac_rows(pullback):
+        eye = np.eye(n_t)
+        return np.stack([np.asarray(pullback(jnp.asarray(eye[k]))[0])
+                         for k in range(n_t)])
+
     cost = float(jnp.sum(r ** 2))
     lam = init_damping
-    history = [dict(step=0, cost=cost,
+    history = [dict(step=0, cost=cost, accepted=True,
                     p={n: float(v) for n, v in zip(names, pvec)})]
     converged = cost <= rtol ** 2
     for it in range(1, max_steps + 1):
         if converged:
             break
-        J = np.asarray(res_jac(pvec))
+        J = jac_rows(r_pullback)
         rn = np.asarray(r)
         accepted = False
         for _ in range(8):                       # LM damping adaptation
             A = J.T @ J + lam * np.eye(len(names))
             dp = -np.linalg.solve(A, J.T @ rn)
             cand = pvec + jnp.asarray(dp)
-            r_new = residual(cand)
+            r_new, pb_new = jax.vjp(residual, cand)
             cost_new = float(jnp.sum(r_new ** 2))
             if np.isfinite(cost_new) and cost_new < cost:
-                pvec, r, cost = cand, r_new, cost_new
+                pvec, r, r_pullback, cost = cand, r_new, pb_new, cost_new
                 lam = max(lam / 4.0, 1e-12)
                 accepted = True
                 break
             lam *= 8.0
-        history.append(dict(step=it, cost=cost,
+        history.append(dict(step=it, cost=cost, accepted=accepted,
                             p={n: float(v) for n, v in zip(names, pvec)}))
         if verbose:
             print(f"[calibrate] step {it}: cost {cost:.3e} lam {lam:.1e}")
@@ -171,5 +180,6 @@ def calibrate_moments(model,
     calibrated = dataclasses.replace(
         model, **{n: float(v) for n, v in zip(names, pvec)})
     info = dict(converged=bool(converged), cost=cost,
-                steps=len(history) - 1, history=history)
+                steps=sum(1 for hh in history[1:] if hh["accepted"]),
+                history=history)
     return calibrated, info

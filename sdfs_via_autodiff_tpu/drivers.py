@@ -689,6 +689,10 @@ def wc_ratio_differentiable(model,
             **solver_opts)
         return jnp.exp(x_star) if space == "log" else x_star
 
+    # The grids the returned field is collocated on (continuous kind);
+    # downstream moment pipelines must interpolate on THESE, not rebuild
+    # their own (calibrate.py).  None for the discrete kind.
+    wc_fn.grids = grids if kind == "continuous" else None
     p0 = {f: jnp.asarray(getattr(model, f), gdtype) for f in fields}
     return wc_fn, p0
 

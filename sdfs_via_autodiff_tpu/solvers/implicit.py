@@ -48,6 +48,27 @@ def _adjoint_atol(b, rtol):
     return rtol * nb
 
 
+def _check_krylov_residual(matvec, x, b, atol, label):
+    """Surface a stagnated Krylov solve instead of silently returning a
+    wrong gradient: with beta ~ 1 the system (I - A) is nearly singular
+    and BiCGStab can exhaust maxiter far from tolerance.  One extra
+    matvec; warns (traced-safe) when the true residual exceeds 10x the
+    target."""
+    r = b - matvec(x)
+    rn = jnp.sqrt(jnp.sum(r.astype(jnp.float64) ** 2))
+    bad = rn > 10.0 * jnp.maximum(atol, jnp.asarray(1e-300))
+
+    def _warn(_):
+        jax.debug.print(
+            "implicit {l} Krylov solve stagnated: |residual|={r:.3e} > "
+            "10x atol={a:.3e}; gradients may be inaccurate (raise "
+            "adjoint_maxiter or relax adjoint_rtol)", l=label, r=rn,
+            a=atol)
+
+    jax.lax.cond(bad, _warn, lambda _: None, operand=None)
+    return x
+
+
 def implicit_fixed_point(T_of_p: Callable, p, x0, *,
                          method: str = "newton",
                          tol: float = 1e-7,
@@ -88,9 +109,10 @@ def implicit_fixed_point(T_of_p: Callable, p, x0, *,
         q, x_star = saved
         _, vjp_x = jax.vjp(lambda x: T_of_p(q, x), x_star)
         matvec = lambda u: u - vjp_x(u)[0]
-        u, _ = bicgstab_mixed(matvec, ct,
-                              atol=_adjoint_atol(ct, adjoint_rtol),
+        atol = _adjoint_atol(ct, adjoint_rtol)
+        u, _ = bicgstab_mixed(matvec, ct, atol=atol,
                               maxiter=adjoint_maxiter)
+        u = _check_krylov_residual(matvec, u, ct, atol, "adjoint")
         _, vjp_p = jax.vjp(lambda r: T_of_p(r, x_star), q)
         return (vjp_p(u)[0],)
 
@@ -111,6 +133,6 @@ def implicit_sensitivity(T_of_p: Callable, p, dp, x_star, *,
     """
     b = jax.jvp(lambda q: T_of_p(q, x_star), (p,), (dp,))[1]
     matvec = lambda v: v - jax.jvp(lambda x: T_of_p(p, x), (x_star,), (v,))[1]
-    dx, _ = bicgstab_mixed(matvec, b, atol=_adjoint_atol(b, rtol),
-                           maxiter=maxiter)
-    return dx
+    atol = _adjoint_atol(b, rtol)
+    dx, _ = bicgstab_mixed(matvec, b, atol=atol, maxiter=maxiter)
+    return _check_krylov_residual(matvec, dx, b, atol, "tangent")

@@ -160,3 +160,28 @@ def test_discrete_rejects_dynamics_fields():
     with pytest.raises(ValueError, match="preference fields"):
         wc_ratio_differentiable(SSY(), (4, 4, 4, 4), fields=("rho_z",),
                                 kind="discrete")
+
+
+def test_adjoint_stagnation_warns(capfd):
+    # A stagnated adjoint Krylov solve must not silently return a wrong
+    # gradient: the residual check surfaces it (and stays quiet when the
+    # solve converges).
+    rng = np.random.default_rng(0)
+    Q, _ = np.linalg.qr(rng.standard_normal((40, 40)))
+    M = jnp.asarray(Q @ np.diag(np.linspace(0.2, 0.999, 40)) @ Q.T)
+    T = lambda p, x: M @ x + p
+
+    def grad_with(mi):
+        return jax.grad(lambda p: jnp.sum(implicit_fixed_point(
+            T, p, jnp.zeros(40), tol=1e-13, adjoint_maxiter=mi)))(
+                jnp.ones(40))
+
+    grad_with(3)
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "stagnated" in out.out + out.err
+
+    grad_with(300)
+    jax.effects_barrier()
+    out = capfd.readouterr()
+    assert "stagnated" not in out.out + out.err
