@@ -174,6 +174,10 @@ def _pair_config(ops: TwoPhaseOperands):
     configuration)."""
     n_r1, n_r2, IY, C2 = ops.shapes
     n_i, n_y, n_b, n_j = ops.pair_shapes
+    if ops.has_mid:
+        # mid_col sits between the two column contractions and is not
+        # plumbed through the pair passes (same boundary as deferred).
+        return None
     if n_j % 128 or n_r2 % 8 or IY % 8:
         return None
     R = n_r1 * n_r2
@@ -722,6 +726,28 @@ def _c_kernel_pair(theta, beta, prec, trx, shapes, pair_shapes, TC,
                   pltpu.VMEM((R, g), jnp.float32))
 
 
+def pair_device_operands(ops, cast):
+    """Host-side layout prep for the pair kind's pass-C operands — the
+    ONE place that encodes `_c_kernel_pair`'s expected layouts:
+
+    - ``PzT``: P_z transposed (i, j, b, J) -> (i, b, J, j), the kernel's
+      per-current-z_pi z' MXU dot;
+    - ``PzpiS``: P_zpi tiled so row q = i*n_y + y holds P_zpi[y] — the
+      kernel indexes its (g, n_b, n_b) block statically (no dynamic VMEM
+      slicing), which is only correct against exactly this tiling.
+
+    Shared by the single-device factory and the sharded member builder
+    (parallel/shard_ops) so the layout contract cannot drift.
+    """
+    import numpy as _np
+    P_z, P_zpi = ops.pair_c2
+    PzT = cast(_np.ascontiguousarray(
+        _np.asarray(P_z, _np.float64).transpose(0, 2, 3, 1)))
+    PzpiS = cast(_np.tile(_np.asarray(P_zpi, _np.float64),
+                          (ops.pair_shapes[0], 1, 1)))
+    return PzpiS, PzT
+
+
 def build_c_call_pair(*, shapes, pair_shapes, C_cols: int, g: int,
                       theta: float, beta: float, prec, trx, dtype,
                       interpret: bool = False):
@@ -865,7 +891,7 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         b_args.append(W_c2)
     if has_sub:
         b_args += [sub_row, sub_col]
-    if has_mid and not deferred:
+    if has_mid and not (deferred or pair):
         b_args.append(mid_col)
     if deferred or pair:
         b_call, TB = build_b_call_deferred(
@@ -883,16 +909,7 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
             shapes=ops.shapes, pair_shapes=ops.pair_shapes, C_cols=C,
             g=cfg["g"], theta=theta_f, beta=beta_f, prec=prec, trx=trx,
             dtype=dtype, interpret=interpret)
-        P_z, P_zpi = ops.pair_c2
-        # (i, j, b, J) -> (i, b, J, j): the kernel's per-b z' dot.
-        PzT = cast(np.ascontiguousarray(
-            np.asarray(P_z, np.float64).transpose(0, 2, 3, 1)))
-        # z_pi weights pre-expanded per c1 slice (q = i*n_y + y -> row
-        # q holds P_zpi[y]): the kernel indexes its (g, n_b, n_b) block
-        # statically — no dynamic VMEM slicing.
-        n_i_p = ops.pair_shapes[0]
-        PzpiS = cast(np.tile(np.asarray(P_zpi, np.float64),
-                             (n_i_p, 1, 1)))
+        PzpiS, PzT = pair_device_operands(ops, cast)
         pair_args = [PzpiS, PzT]
         Z2 = None
     else:

@@ -95,6 +95,13 @@ class TwoPhaseOperands:
         return self.mid_col is not None
 
 
+def _kron(X, Y):
+    """Dense Kronecker product (row-major pairing) in float64."""
+    return np.einsum("aA,bB->abAB", np.asarray(X, np.float64),
+                     np.asarray(Y, np.float64)).reshape(
+        X.shape[0] * Y.shape[0], X.shape[1] * Y.shape[1])
+
+
 def _warn_ssy_f32_envelope(model, disc) -> None:
     """Warn when theta * (within-column-group log-w span) exceeds exp's
     f32 range for the plain SSY operands (the GCY builder's guard,
@@ -298,11 +305,7 @@ def two_phase_operands_gcy_continuous(model, grids, degree: int = 5,
     IY, C2 = n_i * n_y, n_b * n_j
     theta, beta = float(model.theta), float(model.beta)
     arrs = _factored_arrays_gcy(model, grids, degree, baseline)
-    kron = lambda X, Y: np.einsum(
-        "aA,bB->abAB", np.asarray(X, np.float64),
-        np.asarray(Y, np.float64)).reshape(X.shape[0] * Y.shape[0],
-                                           X.shape[1] * Y.shape[1])
-    W_c1 = kron(arrs["P_hz"], arrs["P_hzpi"])
+    W_c1 = _kron(arrs["P_hz"], arrs["P_hzpi"])
     P_z = np.asarray(arrs["P_z"], np.float64)        # (i, j, b, J)
     P_zpi = np.asarray(arrs["P_zpi"], np.float64)    # (y, b, B)
     log_A2 = np.asarray(arrs["log_A2"], np.float64)  # (k,)
@@ -406,12 +409,8 @@ def two_phase_operands_gcy(model, disc, baseline: Optional[str] = None,
 
     n_a, n_b, n_c, n_d, n_e, n_l = disc.shapes
     B_lam, A2, A3 = _gcy_factors(model, disc)
-    kron = lambda X, Y: np.einsum(
-        "aA,bB->abAB", np.asarray(X, np.float64),
-        np.asarray(Y, np.float64)).reshape(X.shape[0] * Y.shape[0],
-                                           X.shape[1] * Y.shape[1])
-    W_c1 = kron(disc.z_P, disc.z_pi_P)
-    W_c2 = kron(disc.h_z_Q, disc.h_zpi_Q)
+    W_c1 = _kron(disc.z_P, disc.z_pi_P)
+    W_c2 = _kron(disc.h_z_Q, disc.h_zpi_Q)
     # log_A2 over d -> rows; log_A3 over current (a, b, c, e) -> columns.
     add_row = np.broadcast_to(
         np.log(np.asarray(A2, np.float64))[:, None], (n_d, n_l)).copy()
@@ -529,18 +528,14 @@ def _two_phase_operands_gcy_normalized(model, disc,
     W_r2 = (np.asarray(B_lam, np.float64)
             * np.exp(theta * (phi_l[None, :] - phi_l[:, None])))
 
-    # Column factors: W_c1[q'] = kron(zP, zpiP) conjugated by
-    # e^{theta g(., q')} (batched over NEXT c2); W_c2[p] = kron(Qhz,
+    # Column factors: W_c1[q'] = _kron(zP, zpiP) conjugated by
+    # e^{theta g(., q')} (batched over NEXT c2); W_c2[p] = _kron(Qhz,
     # Qhzpi) conjugated by e^{theta g(p, .)} (batched over CURRENT c1),
     # with the pure-q parts phi_c + phi_e as a batch-constant
     # conjugation folded into the shared log0.
-    kron = lambda X, Y: np.einsum(
-        "aA,bB->abAB", np.asarray(X, np.float64),
-        np.asarray(Y, np.float64)).reshape(X.shape[0] * Y.shape[0],
-                                           X.shape[1] * Y.shape[1])
     with np.errstate(divide="ignore"):
-        logWc1 = np.log(kron(disc.z_P, disc.z_pi_P))            # (P, P')
-        logWc2 = np.log(kron(disc.h_z_Q, disc.h_zpi_Q))         # (Q, Q')
+        logWc1 = np.log(_kron(disc.z_P, disc.z_pi_P))            # (P, P')
+        logWc2 = np.log(_kron(disc.h_z_Q, disc.h_zpi_Q))         # (Q, Q')
     phi_ce = np.broadcast_to(parts["phi_c_"][:, None],
                              (n_c, n_e)).copy()
     phi_ce = (phi_ce + parts["phi_e"][None, :]).reshape(Q)

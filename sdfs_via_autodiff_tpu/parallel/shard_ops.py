@@ -294,12 +294,9 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         Pzpim = jnp.zeros((n_dev, 1, 1), work)
         PzTm = jnp.zeros((n_dev, 1, 1, 1), work)
         if pair:
+            from ..kernels.streamed_two_phase import pair_device_operands
             Z2m = jnp.zeros((n_dev, 1, 1), work)
-            P_zm, P_zpim = om.pair_c2
-            Pzpim = cast(np.tile(np.asarray(P_zpim, np.float64),
-                                 (om.pair_shapes[0], 1, 1)))
-            PzTm = cast(np.ascontiguousarray(
-                np.asarray(P_zm, np.float64).transpose(0, 2, 3, 1)))
+            Pzpim, PzTm = pair_device_operands(om, cast)
         elif c2_batched:
             Z2m = cast(blockdiag_z(np.asarray(om.W_c2, np.float64), TC))
         elif deferred:
