@@ -33,6 +33,25 @@ def _parse_shapes(s: str):
     return tuple(int(x) for x in s.split(","))
 
 
+def _model_from_ckpt(ckpt):
+    """Reconstruct the EXACT calibration the checkpoint was solved at —
+    its stored model_params, not the family defaults (a non-default
+    checkpoint priced under default dynamics is silently wrong)."""
+    from .models.gcy import GCY
+    from .models.ssy import SSY
+    fam = {"ssy": SSY, "gcy": GCY}[ckpt.model_name.lower()]
+    return fam(**ckpt.model_params)
+
+
+def _reject_degroot_ckpt(ckpt, what):
+    if ckpt.meta.get("spec") == "degroot":
+        raise SystemExit(
+            f"checkpoint stores the de Groot fixed point as ln g* "
+            f"(meta.field={ckpt.meta.get('field')!r}); {what} interprets "
+            "the stored field as the W/C ratio w* and would produce "
+            "garbage — no de Groot pricing pipeline exists yet")
+
+
 def cmd_solve(args):
     from .drivers import wc_ratio_continuous, wc_ratio_discrete
 
@@ -46,6 +65,17 @@ def cmd_solve(args):
     t0 = time.time()
     if getattr(args, "spec", "standard") == "degroot":
         from .drivers import degroot_fixed_point
+        dropped = [flag for flag, off in (
+            ("--kernel", args.kernel == "xla"),
+            ("--baseline", args.baseline is None),
+            ("--polish", args.polish is None),
+            ("--method", args.method == "quadrature"),
+            ("--interp", args.interp == "pre"),
+            ("--engine", args.engine == "auto")) if not off]
+        if dropped:
+            raise SystemExit(
+                f"--spec degroot does not support {', '.join(dropped)} "
+                "(plain XLA log-tier solve only)")
         sol = degroot_fixed_point(
             model, shapes, kind=args.kind, h=args.h,
             algorithm=args.algorithm, tol=args.tol, space=args.space,
@@ -97,7 +127,8 @@ def cmd_simulate(args):
     from .utils.checkpoint import load_solution
 
     ckpt = load_solution(args.checkpoint)
-    model = _model(ckpt.model_name.lower())
+    _reject_degroot_ckpt(ckpt, "simulate")
+    model = _model_from_ckpt(ckpt)
     f = construct_wstar_callable(datafile=args.checkpoint)
     mean, std = simulated_w_moments(model, f, num_steps=args.steps,
                                     seed=args.seed)
@@ -113,8 +144,9 @@ def cmd_price(args):
     from .utils.checkpoint import load_solution
 
     ckpt = load_solution(args.checkpoint)
+    _reject_degroot_ckpt(ckpt, "price")
     name = ckpt.model_name.lower()
-    model = _model(name)
+    model = _model_from_ckpt(ckpt)
     f = construct_wstar_callable(datafile=args.checkpoint)
     dim = 4 if name == "ssy" else 6
     if args.state is None:
@@ -144,6 +176,11 @@ def cmd_check(args):
 
     model = _model(args.model)
     shapes = _parse_shapes(args.shapes)
+    want = 4 if args.model == "ssy" else 6
+    if len(shapes) != want:
+        raise SystemExit(
+            f"--shapes for {args.model} needs {want} comma-separated sizes "
+            f"(got {len(shapes)}: {args.shapes})")
     disc = grids = None
     if args.kind == "discrete":
         disc = (discretize_ssy if args.model == "ssy" else discretize_gcy)(
@@ -152,6 +189,12 @@ def cmd_check(args):
         grids = (build_grid_ssy if args.model == "ssy" else build_grid_gcy)(
             model, *shapes, num_std_devs=args.num_std_devs)
     if args.spec == "degroot":
+        if args.decompose:
+            raise SystemExit("--decompose applies to the standard "
+                             "specification's S (the channel split "
+                             "assumes the lambda tilt); S~ already IS "
+                             "the decomposed form ln beta + ln sup h "
+                             "+ ln r(K~)/theta")
         from .operators.degroot import existence_check_degroot
         rep = existence_check_degroot(model, disc, grids=grids,
                                       quad_degree=args.quad_degree,

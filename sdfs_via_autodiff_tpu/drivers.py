@@ -241,8 +241,6 @@ def wc_ratio_discrete(model,
                                     iterations=int(sol.result.iterations),
                                     residual=float(sol.result.residual)))
         return sol
-    if baseline is not None:
-        solver_opts["baseline"] = baseline   # XLA factories take it below
     # The discretization is always built in float64: the grid ladders
     # define the discrete model, and f32-rounded ladders shift its fixed
     # point by up to ~1e-2 after the beta ~ 1 amplification (measured on
@@ -251,11 +249,11 @@ def wc_ratio_discrete(model,
     if isinstance(model, SSY):
         disc = discretize_ssy(model, tuple(shapes), method=discretization)
         T = T_ssy_factory(model, disc, space=space, dtype=dtype,
-                          baseline=solver_opts.pop("baseline", None))
+                          baseline=baseline)
     elif isinstance(model, GCY):
         disc = discretize_gcy(model, tuple(shapes), method=discretization)
         T = T_gcy_factory(model, disc, space=space, dtype=dtype,
-                          baseline=solver_opts.pop("baseline", None))
+                          baseline=baseline)
     else:
         raise TypeError(f"unsupported model {type(model).__name__}")
 
@@ -374,26 +372,38 @@ def wc_ratio_continuous(model,
                 w_init=jnp.asarray(np.asarray(fast.w_star), jnp.float64),
                 checkpoint_path=checkpoint_path,
                 **_newton_applicable(solver_opts))
+    # Validate the kernel/method/interp combination BEFORE the coarse
+    # baseline's full f64 solve — a config typo must not cost minutes of
+    # solve work first.
+    if kernel not in ("tiled", "xla"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if kernel == "tiled":
+        if method != "quadrature" or space != "log":
+            raise ValueError("tiled kernels implement the quadrature "
+                             "operators in log space")
+        if not isinstance(model, SSY) and interp != "pre":
+            raise ValueError(
+                "the continuous-GCY pair kernel covers interp='pre' "
+                "(factored quadrature); use kernel='xla' for the "
+                "post/loglin node-chain engines")
+        if interp in ("post", "loglin") and baseline is not None:
+            raise ValueError("the post-interp kernel has no baseline "
+                             "fold; use interp='pre' for normalized "
+                             "operators")
+        if interp not in ("pre", "post", "loglin"):
+            raise ValueError(f"unknown interp {interp!r}")
     baseline_spec = baseline
     if baseline == "coarse":
         baseline_spec = _coarse_additive_baseline(
             model, grid_sizes, num_std_devs=num_std_devs,
             quad_degree=quad_degree, dtype=gdtype)
     if kernel == "tiled":
-        if method != "quadrature" or space != "log":
-            raise ValueError("tiled kernels implement the quadrature "
-                             "operators in log space")
         if not isinstance(model, SSY):
             # Continuous GCY: the streamed *pair* configuration — the
             # conditioned z/z_pi expectations contract per-slice in
             # VMEM (kernels/streamed_two_phase.build_c_call_pair).
-            # interp="pre" only; shape constraints (n_z % 128 etc.) are
-            # reported by the kernel builder.
-            if interp != "pre":
-                raise ValueError(
-                    "the continuous-GCY pair kernel covers interp='pre' "
-                    "(factored quadrature); use kernel='xla' for the "
-                    "post/loglin node-chain engines")
+            # interp="pre" only (validated above); shape constraints
+            # (n_z % 128 etc.) are reported by the kernel builder.
             from .kernels.tiled_two_phase import (
                 make_tiled_T_log_gcy_continuous)
             grids = build_grid_gcy(model, *grid_sizes,
@@ -410,10 +420,6 @@ def wc_ratio_continuous(model,
         elif interp in ("post", "loglin"):
             grids = build_grid_ssy(model, *grid_sizes,
                                    num_std_devs=num_std_devs)
-            if baseline_spec is not None:
-                raise ValueError("the post-interp kernel has no baseline "
-                                 "fold; use interp='pre' for normalized "
-                                 "operators")
             from .kernels.post_interp_kernel import (
                 make_post_interp_kernel_T_ssy)
             T = make_post_interp_kernel_T_ssy(
@@ -441,8 +447,6 @@ def wc_ratio_continuous(model,
                                     iterations=int(sol.result.iterations),
                                     residual=float(sol.result.residual)))
         return sol
-    if kernel != "xla":
-        raise ValueError(f"unknown kernel {kernel!r}")
     if algorithm in ("fused_anderson", "fused_sa"):
         return _wc_ratio_continuous_fused(
             model, grid_sizes, algorithm=algorithm, tol=tol,

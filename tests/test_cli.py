@@ -133,3 +133,48 @@ def test_grad_command(capsys):
     # and positive; gamma raises risk aversion and lowers w.
     assert out["grad"]["beta"] > 10
     assert out["grad"]["gamma"] < 0
+
+
+def test_checkpoint_consumers_use_stored_calibration(tmp_path):
+    # simulate/price must reconstruct the EXACT calibration a checkpoint
+    # was solved at (a non-default checkpoint priced under default
+    # dynamics is silently wrong), and must refuse de Groot checkpoints
+    # whose stored field is ln g*, not w*.
+    import dataclasses
+
+    from sdfs_via_autodiff_tpu import SSY
+    from sdfs_via_autodiff_tpu.cli import _model_from_ckpt, \
+        _reject_degroot_ckpt
+    from sdfs_via_autodiff_tpu.drivers import (degroot_fixed_point,
+                                               wc_ratio_discrete)
+    from sdfs_via_autodiff_tpu.utils.checkpoint import load_solution
+
+    tweaked = dataclasses.replace(SSY(), gamma=9.5, beta=0.9985)
+    path = str(tmp_path / "wc.npz")
+    wc_ratio_discrete(tweaked, (3, 3, 3, 3), tol=1e-8,
+                      checkpoint_path=path)
+    ckpt = load_solution(path)
+    m = _model_from_ckpt(ckpt)
+    assert m.gamma == 9.5 and m.beta == 0.9985
+    _reject_degroot_ckpt(ckpt, "simulate")      # standard ckpt: no-op
+
+    dpath = str(tmp_path / "dg.npz")
+    degroot_fixed_point(SSY(), (3, 3, 3, 3), tol=1e-8,
+                        checkpoint_path=dpath)
+    with pytest.raises(SystemExit, match="ln g"):
+        _reject_degroot_ckpt(load_solution(dpath), "price")
+
+
+def test_solve_degroot_rejects_unsupported_flags(capsys):
+    with pytest.raises(SystemExit, match="--kernel"):
+        main(["solve", "ssy", "--shapes", "3,3,3,3", "--spec", "degroot",
+              "--kernel", "tiled"])
+    with pytest.raises(SystemExit, match="--polish"):
+        main(["solve", "ssy", "--shapes", "3,3,3,3", "--spec", "degroot",
+              "--polish"])
+
+
+def test_check_shapes_count_validated():
+    with pytest.raises(SystemExit, match="6 comma-separated"):
+        main(["check", "gcy", "--kind", "continuous",
+              "--shapes", "10,10,10,10"])
