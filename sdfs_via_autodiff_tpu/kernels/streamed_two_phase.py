@@ -805,6 +805,7 @@ def blockdiag_z(W_c2: np.ndarray, TC: int) -> np.ndarray:
 
 
 def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
+                        covered: TwoPhaseOperands = None,
                         mode: str = "auto", precision: str = "3x",
                         transcendentals: str = "accurate",
                         twin_precision: str = "highest",
@@ -834,7 +835,11 @@ def make_streamed_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     """
     if dtype != jnp.float32:
         raise ValueError("streamed kernels are the float32 tier")
-    covered = streamed_coverable(ops)
+    if covered is None:
+        # ``covered`` lets the dispatch site pass its already-computed
+        # coverable set (conjugate_to_shared is host work worth doing
+        # once, not per call layer).
+        covered = streamed_coverable(ops)
     if covered is None:
         raise ValueError("operand set not covered by the streamed "
                          "kernels (batched c1 factor or oversized column "

@@ -327,7 +327,8 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
     if engine != "strip":
         from .streamed_two_phase import (make_streamed_T_log,
                                          streamed_coverable)
-        if streamed_coverable(ops) is not None:
+        cov = streamed_coverable(ops)
+        if cov is not None:
             # Each tier resolves "auto" to its own documented default:
             # streamed -> "3x" (three bf16 passes, ~HIGHEST accuracy at
             # half the cost), strips below -> "highest" (no 3x there).
@@ -337,7 +338,8 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
                                                       "auto" else precision),
                                            transcendentals=transcendentals,
                                            twin_precision=twin_precision,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           covered=cov)
             except ValueError:
                 # Coverable operand set but a streamed-incompatible
                 # option combination (e.g. mode="fast" on a deferred-c2
@@ -459,10 +461,12 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
         sub_col = cast(ops.sub_col)
 
     def full(a):
-        # Whole-array operand, resident across grid steps.  The explicit
-        # index map keeps Mosaic's index types int32 (see _i32).
-        nd = a.ndim
-        return pl.BlockSpec(a.shape,
+        # Whole-array operand (array or bare shape tuple), resident
+        # across grid steps.  The explicit index map keeps Mosaic's
+        # index types int32 (see _i32).
+        shape = a if isinstance(a, tuple) else a.shape
+        nd = len(shape)
+        return pl.BlockSpec(shape,
                             lambda g, _n=nd: tuple(_i32(0) for _ in range(_n)),
                             memory_space=pltpu.VMEM)
     col_in_specs = [
@@ -539,7 +543,7 @@ def make_tiled_T_log(ops: TwoPhaseOperands, dtype=jnp.float32,
             partial(_row_phase_fast_kernel, theta_f, beta_f, prec, trx),
             grid=(C // TC,),
             out_shape=jax.ShapeDtypeStruct((n_r1, n_r2, C), dtype),
-            in_specs=[row_strip, full(jnp.zeros((n_r1, n_r2), dtype)),
+            in_specs=[row_strip, full((n_r1, n_r2)),
                       full(W_r1), full(W_r2), full(add_row), addc_strip],
             out_specs=row_strip,
             interpret=interpret,
@@ -584,6 +588,7 @@ def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
                          transcendentals: str = "accurate",
                          strip_bytes: int = _STRIP_BYTES,
                          lazy_bytes: int = 6 * 1024 * 1024,
+                         engine: str = "auto",
                          twin_precision: str = "highest",
                          interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *discrete* SSY operator
@@ -594,6 +599,7 @@ def make_tiled_T_log_ssy(model, disc, baseline=None, dtype=jnp.float32,
                             dtype=dtype, mode=mode, precision=precision,
                             transcendentals=transcendentals,
                             strip_bytes=strip_bytes, lazy_bytes=lazy_bytes,
+                            engine=engine,
                             twin_precision=twin_precision,
                             interpret=interpret)
 
@@ -604,6 +610,7 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
                                     precision: str = "auto",
                                     transcendentals: str = "accurate",
                                     strip_bytes: int = _STRIP_BYTES,
+                                    engine: str = "auto",
                                     twin_precision: str = "highest",
                                     interpret: bool = False) -> Callable:
     """Tiled two-pass log-space T for the *continuous* factored-quadrature
@@ -614,7 +621,7 @@ def make_tiled_T_log_ssy_continuous(model, grids, degree: int = 5,
         two_phase_operands_ssy_continuous(model, grids, degree, baseline),
         dtype=dtype, mode=mode, precision=precision,
         transcendentals=transcendentals, strip_bytes=strip_bytes,
-        twin_precision=twin_precision, interpret=interpret)
+        engine=engine, twin_precision=twin_precision, interpret=interpret)
 
 
 def make_tiled_T_log_gcy_continuous(model, grids, degree: int = 5,
@@ -647,8 +654,6 @@ def make_tiled_T_log_gcy_continuous(model, grids, degree: int = 5,
     """
     from ..operators.two_phase import two_phase_operands_gcy_continuous
     if baseline is None:
-        import warnings
-
         from ..models.gcy import gcy_loglinear_factory
         from ..operators.continuous_common import warn_if_f32_range_unsafe
         warn_if_f32_range_unsafe(model, grids, gcy_loglinear_factory,
