@@ -143,11 +143,21 @@ def anderson_solver(T: Callable,
 
         x, x_best, _, _, err, it, best, _ = lax.while_loop(
             cond_, body, (x_init, x_init, X0, F0, big, 0, big, 0))
-        # A NaN stop returns the best finite iterate (and its residual)
-        # rather than the poisoned point.
-        nan_stop = jnp.isnan(err)
-        x = jnp.where(nan_stop, x_best, x)
-        err = jnp.where(nan_stop, best, err)
+        # A NaN stop returns the best finite iterate rather than the
+        # poisoned point.
+        x = jnp.where(jnp.isnan(err), x_best, x)
+        # The loop's carried x is one step AHEAD of the residual it
+        # stopped on (possibly an AA extrapolation that was never
+        # residual-checked).  Verify the point actually returned — one
+        # extra T application — and fall back to the best recorded
+        # iterate when the candidate is worse or non-finite, so
+        # ``residual`` always belongs to ``x`` and ``converged`` is a
+        # statement about the returned point (same contract as
+        # newton_solver's final_residual).
+        fr = jnp.max(jnp.abs(T(x) - x))
+        use_best = jnp.isnan(fr) | (fr > best)
+        x = jnp.where(use_best, x_best, x)
+        err = jnp.where(use_best, best, fr)
         converged = (err <= tol) & ~jnp.isnan(err)
         return SolveResult(x=x, iterations=it, residual=err,
                            converged=converged)
@@ -155,6 +165,6 @@ def anderson_solver(T: Callable,
     if not jit:
         return run(x0, tol, max_iter)
     key = ("anderson", m, mixing_frequency, beta, ridge, warmup, verbose,
-           x0.shape)
+           x0.shape, str(dtype))
     fn = cached_build(T, key, lambda: jax.jit(run))
     return fn(x0, jnp.asarray(tol, dtype), jnp.asarray(max_iter, jnp.int64))

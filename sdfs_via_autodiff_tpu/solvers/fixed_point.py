@@ -156,7 +156,8 @@ def newton_solver(T: Callable,
     BiCGStab breaks down to a zero step), "gmres" (jax.scipy), or
     "dense" (explicit ``jacfwd`` + LU solve; small grids on CPU only — TPU
     lacks an f64 LU, and the reference measured the dense path to be slower
-    anyway, ``temp_ssy.py:198-226``).
+    anyway, ``temp_ssy.py:198-226``; ``inner_tol``/``inner_maxiter`` are
+    Krylov-only and do not apply there).
 
     Unlike the reference's fixed ``atol=1e-4`` (``solvers.py:55``) the inner
     Krylov tolerance here is *relative* to ||g(x)|| (an inexact-Newton
@@ -186,12 +187,24 @@ def newton_solver(T: Callable,
     g = lambda x: T(x) - x
 
     if inner == "dense":
+        # inner_tol / inner_maxiter are Krylov knobs and do not apply to
+        # the direct solve; the safeguard contract is honoured the same
+        # way as on the Krylov path.
         def q(x):
             flat = x.reshape(-1)
             shape = x.shape
             gf = lambda v: g(v.reshape(shape)).reshape(-1)
+            gx = gf(flat)
             J = jax.jacfwd(gf)(flat)
-            return x - jnp.linalg.solve(J, gf(flat)).reshape(shape)
+            x_new = x - jnp.linalg.solve(J, gx).reshape(shape)
+            bad = ~jnp.all(jnp.isfinite(gx)) | ~jnp.all(jnp.isfinite(x_new))
+            if safeguard:
+                g_cand = gf(x_new.reshape(-1))
+                grew = (jnp.max(jnp.abs(g_cand))
+                        > 10.0 * jnp.max(jnp.abs(gx)))
+                bad = bad | ~jnp.all(jnp.isfinite(g_cand)) | grew
+                return jnp.where(bad, x + gx.reshape(shape), x_new)
+            return jnp.where(bad, jnp.nan, x_new)
     elif inner in ("bicgstab", "gmres"):
         if inner == "bicgstab":
             # Mixed-precision BiCGStab (f32 vectors/matvecs, float64

@@ -198,3 +198,33 @@ def test_newton_zero_step_is_not_convergence():
     # residual.
     ok = newton_solver(T, x0, tol=1e-10)
     assert bool(ok.converged) and float(ok.residual) <= 1e-10
+
+
+def test_anderson_residual_belongs_to_returned_point():
+    # The loop's carried x is one step ahead of the stopping residual
+    # (possibly an unverified AA extrapolation); the result contract is
+    # that ``residual`` is the true residual OF ``x``.
+    from sdfs_via_autodiff_tpu import SSY, T_ssy_factory, discretize_ssy
+
+    model = SSY()
+    disc = discretize_ssy(model, (5, 5, 5, 5))
+    T = T_ssy_factory(model, disc, space="log")
+    res = solve(T, jnp.full((5, 5, 5, 5), jnp.log(800.0)),
+                method="anderson", tol=1e-10)
+    assert res.converged
+    true_r = float(jnp.max(jnp.abs(T(res.x) - res.x)))
+    np.testing.assert_allclose(true_r, float(res.residual), rtol=1e-10)
+
+
+def test_newton_dense_safeguard_from_hostile_start():
+    # inner="dense" honours the safeguard contract: a far-from-solution
+    # start whose raw Newton step would leave the domain converges via
+    # the plain-step fallback instead of returning NaN.
+    from sdfs_via_autodiff_tpu import SSY, T_ssy_factory, discretize_ssy
+
+    model = SSY()
+    disc = discretize_ssy(model, (3, 3, 3, 3))
+    T = T_ssy_factory(model, disc)
+    res = solve(T, jnp.full((3, 3, 3, 3), 2.0), method="newton",
+                inner="dense", tol=1e-11)
+    assert res.converged and bool(jnp.all(jnp.isfinite(res.x)))
