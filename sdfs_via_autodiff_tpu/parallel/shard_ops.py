@@ -170,6 +170,12 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
         axis_names = (axis_names,)
     else:
         axis_names = tuple(axis_names)
+    if not axis_names:
+        raise ValueError(
+            "streamed_shard_map_factory needs at least one intra-slice "
+            "mesh axis besides the batch axis (a one-chip-per-slice "
+            "sweep has nothing to shard — run the members as "
+            "single-device kernels instead)")
     n_slice = 0
     if batch_axis is not None:
         if batch_axis in axis_names:
@@ -453,7 +459,13 @@ def streamed_shard_map_factory(ops, mesh: Mesh, axis_names=None,
             T.baseline_log_w = jnp.stack(
                 [cast(om.baseline_log_w) for om in members])
     elif ops.baseline_log_w is not None:
-        T.baseline_log_w = cast(ops.baseline_log_w)
+        base = cast(ops.baseline_log_w)
+        if batch_axis is not None:
+            # The replicated multi-slice operator consumes a leading
+            # n_slice batch — its warm-start field must match (the
+            # sweep path above already stacks per-member baselines).
+            base = jnp.broadcast_to(base[None], (n_slice,) + base.shape)
+        T.baseline_log_w = base
     return jax.jit(T)
 
 

@@ -22,7 +22,7 @@ from ..operators.continuous_gcy import next_state_gcy
 from ..operators.continuous_ssy import next_state_ssy
 
 __all__ = ["simulate_states", "simulated_w_moments", "one_step_w_moments",
-           "sdf_factory_ssy", "sdf_factory_gcy"]
+           "sdf_factory", "sdf_factory_ssy", "sdf_factory_gcy"]
 
 
 def _next_state_for(model):
@@ -84,8 +84,20 @@ def one_step_w_moments(model, w_star_func: Callable,
     return float(jnp.mean(w)), float(jnp.std(w))
 
 
-def sdf_factory_ssy(model: SSY, w_star_func: Callable) -> Callable:
-    """Epstein–Zin stochastic discount factor for the SSY model.
+def _z_index(model) -> int:
+    """Index of the persistent growth state z in the continuous state
+    layout: SSY (h_lam, h_c, h_z, z) -> 3; GCY (h_lam, h_c, h_z, h_zpi,
+    z, z_pi) -> 4.  Both families read sigma_c = phi_c*exp(h_c) from
+    index 1 and the next preference shock h_lam' from index 0."""
+    if isinstance(model, SSY):
+        return 3
+    if isinstance(model, GCY):
+        return 4
+    raise TypeError(f"unsupported model {type(model).__name__}")
+
+
+def sdf_factory(model, w_star_func: Callable) -> Callable:
+    """Epstein–Zin stochastic discount factor (both families).
 
     From the model's Euler equation (reference ``paper/autosdfs.tex:
     376-384``), with preference-shock ratio lambda'/lambda = exp(h_lam'):
@@ -93,14 +105,18 @@ def sdf_factory_ssy(model: SSY, w_star_func: Callable) -> Callable:
         M' = beta^theta * exp(theta*h_lam') * (g_c')^(-gamma)
              * ( w(x') / (w(x) - 1) )^(theta - 1)
 
-    where g_c' = exp(mu_c + z + sigma_c*xi') is consumption growth out of
-    the current state and w the wealth-consumption ratio.  Returns
-    ``m(x, x_next, xi)`` evaluating the SDF along a transition.
+    where g_c' = exp(mu_c + z + sigma_c*xi') is consumption growth out
+    of the current state (sigma_c = phi_c*exp(h_c), matching the kappa
+    the operators use — reference ``gcy_wc_ratio_continuous.py:
+    135-136``) and w the wealth-consumption ratio.  Returns
+    ``m(x, x_next, xi)`` evaluating the SDF along a transition; only
+    the z index differs across families (:func:`_z_index`).
     """
     theta, beta, gamma = model.theta, model.beta, model.gamma
+    zi = _z_index(model)
 
     def sdf(x, x_next, xi):
-        z = x[3]
+        z = x[zi]
         sigma_c = model.phi_c * jnp.exp(x[1])
         g_c = jnp.exp(model.mu_c + z + sigma_c * xi)
         w_now = w_star_func(x)
@@ -110,31 +126,13 @@ def sdf_factory_ssy(model: SSY, w_star_func: Callable) -> Callable:
                 * (w_next / (w_now - 1.0)) ** (theta - 1.0))
 
     return sdf
+
+
+def sdf_factory_ssy(model: SSY, w_star_func: Callable) -> Callable:
+    """Family-named alias of :func:`sdf_factory`."""
+    return sdf_factory(model, w_star_func)
 
 
 def sdf_factory_gcy(model: GCY, w_star_func: Callable) -> Callable:
-    """Epstein-Zin SDF for the GCY model.
-
-    Same Euler-equation structure as SSY (preference-shock ratio
-    exp(theta*h_lam'), consumption growth g_c = mu_c + z + sigma_c*xi
-    with sigma_c = phi_c*exp(h_c), matching the kappa the operators use —
-    reference ``gcy_wc_ratio_continuous.py:135-136``):
-
-        M' = beta^theta * exp(theta*h_lam') * g_c^(-gamma)
-             * ( w(x') / (w(x) - 1) )^(theta - 1)
-
-    State layout is the continuous order (h_lam, h_c, h_z, h_zpi, z, z_pi).
-    """
-    theta, beta, gamma = model.theta, model.beta, model.gamma
-
-    def sdf(x, x_next, xi):
-        z = x[4]
-        sigma_c = model.phi_c * jnp.exp(x[1])
-        g_c = jnp.exp(model.mu_c + z + sigma_c * xi)
-        w_now = w_star_func(x)
-        w_next = w_star_func(x_next)
-        return (beta ** theta * jnp.exp(theta * x_next[0])
-                * g_c ** (-gamma)
-                * (w_next / (w_now - 1.0)) ** (theta - 1.0))
-
-    return sdf
+    """Family-named alias of :func:`sdf_factory`."""
+    return sdf_factory(model, w_star_func)

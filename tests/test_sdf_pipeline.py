@@ -198,3 +198,34 @@ def test_gcy_risk_free_rate():
     assert 0.5 < float(e_m) < 1.05
     r = risk_free_rate_gcy(model, f)(jnp.zeros(6))
     assert np.isfinite(float(r)) and float(r) > 0
+
+
+def test_closed_form_xi_matches_full_quadrature():
+    # The consumption shock integrates in closed form (pricing module
+    # docstring); cross-check E_x[M'] against the brute-force rule that
+    # quadratures xi too.
+    import jax
+    import jax.numpy as jnp
+
+    from sdfs_via_autodiff_tpu import SSY, wc_ratio_continuous
+    from sdfs_via_autodiff_tpu.operators.continuous_ssy import (
+        next_state_ssy)
+    from sdfs_via_autodiff_tpu.ops.interp import lin_interp
+    from sdfs_via_autodiff_tpu.ops.quadrature import (
+        tensor_quadrature_normal)
+    from sdfs_via_autodiff_tpu.sdf import expected_sdf, sdf_factory
+
+    model = SSY()
+    sol = wc_ratio_continuous(model, (5, 5, 5, 6), tol=1e-9)
+    f = jax.jit(lambda x: lin_interp(x, sol.w_star, sol.grids))
+    e_sdf = expected_sdf(model, f, degree=5)
+
+    nodes, weights = tensor_quadrature_normal([5] * 5)
+    nodes, weights = jnp.asarray(nodes), jnp.asarray(weights)
+    sdf = sdf_factory(model, f)
+
+    for state in ([0.0, 0.0, 0.0, 0.0], [0.1, -0.1, 0.05, 0.002]):
+        x = jnp.asarray(state)
+        x_next = next_state_ssy(model, x[:, None], nodes[:4])
+        brute = float(jnp.dot(sdf(x[:, None], x_next, nodes[4]), weights))
+        np.testing.assert_allclose(float(e_sdf(x)), brute, rtol=1e-7)

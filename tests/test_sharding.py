@@ -709,3 +709,32 @@ def test_degroot_sharded_solve_matches_single_device():
     assert bool(res_sharded.converged)
     np.testing.assert_allclose(np.asarray(res_sharded.x),
                                np.asarray(res_single.x), atol=1e-12)
+
+
+@needs_devices
+def test_replicated_multislice_baseline_and_axis_validation():
+    # The replicated multi-slice operator must expose a warm-start field
+    # with the leading n_slice batch its own __call__ expects, and a
+    # mesh with no intra-slice axis must be rejected clearly.
+    from jax.sharding import Mesh
+
+    from sdfs_via_autodiff_tpu.operators.two_phase import (
+        two_phase_operands_ssy)
+    from sdfs_via_autodiff_tpu.parallel.shard_ops import (
+        streamed_shard_map_factory)
+
+    model = SSY()
+    ops = two_phase_operands_ssy(model, discretize_ssy(model, (8, 8, 8, 16)),
+                                 baseline="loglinear")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("slice", "tp"))
+    T_ms = streamed_shard_map_factory(ops, mesh, axis_names=("tp",),
+                                      batch_axis="slice", interpret=True)
+    base = T_ms.baseline_log_w
+    assert base.shape == (2, 8, 8, 8, 16)
+    out = T_ms(jax.device_put(base, T_ms.input_sharding))   # must not raise
+    assert out.shape == base.shape
+
+    with pytest.raises(ValueError, match="intra-slice"):
+        streamed_shard_map_factory(
+            ops, Mesh(np.array(jax.devices()[:2]), ("dcn",)),
+            batch_axis="dcn", interpret=True)
