@@ -165,16 +165,24 @@ def _log1p_f32_impl(y):
     # Guard the large branch against y <= -1 (log of nonpositive).
     big = jnp.where(small, np.float32(1.0), y)
     series = y * (np.float32(1.0) - y * (np.float32(0.5) - y / 3))
-    return jnp.where(small, series, _log_f32_impl(np.float32(1.0) + big))
+    # The classic exact-correction form (Goldberg): u = fl(1+y) rounds
+    # away up to 2^-24 absolute, which near the crossover is ~6e-4
+    # RELATIVE to log1p — the correction (y - (u-1))/u restores the
+    # rounded-off low bits to first order, keeping the whole range at
+    # ~1-ulp instead of only |y| >~ 1e-2.
+    u = np.float32(1.0) + big
+    corr = jnp.where(u > 0, (big - (u - np.float32(1.0))) / u,
+                     np.float32(0.0))
+    return jnp.where(small, series, _log_f32_impl(u) + corr)
 
 
 @jax.custom_jvp
 def log1p_f32(y):
     """Accurate float32 log1p: the hardware log1p shares the hardware
-    log's ~1e-4 error.  For |y| above the crossover 1 + y loses no
-    low bits that matter (log_f32 of the sum is faithful); below it the
-    odd series is already ~f32-exact.  Inside Pallas kernels call
-    ``_log1p_f32_impl``."""
+    log's ~1e-4 error.  Below the crossover the odd series is ~f32-
+    exact; above it log_f32(1+y) carries the exact correction for the
+    bits 1+y rounds away (see ``_log1p_f32_impl``).  Inside Pallas
+    kernels call ``_log1p_f32_impl``."""
     return _log1p_f32_impl(y)
 
 

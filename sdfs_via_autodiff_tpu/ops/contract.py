@@ -90,6 +90,10 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
         raise ValueError(f"unknown transcendentals {transcendentals!r}")
 
     m = jnp.max(log_v, axis=axis, keepdims=True)
+    # An all--inf contracted slice (log of exact-zero mass) must yield
+    # -inf, not NaN: -inf - -inf = NaN inside exp.  Shifting by 0 there
+    # gives exp(-inf) = 0 -> log(0) = -inf, the correct limit.
+    m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
     # HIGHEST keeps f32 operands in true f32 on the MXU (the TPU default
     # demotes them to one-pass bf16, a measured ~6x loss on the operator's
     # one-application error); these contractions are bandwidth-bound, so

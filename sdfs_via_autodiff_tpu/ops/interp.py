@@ -26,7 +26,11 @@ def uniform_grid_coords(grids: Sequence[jnp.ndarray], x: jnp.ndarray) -> jnp.nda
     ``(x[d] - grid[0]) / (grid[1] - grid[0])``.  Assumes uniform grids
     (same assumption as reference ``code/utils.py:6-14``).
     """
-    steps = jnp.stack([g[1] - g[0] for g in grids])
+    # A size-1 (collapsed) grid has no step; any finite value maps every
+    # query to coordinate 0, which multilinear_interp's n == 1 handling
+    # then clamps — matching map_coordinates on a degenerate axis.
+    steps = jnp.stack([g[1] - g[0] if g.shape[0] > 1
+                       else jnp.ones((), g.dtype) for g in grids])
     lows = jnp.stack([g[0] for g in grids])
     bshape = (len(grids),) + (1,) * (x.ndim - 1)
     return (x - lows.reshape(bshape)) / steps.reshape(bshape)

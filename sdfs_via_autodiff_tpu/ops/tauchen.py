@@ -38,7 +38,6 @@ def tauchen_P(n: int, rho: float, m_std: float = 3.0) -> np.ndarray:
     if n == 1:
         return np.ones((1, 1))
     y = tauchen_ladder(n, rho, m_std)
-    step = y[1] - y[0]
     mid = (y[None, :-1] + y[None, 1:]) / 2.0        # cell boundaries
     z = mid - rho * y[:, None]                       # standardized edges
     cdf = _norm_cdf(z)

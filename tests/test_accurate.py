@@ -122,3 +122,16 @@ def test_log_f32_negative_is_nan():
     assert np.all(np.isnan(got)), got
     # Positive path unaffected.
     assert np.isfinite(float(log_f32(jnp.float32(2.0))))
+
+
+def test_log1p_accurate_through_the_crossover():
+    # The series/direct crossover must not open an accuracy hole: fl(1+y)
+    # rounds away up to 2^-24, which near y ~ 1e-4 is ~6e-4 RELATIVE to
+    # log1p unless the rounded-off bits are restored (exact-correction
+    # form).  Sweep both signs across six decades.
+    ys = np.float32(np.concatenate([np.geomspace(1e-6, 0.5, 2001),
+                                    -np.geomspace(1e-6, 0.5, 2001)]))
+    got = np.asarray(log1p_f32(jnp.asarray(ys)), np.float64)
+    ref = np.log1p(np.asarray(ys, np.float64))
+    rel = np.abs(got - ref) / np.abs(ref)
+    assert rel.max() < 5e-7, (rel.max(), ys[rel.argmax()])

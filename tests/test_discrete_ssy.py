@@ -358,3 +358,19 @@ def test_stability_closed_forms_match_chain():
         beta=m_tr.beta, gamma=m_tr.gamma, psi=m_tr.psi, mu_c=m_tr.mu_c,
         sigma_c=m_tr.phi_c, sigma=0.0, rho=0.5, **base)
     np.testing.assert_allclose(cf0.S, cf.S, rtol=1e-15)
+
+
+def test_lse_matmul_all_neg_inf_slice_gives_neg_inf():
+    # log of exact-zero mass must propagate as -inf, not NaN (the
+    # solvers' NaN guards would abort a run that should converge).
+    from sdfs_via_autodiff_tpu.ops.contract import lse_matmul
+
+    M = jnp.asarray([[0.5, 0.5], [0.3, 0.7]])
+    lv = jnp.full((2, 2), -jnp.inf)
+    out = np.asarray(lse_matmul(M, lv, "ij,jk->ik", 0))
+    assert np.all(np.isneginf(out))
+    lv2 = jnp.asarray([[0.0, -jnp.inf], [-jnp.inf, -1.0]])
+    out2 = np.asarray(lse_matmul(M, lv2, "ij,jk->ik", 0))
+    np.testing.assert_allclose(
+        out2, [[np.log(0.5), np.log(0.5) - 1.0],
+               [np.log(0.3), np.log(0.7) - 1.0]], rtol=1e-12)

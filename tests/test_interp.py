@@ -82,3 +82,15 @@ def test_grad_flows(rng):
     assert np.isfinite(np.asarray(g)).all()
     # Interpolation weights sum to one per query point.
     np.testing.assert_allclose(np.asarray(g).sum(), 2.0, atol=1e-12)
+
+
+def test_size_one_grid_dimension():
+    # A collapsed (size-1) axis interpolates as a constant along that
+    # dimension, matching map_coordinates' degenerate-axis clamp.
+    grids = [jnp.linspace(0.0, 1.0, 5), jnp.zeros(1),
+             jnp.linspace(0.0, 1.0, 4)]
+    vals = jnp.arange(20.0).reshape(5, 1, 4)
+    x = jnp.asarray([[0.5], [0.0], [1.0 / 3.0]])
+    out = float(lin_interp(x, vals, grids)[0])
+    expected = float(jnp.arange(20.0).reshape(5, 4)[2, 1])  # exact node
+    np.testing.assert_allclose(out, expected, rtol=1e-12)
