@@ -197,21 +197,27 @@ def make_gather_T(next_state: Callable,
         return jnp.mean(vals) if weights is None else jnp.dot(vals, weights)
 
     if space == "w":
-        def kernel(x, w):
+        # The field transform (w^theta / log w) happens ONCE in T, not
+        # inside the kernel: lax.map does not hoist loop invariants, so
+        # an in-kernel transform would recompute the O(N) power per
+        # batch step (the log-space branch below has the same shape).
+        def kernel(x, field):
             next_x = next_state(x, shocks)
             pf = jnp.exp(theta * next_x[0])
             if interp == "post":
-                vals = lin_interp(next_x, w, grids) ** theta
+                vals = lin_interp(next_x, field, grids) ** theta
             elif interp == "pre":
-                vals = lin_interp(next_x, w ** theta, grids)
+                vals = lin_interp(next_x, field, grids)
             else:
-                vals = jnp.exp(theta * lin_interp(next_x, jnp.log(w), grids))
+                vals = jnp.exp(theta * lin_interp(next_x, field, grids))
             return jnp.exp(log_kappa(x)) * reduce_rule(vals * pf)
 
         vkernel = jax.vmap(kernel, in_axes=(0, None))
 
         def T(w):
-            kg = jax.lax.map(lambda xb: vkernel(xb, w), batches)
+            field = (w if interp == "post"
+                     else w ** theta if interp == "pre" else jnp.log(w))
+            kg = jax.lax.map(lambda xb: vkernel(xb, field), batches)
             return 1.0 + beta * kg.reshape(shape) ** (1.0 / theta)
     else:
         def log_expect(a_vals):

@@ -284,7 +284,7 @@ def T_gcy_continuous_factory(model: GCY,
             f"transcendentals={transcendentals!r} has no effect on this "
             "path (only the factored quadrature + interp='pre' + "
             "space='log' chain uses it)", stacklevel=2)
-    if method == "quadrature" and interp == "pre":
+    if method == "quadrature" and interp == "pre" and engine == "auto":
         T = _factored_T(model, grids, quad_degree, space, dtype, baseline,
                         transcendentals=transcendentals)
     elif (interp in ("post", "loglin") and space == "log"
@@ -304,6 +304,9 @@ def T_gcy_continuous_factory(model: GCY,
             logw = np.full(mc_draw_size, -np.log(float(mc_draw_size)))
         T = make_node_chain_T_gcy(model, grids, nodes, logw, interp=interp,
                                   dtype=dtype)
+    elif engine == "node_chain":
+        raise ValueError("engine='node_chain' requires interp='post' or "
+                         "'loglin' with space='log'")
     elif method in ("quadrature", "monte_carlo"):
         if method == "quadrature":
             nodes, weights = tensor_quadrature_normal([quad_degree] * 6)

@@ -158,6 +158,8 @@ def _factored_T(model, grids, degree, space, dtype, baseline=None,
     if dtype is not None:
         P_lam, P_c, P_hz, P_z, log_kappa = (
             a.astype(dtype) for a in (P_lam, P_c, P_hz, P_z, log_kappa))
+        if ell0 is not None:
+            ell0 = ell0.astype(dtype)
 
     def apply_K(g):
         u = jnp.einsum("lL,LKIJ->lKIJ", P_lam, g)
@@ -252,7 +254,7 @@ def T_ssy_continuous_factory(model: SSY,
             f"transcendentals={transcendentals!r} has no effect on this "
             "path (only the factored quadrature + interp='pre' + "
             "space='log' chain uses it)", stacklevel=2)
-    if method == "quadrature" and interp == "pre":
+    if method == "quadrature" and interp == "pre" and engine == "auto":
         T = _factored_T(model, grids, quad_degree, space, dtype, baseline,
                         transcendentals=transcendentals)
     elif (interp in ("post", "loglin") and space == "log"
@@ -272,6 +274,9 @@ def T_ssy_continuous_factory(model: SSY,
             logw = np.full(mc_draw_size, -np.log(float(mc_draw_size)))
         T = make_node_chain_T_ssy(model, grids, nodes, logw, interp=interp,
                                   dtype=dtype)
+    elif engine == "node_chain":
+        raise ValueError("engine='node_chain' requires interp='post' or "
+                         "'loglin' with space='log'")
     elif method in ("quadrature", "monte_carlo"):
         if method == "quadrature":
             nodes, weights = tensor_quadrature_normal([quad_degree] * 4)

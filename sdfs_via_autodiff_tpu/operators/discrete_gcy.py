@@ -281,22 +281,20 @@ def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
     """
     from functools import partial
 
-    from ..models.gcy import gcy_loglinear_factory
     from ..ops.contract import lse_matmul
     lse = partial(lse_matmul, transcendentals=transcendentals)
 
     theta, beta, gamma = model.theta, model.beta, model.gamma
-    work_dtype = dtype or jnp.float32
+    # dtype=None means keep float64 (every other operator path's
+    # convention); the f32 scale tier is an explicit request.
+    work_dtype = dtype or jnp.float64
     m = model
 
     parts = gcy_loglinear_parts(model, disc)
-    co = parts["co"]
-    h_lam, h_c, h_z, h_zpi = (parts["h_lam"], parts["h_c"], parts["h_z"],
-                              parts["h_zpi"])
+    h_lam = parts["h_lam"]
     phi_l, phi_d, phi_c_, phi_e = (parts["phi_l"], parts["phi_d"],
                                    parts["phi_c_"], parts["phi_e"])
     psi_pi, psi_z, ell0 = parts["psi_pi"], parts["psi_z"], parts["ell0"]
-    zpi = np.asarray(disc.z_pi_states, np.float64)      # (e, b)
     zst = np.asarray(disc.z_states, np.float64)         # (b, c, e, a)
 
     with np.errstate(divide="ignore"):

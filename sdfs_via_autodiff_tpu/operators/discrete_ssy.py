@@ -318,7 +318,9 @@ def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
     lse = partial(lse_matmul, transcendentals=transcendentals)
 
     theta, beta = model.theta, model.beta
-    work_dtype = dtype or jnp.float32
+    # dtype=None means keep float64 (every other operator path's
+    # convention); the f32 scale tier is an explicit request.
+    work_dtype = dtype or jnp.float64
 
     arrs = _ssy_normalized_arrays(model, disc)
     M1, M2, M3, M4 = arrs["M1"], arrs["M2"], arrs["M3"], arrs["M4"]

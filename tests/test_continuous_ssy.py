@@ -239,3 +239,26 @@ class TestCalibrationSweep:
         from sdfs_via_autodiff_tpu import GCY, SSY, wc_ratio_sweep
         with pytest.raises(ValueError, match="one model family"):
             wc_ratio_sweep([SSY(), GCY()], (4, 4, 4, 4))
+
+
+def test_engine_gather_is_honored_on_pre_path(rng):
+    # engine='gather' + interp='pre' must dispatch the pointwise gather
+    # oracle (previously the factored branch caught the combination
+    # first and the 'cross-check' trivially compared the factored chain
+    # with itself).  The two paths agree because interp='pre'
+    # quadrature is exact algebraic refactoring — which is only a
+    # meaningful statement when they are different programs.
+    model = SSY()
+    grids = build_grid_ssy(model, 4, 4, 4, 5)
+    T_fact = T_ssy_continuous_factory(model, grids, interp="pre",
+                                      space="log", quad_degree=3)
+    T_gath = T_ssy_continuous_factory(model, grids, interp="pre",
+                                      space="log", quad_degree=3,
+                                      engine="gather")
+    ell = jnp.asarray(np.log(800.0)
+                      + 0.05 * rng.standard_normal((4, 4, 4, 5)))
+    np.testing.assert_allclose(np.asarray(T_gath(ell)),
+                               np.asarray(T_fact(ell)), atol=1e-9)
+    with pytest.raises(ValueError, match="node_chain"):
+        T_ssy_continuous_factory(model, grids, interp="pre",
+                                 space="log", engine="node_chain")
