@@ -41,7 +41,11 @@ from ..models.ssy import SSY
 from ..operators.discrete_ssy import SSYDiscretization, _ssy_factors
 
 __all__ = ["make_fused_T_log_ssy", "kron_operands_ssy",
-           "kron_operands_ssy_continuous", "make_fused_T_from_operands"]
+           "kron_operands_ssy_continuous", "make_fused_T_from_operands",
+           "make_fused_T_log_ssy_continuous", "make_xla_T_from_operands",
+           "kron_operands_gcy", "make_fused_T_log_gcy",
+           "kron_operands_gcy_continuous",
+           "make_fused_T_log_gcy_continuous"]
 
 # Keep the whole working set comfortably inside ~16 MB of VMEM.
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
@@ -380,9 +384,17 @@ def kron_operands_gcy_continuous(model, grids, degree: int = 5,
                   np.asarray(P_z, np.float64)).reshape(cols, cols)
     M1 = np.kron(np.asarray(P_lam, np.float64), np.asarray(P_c, np.float64))
 
-    log_A2 = 0.5 * (1 - m.gamma) ** 2 * (m.phi_c
-                                         * np.exp(np.asarray(h_c_g))) ** 2
-    log_A3 = (1 - m.gamma) * (m.mu_c + np.asarray(z_g, np.float64))
+    # kappa from the canonical helper (operators/continuous_gcy) so a
+    # recalibration there cannot silently diverge from this kernel:
+    # log kappa(h_c, z) is additively separable, so the row/column Kron
+    # split below is exact — log_A2 carries the h_c-dependence relative
+    # to h_c = 0, log_A3 the rest (their SUM is kappa bit-for-bit).
+    from ..operators.continuous_gcy import _log_kappa_gcy
+    zero = jnp.zeros(())
+    log_A2 = np.asarray(_log_kappa_gcy(m, jnp.asarray(h_c_g), zero)
+                        - _log_kappa_gcy(m, zero, zero), np.float64)
+    log_A3 = np.asarray(_log_kappa_gcy(m, zero, jnp.asarray(z_g)),
+                        np.float64)
     kap = (np.zeros((n_l, 1)) + log_A2[None, :]).reshape(rows, 1) + \
         np.broadcast_to(log_A3[None, None, :, None],
                         (n_i, n_y, n_j, n_b)).reshape(1, cols)

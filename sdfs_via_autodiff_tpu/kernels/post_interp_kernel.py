@@ -110,6 +110,21 @@ def make_post_interp_kernel_T_ssy(model, grids: Sequence,
     d = quad_degree
     P12, P34 = d * d, d * d
 
+    # Same actionable guard as the sibling fused kernels: the field,
+    # per-node-pair (R, R)/(C, C) bases and two (R, C) scratch rows all
+    # live in VMEM; past the budget Mosaic fails with an opaque
+    # allocation error instead of this message.
+    from .fused_discrete import _VMEM_BUDGET_BYTES
+    # One (R, R) and one (C, C) node-pair block resident per grid step
+    # (x2 for Mosaic's double buffering) plus the field and two (R, C)
+    # scratch rows; ~9 MiB at the documented 24^4 envelope.
+    working = 4 * (3 * R * C + 2 * (R * R + C * C))
+    if working > _VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"state space {(n_l, n_k, n_i, n_j)} with degree {d} needs "
+            f"~{working / 2**20:.1f} MiB VMEM; use the XLA node-chain "
+            "engine (engine='node_chain') for grids this large")
+
     # Per-axis 1-D bases at the 1-D Gauss-Hermite nodes (host float64).
     eta1, w1 = gauss_hermite_normal(d)
     basis = node_basis_ssy(

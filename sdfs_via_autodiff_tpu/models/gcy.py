@@ -10,7 +10,11 @@ State vector (6 states): ``x = (h_lam, h_c, h_z, h_zpi, z, z_pi)``, dynamics
     h_lam' = rho_lam * h_lam + s_lam * eta5
 
 with ``sigma_z = phi_z * exp(h_z)``, ``sigma_zpi = phi_zpi * exp(h_zpi)``.
-Consumption growth: ``g_c' = mu_c + z' + phi_c * xi``.
+Consumption growth: ``g_c' = mu_c + z + sigma_c * xi`` with
+``sigma_c = phi_c * exp(h_c)`` — current-period z and stochastic
+volatility, exactly as the operators' kappa consumes them
+(``operators/continuous_gcy._log_kappa_gcy``,
+``operators/discrete_gcy._gcy_factors``).
 
 Parameter names/defaults and the packed-tuple order match the reference
 (reference ``code/gcy/gcy_model.py:45-75``); theta is about -36.03 at the
