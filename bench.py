@@ -59,7 +59,7 @@ def load_last_good(root=_REPO):
     artifacts for the newest non-null parsed record (covers a repo
     where the last-good file predates this mechanism)."""
     try:
-        with open(os.path.join(root, "BENCH_LASTGOOD.json")) as f:
+        with open(os.path.join(root, os.path.basename(LASTGOOD_PATH))) as f:
             rec = json.load(f)
         if rec.get("value") is not None:
             return rec
@@ -103,7 +103,7 @@ def save_last_good(record, root=_REPO):
     record = dict(record)
     record["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime())
-    with open(os.path.join(root, "BENCH_LASTGOOD.json"), "w") as f:
+    with open(os.path.join(root, os.path.basename(LASTGOOD_PATH)), "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")
 
@@ -132,11 +132,33 @@ def _probe_device_or_die(timeout_s: float = None):
     done.set()
 
 
+def _run_watchdog(timeout_s: float = None):
+    """Deadline over the WHOLE benchmark run, not just the probe: the
+    tunnel can drop mid-run (device ops then hang in RPC retries), and
+    a hung bench emits nothing.  Returns the event to set on success."""
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("SDFS_BENCH_RUN_TIMEOUT", 3600))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            rc = emit_unreachable(
+                f"bench run did not complete within {timeout_s:.0f}s "
+                f"(accelerator lost mid-run)")
+            os._exit(rc)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return done
+
+
 def main():
     from sdfs_via_autodiff_tpu import SSY, discretize_ssy, T_ssy_factory, solve
     from benchmarks.reference_style import T_ssy_reference_style
 
     _probe_device_or_die()
+    run_done = _run_watchdog()
 
     model = SSY()
     disc = discretize_ssy(model, SHAPES)
@@ -185,6 +207,7 @@ def main():
         "backend": jax.default_backend(),
         **scale,
     }
+    run_done.set()
     print(json.dumps(record))
     if jax.default_backend() != "cpu":
         save_last_good(record)
@@ -205,7 +228,7 @@ def _scale_metric(shapes=(56, 56, 56, 64)):
     """
     import warnings
 
-    from benchmarks.timing import marginal_time
+    from benchmarks.timing import hbm_roofline_pct, marginal_time
     from sdfs_via_autodiff_tpu import SSY, discretize_ssy
     from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
         make_streamed_T_log)
@@ -233,23 +256,22 @@ def _scale_metric(shapes=(56, 56, 56, 64)):
             make_streamed_T_log(ops, precision="default",
                                 transcendentals="fast"), ell0, 50, 200)
         # 4 HBM passes of the f32 field per application (2 per phase).
-        bw = 4 * n * 4 / dt / 1e9
-        bw_mixed = 4 * n * 4 / dt_mixed / 1e9
-        bw_fast = 4 * n * 4 / dt_fast / 1e9
+        from benchmarks.timing import effective_gbps
+        bw = effective_gbps(n, dt)
         return {
             "scale_metric": "ssy_discrete_streamed_T_56x56x56x64_f32",
             "scale_points": n,
             "scale_ms_per_application": round(dt * 1e3, 3),
             "scale_G_point_updates_per_s": round(n / dt / 1e9, 2),
             "scale_effective_GBps": round(bw),
-            "scale_pct_of_hbm_roofline": round(100 * bw / 819, 1),
+            "scale_pct_of_hbm_roofline": round(hbm_roofline_pct(n, dt), 1),
             "scale_mixed_trx_ms_per_application": round(dt_mixed * 1e3, 3),
             "scale_mixed_trx_pct_of_hbm_roofline":
-                round(100 * bw_mixed / 819, 1),
+                round(hbm_roofline_pct(n, dt_mixed), 1),
             "scale_throughput_mode_ms_per_application":
                 round(dt_fast * 1e3, 3),
             "scale_throughput_mode_pct_of_hbm_roofline":
-                round(100 * bw_fast / 819, 1),
+                round(hbm_roofline_pct(n, dt_fast), 1),
             "scale_note": "compute-bound (VPU transcendentals + matmul "
                           "emulation), not HBM-bound; see docs/status.md",
         }

@@ -67,8 +67,10 @@ def lint(root=ROOT):
         resid = c.get("residual_f32", c.get("residual_f64", 0.0))
         explained = ("note" in c or any(k.endswith("_attempt_failed")
                                         for k in c))
-        if isinstance(resid, float) and math.isnan(resid):
-            _bad(f"NORTHSTAR {c['name']}: NaN residual", bad)
+        if (isinstance(resid, float) and math.isnan(resid)
+                and not explained):
+            _bad(f"NORTHSTAR {c['name']}: NaN residual with no "
+                 "adjacent explanation", bad)
         if c.get("converged") is False and not explained:
             _bad(f"NORTHSTAR {c['name']}: converged=false with no "
                  "adjacent explanation", bad)
@@ -108,7 +110,7 @@ def lint(root=ROOT):
     # docs citations: any artifact-row-looking identifier in the docs
     # must exist somewhere.
     known = names | enames
-    pat = re.compile(r"`((?:ssy|gcy)_[a-z0-9_.]+)`")
+    pat = re.compile(r"`((?:ssy|gcy)_[A-Za-z0-9_.^]+)`")
     for doc in ("docs/status.md", "README.md"):
         text = (root / doc).read_text()
         for m in set(pat.findall(text)):

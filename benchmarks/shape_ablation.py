@@ -39,7 +39,7 @@ DEFAULT_CANDIDATES = [
 def measure(shapes, warm=50, iters=200):
     import warnings
 
-    from benchmarks.timing import marginal_time
+    from benchmarks.timing import HBM_GBPS, marginal_time
     from sdfs_via_autodiff_tpu import SSY, discretize_ssy
     from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
         make_streamed_T_log, streamed_supported)
@@ -66,7 +66,7 @@ def measure(shapes, warm=50, iters=200):
         entry[label] = {
             "ms_per_application": round(dt * 1e3, 3),
             "G_point_updates_per_s": round(n / dt / 1e9, 2),
-            "pct_of_hbm_roofline": round(100 * bw / 819, 1)}
+            "pct_of_hbm_roofline": round(100 * bw / HBM_GBPS, 1)}
     return entry
 
 

@@ -17,7 +17,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from benchmarks.timing import marginal_time
+from benchmarks.timing import hbm_roofline_pct, marginal_time
 
 
 def timed(fn, *args):
@@ -48,6 +48,12 @@ def main(argv=None):
     def add(name, seconds, detail):
         results["entries"].append(
             dict(name=name, seconds=round(seconds, 4), **detail))
+        # Per-entry flush: the TPU worker crashes reproducibly at
+        # 10^7-point scale, and losing every completed entry of a
+        # 15+-minute run to the final write is unacceptable (the same
+        # incremental pattern as northstar._flush).
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
         print(f"{name}: {seconds:.4f}s {detail}")
 
     ssy, gcy = SSY(), GCY()
@@ -428,7 +434,7 @@ def main(argv=None):
                     dict(points=n56, ms_per_app=round(dt * 1e3, 3),
                          one_app_sup_err_vs_f64=float(f"{err:.3g}"),
                          pct_hbm_roofline=round(
-                             100 * 4 * n56 * 4 / dt / 1e9 / 819, 1),
+                             hbm_roofline_pct(n56, dt), 1),
                          timing="marginal_fori_150"))
         except Exception as e:
             add("ssy_discrete_streamed", -1, dict(skipped=str(e)[:160]))
@@ -459,8 +465,7 @@ def main(argv=None):
             dt = marginal_time(make_streamed_T_log(ops56n), xb56, 50, 200)
             add("ssy_discrete_streamed_normalized_11.2M_f32", dt * 150,
                 dict(points=n56, ms_per_app=round(dt * 1e3, 3),
-                     pct_hbm_roofline=round(
-                         100 * 4 * n56 * 4 / dt / 1e9 / 819, 1),
+                     pct_hbm_roofline=round(hbm_roofline_pct(n56, dt), 1),
                      timing="marginal_fori_150"))
         except Exception as e:
             add("ssy_discrete_streamed_normalized", -1,

@@ -12,6 +12,20 @@ import time
 import jax
 from jax import lax
 
+# v5e HBM bandwidth roofline (GB/s); the streamed kernels move 4 f32
+# passes of the field per application (2 per phase).  Single source for
+# every "% of HBM roofline" figure in bench.py / suite.py /
+# shape_ablation.py — change HERE for another TPU generation.
+HBM_GBPS = 819.0
+
+
+def effective_gbps(n_points, dt_s, passes=4, bytes_per=4):
+    return passes * n_points * bytes_per / dt_s / 1e9
+
+
+def hbm_roofline_pct(n_points, dt_s, passes=4, bytes_per=4):
+    return 100.0 * effective_gbps(n_points, dt_s, passes, bytes_per) / HBM_GBPS
+
 
 def marginal_time(T, x0, k1, k2, reps=3):
     """Marginal per-application seconds of ``T`` at iterate ``x0``."""
