@@ -770,7 +770,14 @@ def build_c_call_pair(*, shapes, pair_shapes, C_cols: int, g: int,
         memory_space=pltpu.VMEM)
     pzt_spec = pl.BlockSpec(
         (1, n_b, n_j, n_j),
-        lambda c: (_i32((c * g) // n_y), _i32(0), _i32(0), _i32(0)),
+        # lax.div on explicit-i32 operands, NOT `//`: under x64 the
+        # Python divisor stages as an i64 literal inside floor_divide's
+        # sign-correction jaxpr, and Mosaic's transform-func lowering
+        # cannot lower the resulting i64->i32 convert (infinite
+        # _convert_helper recursion).  c >= 0 and g, n_y > 0, so the
+        # truncating div IS the floor div.
+        lambda c: (jax.lax.div(c * _i32(g), _i32(n_y)),
+                   _i32(0), _i32(0), _i32(0)),
         memory_space=pltpu.VMEM)
     in_specs = [colstrip, pzpi_spec, pzt_spec,
                 full((L, L)), full((K, K)), full((L, K)),
