@@ -88,10 +88,61 @@ def main():
         rec["converged"] = bool(res.converged)
         out[f"twin_{tier}"] = rec
         print(json.dumps({tier: rec}))
-        path = pathlib.Path(__file__).resolve().parent.parent / \
-            "NEWTON_PROFILE.json"
-        path.write_text(json.dumps(out, indent=1))
+        _flush(out)
+
+    # GCY at the 25.2M-point north star (round-4 VERDICT weak #2: the
+    # recorded solve spent ~9 s per Newton step with no attribution).
+    # Same split per twin tier: is the floor the linearize (one twin
+    # evaluation storing tangent residuals), the per-matvec tangent
+    # chain, or compile amortization?
+    from sdfs_via_autodiff_tpu import GCY, discretize_gcy
+    from sdfs_via_autodiff_tpu.kernels.tiled_two_phase import (
+        make_tiled_T_log_gcy)
+    gcy = GCY()
+    big = (32, 16, 16, 12, 16, 16)
+    n_big = int(np.prod(big))
+    disc = discretize_gcy(gcy, big, dtype=jnp.float32, method="tauchen")
+    out["gcy"] = {"points": n_big, "shapes": list(big)}
+    xg0 = None
+    for tier in ("highest", "3x"):
+        Tg = make_tiled_T_log_gcy(gcy, disc, twin_precision=tier)
+        if xg0 is None:
+            xg0 = Tg.to_view(jnp.full(big, jnp.log(300.0), jnp.float32)
+                             ).reshape((big[3], big[5],
+                                        big[0] * big[1],
+                                        big[2] * big[4]))
+        T = Tg.view_T
+        rec = {}
+        rec["primal_ms_per_app"] = round(
+            marginal_time(T, xg0, 10, 40) * 1e3, 3)
+        g = lambda x: T(x) - x
+
+        def lin_primal(x):
+            gx, _ = jax.linearize(g, x)
+            return gx
+
+        rec["linearize_primal_s"] = round(timed(jax.jit(lin_primal), xg0),
+                                          3)
+        gx, jvp_fn = jax.linearize(g, xg0)
+        v = 0.01 * jnp.ones_like(xg0)
+        rec["tangent_matvec_ms"] = round(
+            timed(jax.jit(jvp_fn), v) * 1e3, 3)
+        res = solve(T, xg0, method="newton", tol=1e-12, max_iter=1)
+        jax.block_until_ready(res.x)
+        t0 = time.perf_counter()
+        res = solve(T, res.x, method="newton", tol=1e-12, max_iter=1)
+        jax.block_until_ready(res.x)
+        rec["newton_step_s"] = round(time.perf_counter() - t0, 3)
+        out["gcy"][f"twin_{tier}"] = rec
+        print(json.dumps({f"gcy_{tier}": rec}))
+        _flush(out)
     print("wrote NEWTON_PROFILE.json")
+
+
+def _flush(out):
+    path = pathlib.Path(__file__).resolve().parent.parent / \
+        "NEWTON_PROFILE.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
 
 
 if __name__ == "__main__":

@@ -180,7 +180,7 @@ def _flush(out, replace=False):
                       device=out["device"],
                       reference_largest_recorded_points=160_000)
     tmp = path.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps(merged, indent=1))
+    tmp.write_text(json.dumps(merged, indent=1) + "\n")
     os.replace(tmp, path)
     print(f"wrote {path}")
 
