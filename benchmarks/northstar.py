@@ -485,11 +485,11 @@ def main(which=("continuous", "discrete")):
         n_points = int(np.prod(SHAPES_DISC))
         disc = discretize_ssy(model, SHAPES_DISC, method="tauchen")
         Td64 = T_ssy_factory(model, disc, space="log", jit=False)
+        Td = make_tiled_T_log_ssy(model, disc)
         if os.path.exists(_X32_STASH):
             x_f32 = jnp.asarray(np.load(_X32_STASH), jnp.float32)
         else:
             # No stash from a prior 'discrete' case run: solve fresh.
-            Td = make_tiled_T_log_ssy(model, disc)
             from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
                 _ssy_normalized_arrays)
             arrs = _ssy_normalized_arrays(model, disc)
@@ -503,9 +503,14 @@ def main(which=("continuous", "discrete")):
             jax.block_until_ready(res32.x)
             x_f32 = res32.x
         x64 = jnp.asarray(x_f32, jnp.float64)       # default device
+        # Mixed-precision iterative refinement (round-5): the inner
+        # Krylov correction runs through the f32 tiled kernel's tangent
+        # (newton_solver's tangent_T); residual + safeguard stay on the
+        # emulated-f64 chain.  Round-4's all-f64 inner loop measured
+        # 215 s here; the f32 inner matvec is ~50x cheaper.
         t0 = time.perf_counter()
         pres = solve(Td64, x64, method="newton", tol=1e-9, max_iter=6,
-                     jit=True)
+                     tangent_T=Td, jit=True)
         jax.block_until_ready(pres.x)
         entry = {"name": "ssy_discrete_tauchen_device_polish",
                  "points": n_points, "shapes": list(SHAPES_DISC),
@@ -514,6 +519,8 @@ def main(which=("continuous", "discrete")):
                  "device_polish_residual_emulated_f64":
                      float(pres.residual),
                  "residual_true_f64_check": f64_residual(Td64, pres.x),
+                 "inner_tangent": "f32 tiled kernel (tangent_T "
+                                  "iterative refinement)",
                  "note": "f64 stage on the TPU double-float emulation "
                          "(polish='device'); compare "
                          "polish_seconds_cpu_f64 in ssy_discrete_tauchen"}

@@ -189,6 +189,34 @@ def wc_ratio_discrete(model,
         ctx = contextlib.nullcontext()
         if stage == "host" and jax.default_backend() != "cpu":
             ctx = jax.default_device(jax.devices("cpu")[0])
+        popts = _newton_applicable(solver_opts)
+        if (stage == "device" and kernel == "tiled"
+                and "tangent_T" not in popts):
+            # Mixed-precision iterative refinement (newton_solver's
+            # ``tangent_T``): the f64 stage's inner Krylov matvecs run
+            # through the f32 tiled kernel's tangent instead of the
+            # emulated-f64 chain — the residual and safeguard stay f64,
+            # so the refinement still converges to f64 accuracy, at
+            # fast-tier per-matvec cost.  The solve below iterates the
+            # log-w field (space="log"), which is exactly the tiled
+            # kernels' iterate, so shapes and semantics line up.
+            try:
+                if isinstance(model, SSY):
+                    from .kernels.tiled_two_phase import (
+                        make_tiled_T_log_ssy)
+                    dsc = discretize_ssy(model, tuple(shapes),
+                                         method=discretization)
+                    popts["tangent_T"] = make_tiled_T_log_ssy(
+                        model, dsc, baseline=baseline)
+                elif isinstance(model, GCY):
+                    from .kernels.tiled_two_phase import (
+                        make_tiled_T_log_gcy)
+                    dsc = discretize_gcy(model, tuple(shapes),
+                                         method=discretization)
+                    popts["tangent_T"] = make_tiled_T_log_gcy(
+                        model, dsc, baseline=baseline)
+            except Exception:
+                pass                  # fall back to the f64 tangent
         with ctx:
             # f64 Newton refine through the XLA operator (the tiled
             # kernels are the f32 tier); baseline intentionally dropped
@@ -198,7 +226,7 @@ def wc_ratio_discrete(model,
                 discretization=discretization,
                 w_init=jnp.asarray(np.asarray(fast.w_star), jnp.float64),
                 checkpoint_path=checkpoint_path,
-                **_newton_applicable(solver_opts))
+                **popts)
     if kernel == "tiled":
         if space != "log":
             raise ValueError("tiled kernels iterate in log space")

@@ -716,9 +716,14 @@ def _c_kernel_pair(theta, beta, prec, trx, shapes, pair_shapes, TC,
         u2 = jnp.swapaxes(u2, 0, 1)                  # (K', L, TC)
         u2 = _contract_lead(wr2_ref[:], u2, prec)
         v2 = jnp.swapaxes(u2, 0, 1)                  # (L, K, TC)
-        shift = jnp.broadcast_to(M3[:, :, :, None],
-                                 (1, 1, g, C2)).reshape(1, 1, TC)
-        lh = _log(v2) + shift
+        # Shift-add in the 4-D split, NOT via a reshape of the
+        # broadcast: Mosaic rejects merging (g, C2) lanes of a
+        # REPLICATED (broadcast_to) vector at C2 > 256 ("Unsupported
+        # reshape", first observed at the 18.9M-point pair case), while
+        # the same split/merge on non-replicated data is the pattern
+        # the two rescales above already lower.
+        lh = (_log(v2.reshape(L, K, g, C2))
+              + M3[:, :, :, None]).reshape(L, K, TC)
         lh = lh + addr_ref[:][:, :, None] + addc_ref[:][0][None, None, :]
         out_ref[:] = _log1p(beta * _exp(lh / theta)).reshape(R, TC)
 

@@ -228,3 +228,24 @@ def test_newton_dense_safeguard_from_hostile_start():
     res = solve(T, jnp.full((3, 3, 3, 3), 2.0), method="newton",
                 inner="dense", tol=1e-11)
     assert res.converged and bool(jnp.all(jnp.isfinite(res.x)))
+
+
+def test_newton_tangent_T_iterative_refinement():
+    # Mixed-precision iterative refinement (newton_solver(tangent_T=)):
+    # the f64 operator supplies residual + safeguard, the f32 twin's
+    # linearization supplies the inner Krylov matvecs — the solve still
+    # reaches f64 accuracy and the f64-tangent solution.
+    from sdfs_via_autodiff_tpu import SSY, T_ssy_factory, discretize_ssy
+
+    model = SSY()
+    shapes = (6, 6, 6, 6)
+    disc = discretize_ssy(model, shapes)
+    T64 = T_ssy_factory(model, disc, space="log")
+    T32 = T_ssy_factory(model, disc, space="log", dtype=jnp.float32)
+    x0 = jnp.full(shapes, jnp.log(800.0))
+    ref = solve(T64, x0, method="newton", tol=1e-12)
+    res = solve(T64, x0, method="newton", tol=1e-12, tangent_T=T32)
+    assert bool(res.converged)
+    assert float(res.residual) <= 1e-12
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-10)
