@@ -184,7 +184,17 @@ def _pair_config(ops: TwoPhaseOperands):
     bcfg = _deferred_b_config(ops.shapes)
     if bcfg is None:
         return None
-    gcap = (4 * _C_BLOCK_BYTES) // (R * C2 * 4)
+    # g is bounded by Mosaic's SCOPED-VMEM STACK, not by the HBM block
+    # budget: `_c_kernel_pair` runs its carry phase per C2-slice with
+    # ~10 (R, C2)-sized f32 temporaries live per slice (exp, einsum,
+    # the rescale/contract/swapaxes chain, the epilogue), and Mosaic
+    # allocates kernel temporaries on the 16 MiB scoped-vmem stack
+    # WITHOUT reuse across the unrolled slice loop (measured on TPU
+    # v5e: the earlier block-wide 4-D carry formulation's stack grew
+    # exactly additively — 37.88M at g=4).  Keep a margin under the
+    # 16 MiB limit for the (R, TC) in/out pipeline blocks.
+    _SLICE_TEMPS, _STACK_BUDGET = 10, 14_000_000
+    gcap = _STACK_BUDGET // (_SLICE_TEMPS * R * C2 * 4)
     if gcap < 1:
         return None
     g, cand = 0, 1
@@ -684,51 +694,54 @@ def _c_kernel_pair(theta, beta, prec, trx, shapes, pair_shapes, TC,
     n_i, n_y, n_b, n_j = pair_shapes
     R = L * K
     g = TC // C2
-    hi = jax.lax.Precision.HIGHEST
     a = mid_ref[:]                                   # (R, TC) log domain
     pzt = pzt_ref[0]                                 # (n_b, n_j, n_j)
 
-    def body(u_scr, sh_scr):
+    # The carry phase runs PER C2-SLICE in pure 3-D (L, K, C2) layouts
+    # (the row contractions and the per-slice LSE shift are column-
+    # independent, so the g slices are separable).  A block-wide 4-D
+    # (L, K, g, C2) formulation measured on TPU v5e lowers each
+    # temporary with its g axis padded to 8 SUBLANES — ~4 MiB apiece at
+    # (8, 16, *, 1024) regardless of g — and Mosaic allocates kernel
+    # temporaries on the 16 MiB scoped-vmem stack WITHOUT reuse, so the
+    # carry chain alone overflowed it (observed: 37.88M at g=4, 31.60M
+    # at g=1, both compile failures at the 18.9M-point northstar case).
+    def body(u_scr):
         for s in range(g):
             asl = a[:, s * C2:(s + 1) * C2]          # (R, C2)
             m1 = jnp.max(asl, axis=1, keepdims=True)   # (R, 1)
             e = _exp(asl - m1).reshape(R, n_b, n_j)  # next (B', J')
-            w_s = pzpi_ref[s]                        # (n_b, n_b) static
-            v = jnp.einsum("bB,tBJ->tbJ", w_s, e,
-                           preferred_element_type=jnp.float32,
-                           precision=hi)
-            base = s * C2
+            # z_pi' contraction as SMEM-scalar-weighted sublane
+            # accumulation, NOT an einsum over the sublane dim B:
+            # Mosaic lowers that dot by materializing lane-padded
+            # (R, n_j, B->128) transposes of e — ~8 MiB apiece at the
+            # northstar shapes — which alone overflowed the 16 MiB
+            # scoped-vmem stack (measured: 30.91M at g=1 with the
+            # einsum; ~4M without).  n_b is ~8, so the VPU fma chain
+            # is cheap next to the z' MXU dots below.
             for b in range(n_b):
-                u_scr[:, base + b * n_j:base + (b + 1) * n_j] = _dot_p(
-                    v[:, b, :], pzt[b], prec)
-            sh_scr[:, s:s + 1] = m1
-        u = u_scr[:]                                 # (R, TC) linear
-        sh = sh_scr[:]                               # (R, g)
-        # Linear-carry row phase (see _c_kernel's deferred branch).
-        sh3 = sh.reshape(L, K, g)
-        M2 = jnp.max(sh3, axis=0, keepdims=True)     # (1, K, g)
-        u2 = (u.reshape(L, K, g, C2)
-              * _exp(sh3 - M2)[:, :, :, None]).reshape(L, K, TC)
-        u2 = _contract_lead(wr1_ref[:], u2, prec)
-        M3 = jnp.max(M2, axis=1, keepdims=True)      # (1, 1, g)
-        u2 = (u2.reshape(L, K, g, C2)
-              * _exp(M2 - M3)[:, :, :, None]).reshape(L, K, TC)
-        u2 = jnp.swapaxes(u2, 0, 1)                  # (K', L, TC)
-        u2 = _contract_lead(wr2_ref[:], u2, prec)
-        v2 = jnp.swapaxes(u2, 0, 1)                  # (L, K, TC)
-        # Shift-add in the 4-D split, NOT via a reshape of the
-        # broadcast: Mosaic rejects merging (g, C2) lanes of a
-        # REPLICATED (broadcast_to) vector at C2 > 256 ("Unsupported
-        # reshape", first observed at the 18.9M-point pair case), while
-        # the same split/merge on non-replicated data is the pattern
-        # the two rescales above already lower.
-        lh = (_log(v2.reshape(L, K, g, C2))
-              + M3[:, :, :, None]).reshape(L, K, TC)
-        lh = lh + addr_ref[:][:, :, None] + addc_ref[:][0][None, None, :]
-        out_ref[:] = _log1p(beta * _exp(lh / theta)).reshape(R, TC)
+                acc = pzpi_ref[s, b, 0] * e[:, 0, :]
+                for B in range(1, n_b):
+                    acc = acc + pzpi_ref[s, b, B] * e[:, B, :]
+                u_scr[:, b * n_j:(b + 1) * n_j] = _dot_p(
+                    acc, pzt[b], prec)
+            # Linear-carry row phase (see _c_kernel's deferred branch),
+            # on this slice's (L, K, C2) view.
+            sh3 = m1.reshape(L, K, 1)
+            M2 = jnp.max(sh3, axis=0, keepdims=True)     # (1, K, 1)
+            u2 = u_scr[:].reshape(L, K, C2) * _exp(sh3 - M2)
+            u2 = _contract_lead(wr1_ref[:], u2, prec)
+            M3 = jnp.max(M2, axis=1, keepdims=True)      # (1, 1, 1)
+            u2 = u2 * _exp(M2 - M3)
+            u2 = jnp.swapaxes(u2, 0, 1)                  # (K', L, C2)
+            u2 = _contract_lead(wr2_ref[:], u2, prec)
+            v2 = jnp.swapaxes(u2, 0, 1)                  # (L, K, C2)
+            lh = _log(v2) + M3 + addr_ref[:][:, :, None]
+            lh = lh + addc_ref[:][0][s * C2:(s + 1) * C2][None, None, :]
+            out_ref[:, s * C2:(s + 1) * C2] = _log1p(
+                beta * _exp(lh / theta)).reshape(R, C2)
 
-    pl.run_scoped(body, pltpu.VMEM((R, TC), jnp.float32),
-                  pltpu.VMEM((R, g), jnp.float32))
+    pl.run_scoped(body, pltpu.VMEM((R, C2), jnp.float32))
 
 
 def pair_device_operands(ops, cast):
@@ -770,9 +783,12 @@ def build_c_call_pair(*, shapes, pair_shapes, C_cols: int, g: int,
         memory_space=pltpu.VMEM)
     colstrip = pl.BlockSpec((R, TC), lambda c: (_i32(0), _i32(c)),
                             memory_space=pltpu.VMEM)
+    # SMEM: the kernel reads these as SCALAR weights for the sublane
+    # accumulation (see _c_kernel_pair) — a VMEM residence would force
+    # vector loads + lane broadcasts for each of the g*n_b*n_b scalars.
     pzpi_spec = pl.BlockSpec(
         (g, n_b, n_b), lambda c: (_i32(c), _i32(0), _i32(0)),
-        memory_space=pltpu.VMEM)
+        memory_space=pltpu.SMEM)
     pzt_spec = pl.BlockSpec(
         (1, n_b, n_j, n_j),
         # lax.div on explicit-i32 operands, NOT `//`: under x64 the
