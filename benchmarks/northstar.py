@@ -438,27 +438,45 @@ def main(which=("continuous", "discrete")):
         entry["sa_G_point_updates_per_s"] = round(n_points / dt / 1e9, 2)
         out["cases"].append(entry)
         _flush(out)                       # ms/app survives a later crash
-        # Newton through the pair kernel (tangent = the XLA pair twin);
-        # inner_maxiter bounded — watchdog safety at 18.9M points.
+        # Successive approximation IS the solver for this operand class
+        # (measured on TPU, 2026-08-19): the pair kernel costs ~3 ms per
+        # 18.9M-point application and SA contracts at ~0.98/iter, so the
+        # full solve is a few hundred device-resident iterations —
+        # seconds.  Newton cannot beat that here: its inner matvecs run
+        # through the XLA pair twin (~250 ms each), and 12 bounded
+        # BiCGStab iterations under-resolve cond(I - T') ~ 1/(1-0.98),
+        # so 25 safeguarded steps (180 s) moved the residual only
+        # 0.059 -> 0.0425; Anderson's extrapolation left the coarse
+        # additive baseline's f32 exp envelope and NaN-stopped at
+        # iteration 22 (best-finite-iterate return, as designed).  The
+        # kernel itself is exact: one-app sup vs host-f64 = 1.5e-6.
         t0 = time.perf_counter()
-        res = solve(Tgc.view_T, x0, method="newton", tol=entry["tol"],
-                    max_iter=25, inner_maxiter=12)
+        res = solve(Tgc.view_T, x0, method="sa", tol=entry["tol"],
+                    max_iter=2000)
         jax.block_until_ready(res.x)
-        entry["newton_solve_s"] = round(time.perf_counter() - t0, 1)
-        entry["newton_iterations"] = int(res.iterations)
+        entry["sa_solve_s"] = round(time.perf_counter() - t0, 1)
+        entry["sa_iterations"] = int(res.iterations)
         entry["residual_f32"] = float(res.residual)
         entry["converged"] = bool(res.converged)
+        entry["algorithm"] = "sa"
+        entry["note"] = ("SA at ~3 ms/application is the solver for "
+                         "this class; Newton (XLA-twin tangent, bounded "
+                         "inner) and Anderson (envelope exit) both "
+                         "recorded non-viable at 18.9M — see "
+                         "docs/scaling.md")
         if not entry["converged"]:
-            # Anderson needs only primal kernel applications (no big
-            # XLA tangent chain) — the recorded fallback at this scale.
+            # Anderson FROM the SA iterate (already near the solution,
+            # so the extrapolation stays in the envelope) — fallback if
+            # SA plateaus above tol.
             t0 = time.perf_counter()
-            res = solve(Tgc.view_T, x0, method="anderson",
+            res = solve(Tgc.view_T, res.x, method="anderson",
                         tol=entry["tol"], max_iter=3000)
             jax.block_until_ready(res.x)
             entry["anderson_solve_s"] = round(time.perf_counter() - t0, 1)
             entry["anderson_iterations"] = int(res.iterations)
             entry["residual_f32"] = float(res.residual)
             entry["converged"] = bool(res.converged)
+            entry["algorithm"] = "sa+anderson"
         out["cases"][-1] = entry
         _flush(out)
         # True-f64 residual of the f32 solution under the SAME

@@ -173,3 +173,18 @@ def test_driver_gcy_tiled_pair_kernel_end_to_end(monkeypatch):
     assert bool(sol.result.converged)
     assert sol.w_star.shape == (8, 3, 2, 4, 128, 2)
     assert bool(jnp.isfinite(sol.w_star).all())
+
+
+def test_default_algorithm_resolution():
+    # algorithm=None resolves per path: SA for the continuous-GCY pair
+    # tier (the pallas primal is ms-scale and SA contracts ~0.98/iter;
+    # Newton's XLA-twin tangent and Anderson's envelope exit are both
+    # recorded non-viable at 18.9M points — NORTHSTAR
+    # gcy_continuous_quadpre_pair), Newton elsewhere.
+    from sdfs_via_autodiff_tpu.drivers import _default_algorithm
+    from sdfs_via_autodiff_tpu import SSY
+
+    assert _default_algorithm(GCY(), "tiled") == "sa"
+    assert _default_algorithm(SSY(), "tiled") == "newton"
+    assert _default_algorithm(GCY(), "xla") == "newton"
+    assert _default_algorithm(SSY(), "xla") == "newton"
