@@ -21,6 +21,7 @@ __all__ = ["SOLVERS", "solve", "solver"]
 
 SOLVERS = {
     "successive_approx": successive_approx,
+    "sa": successive_approx,               # short alias
     "newton": newton_solver,
     "anderson": anderson_solver,
     "gd": gradient_solver,
