@@ -706,11 +706,24 @@ def _c_kernel_pair(theta, beta, prec, trx, shapes, pair_shapes, TC,
     # temporaries on the 16 MiB scoped-vmem stack WITHOUT reuse, so the
     # carry chain alone overflowed it (observed: 37.88M at g=4, 31.60M
     # at g=1, both compile failures at the 18.9M-point northstar case).
+    # Exponent bias (see build_c_call_pair docstring): pass C's whole
+    # z_pi-sum -> z-dot -> carry1 -> carry2 chain runs un-logged, so a
+    # single f32 window (~87 decades below the running max) must hold
+    # every contribution that matters.  GCY's theta = -36 times the
+    # coarse-additive-baseline remainder span exceeds that at >=10^7
+    # points — measured: the 18.9M northstar SA run was contracting at
+    # ~0.98/iter and then underflowed a whole output group to 0, whose
+    # log(-inf)/theta turned the field inf at iteration ~141.  Biasing
+    # each exp stage by e^B and subtracting 3B after the log extends
+    # the window by 3B decades at zero cost (f32 precision is
+    # scale-free; the chain max stays <= e^{3B + sum-margins} ~ e^80).
+    _B = 25.0
+
     def body(u_scr):
         for s in range(g):
             asl = a[:, s * C2:(s + 1) * C2]          # (R, C2)
             m1 = jnp.max(asl, axis=1, keepdims=True)   # (R, 1)
-            e = _exp(asl - m1).reshape(R, n_b, n_j)  # next (B', J')
+            e = _exp(asl - m1 + _B).reshape(R, n_b, n_j)  # next (B', J')
             # z_pi' contraction as SMEM-scalar-weighted sublane
             # accumulation, NOT an einsum over the sublane dim B:
             # Mosaic lowers that dot by materializing lane-padded
@@ -729,14 +742,14 @@ def _c_kernel_pair(theta, beta, prec, trx, shapes, pair_shapes, TC,
             # on this slice's (L, K, C2) view.
             sh3 = m1.reshape(L, K, 1)
             M2 = jnp.max(sh3, axis=0, keepdims=True)     # (1, K, 1)
-            u2 = u_scr[:].reshape(L, K, C2) * _exp(sh3 - M2)
+            u2 = u_scr[:].reshape(L, K, C2) * _exp(sh3 - M2 + _B)
             u2 = _contract_lead(wr1_ref[:], u2, prec)
             M3 = jnp.max(M2, axis=1, keepdims=True)      # (1, 1, 1)
-            u2 = u2 * _exp(M2 - M3)
+            u2 = u2 * _exp(M2 - M3 + _B)
             u2 = jnp.swapaxes(u2, 0, 1)                  # (K', L, C2)
             u2 = _contract_lead(wr2_ref[:], u2, prec)
             v2 = jnp.swapaxes(u2, 0, 1)                  # (L, K, C2)
-            lh = _log(v2) + M3 + addr_ref[:][:, :, None]
+            lh = _log(v2) + (M3 - 3.0 * _B) + addr_ref[:][:, :, None]
             lh = lh + addc_ref[:][0][s * C2:(s + 1) * C2][None, None, :]
             out_ref[:, s * C2:(s + 1) * C2] = _log1p(
                 beta * _exp(lh / theta)).reshape(R, C2)

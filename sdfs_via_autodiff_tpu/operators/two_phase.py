@@ -308,11 +308,25 @@ def two_phase_operands_gcy_continuous(model, grids, degree: int = 5,
     W_c1 = _kron(arrs["P_hz"], arrs["P_hzpi"])
     P_z = np.asarray(arrs["P_z"], np.float64)        # (i, j, b, J)
     P_zpi = np.asarray(arrs["P_zpi"], np.float64)    # (y, b, B)
+    # Row-normalize P_zpi, moving log(rowsum) into the log-domain
+    # per-column add below.  The raw rows carry folded payoff factors
+    # that sum to ~e^38 on reference calibrations, which (a) wastes
+    # most of the linear chain's f32 window on a constant scale and
+    # (b) made the pass-C exponent bias overflow (kernel NaNs).  A
+    # per-(y, b) scale rides the b lane through the row carries — the
+    # carries contract rows, never columns — so the move is exact.
+    zpi_scale = P_zpi.sum(axis=2)                    # (y, b)
+    P_zpi = P_zpi / np.where(zpi_scale == 0.0, 1.0, zpi_scale)[:, :, None]
+    with np.errstate(divide="ignore"):               # 0-mass row -> -inf
+        log_zpi_scale = np.log(zpi_scale)
     log_A2 = np.asarray(arrs["log_A2"], np.float64)  # (k,)
     log_A3 = np.asarray(arrs["log_A3"], np.float64)  # (j,)
     add_row = np.broadcast_to(log_A2[:, None], (n_k, n_l)).copy()
     colpart = np.broadcast_to(log_A3[None, :], (n_b, n_j)).reshape(C2)
     add_col = np.broadcast_to(colpart[None, :], (IY, C2)).copy()
+    add_col += np.tile(
+        np.broadcast_to(log_zpi_scale[:, :, None],
+                        (n_y, n_b, n_j)).reshape(n_y, C2), (n_i, 1))
     sub_row = sub_col = ell0 = None
     if arrs["ell0_parts"] is not None:
         const0, phi_l, phi_k, phi_i, phi_y, phi_j, phi_b = (

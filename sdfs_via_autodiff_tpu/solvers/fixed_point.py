@@ -32,6 +32,13 @@ STALL_ITERS = 200     # consecutive non-improving iterations before giving up
 STALL_RTOL = 1e-5     # relative residual decrease that counts as progress
 
 
+def _where_tree(pred, a, b):
+    """jnp.where over a pytree iterate (fields here are plain arrays,
+    but keep the general form)."""
+    return jax.tree_util.tree_map(
+        lambda u, v: jnp.where(pred, u, v), a, b)
+
+
 def _iterate(step: Callable, x0, tol, max_iter, *, verbose=False,
              trace_len: int = 0, stall_iters: int = STALL_ITERS,
              final_residual: Optional[Callable] = None) -> SolveResult:
@@ -57,26 +64,36 @@ def _iterate(step: Callable, x0, tol, max_iter, *, verbose=False,
     trace0 = jnp.full((trace_len,), jnp.nan, dtype=dtype) if trace_len else None
 
     def cond(state):
-        _, err, it, _, _, since = state
-        return ((err > tol) & (it < max_iter) & ~jnp.isnan(err)
+        _, err, it, _, _, since, alive = state
+        return ((err > tol) & (it < max_iter) & alive
                 & (since < stall_iters))
 
     def body(state):
-        x, err, it, trace, best, since = state
+        x, err, it, trace, best, since, alive = state
         x_new = step(x)
-        err = jnp.max(jnp.abs(x_new - x))
+        err_new = jnp.max(jnp.abs(x_new - x))
+        # Divergence guard: on a NON-FINITE step (NaN *or* inf — an
+        # f32-envelope exit first shows as inf, e.g. the 18.9M pair
+        # case's SA run), stop and KEEP the pre-step iterate and its
+        # last finite error, so callers get the last healthy point
+        # instead of a poisoned field (the Anderson best-finite-iterate
+        # convention).  `err` stays the previous step's value, which by
+        # construction was finite (or `big` at it=0).
+        ok = jnp.isfinite(err_new)
         if verbose:
             jax.debug.print(
-                "iter = {it}, error = {err}", it=it, err=err, ordered=False)
+                "iter = {it}, error = {err}", it=it, err=err_new,
+                ordered=False)
         if trace is not None:
-            trace = trace.at[jnp.minimum(it, trace_len - 1)].set(err)
-        improved = err < best * (1.0 - STALL_RTOL)
-        since = jnp.where(improved, 0, since + 1)
-        best = jnp.minimum(best, err)
-        return x_new, err, it + 1, trace, best, since
+            trace = trace.at[jnp.minimum(it, trace_len - 1)].set(err_new)
+        improved = err_new < best * (1.0 - STALL_RTOL)
+        since = jnp.where(ok & improved, 0, since + 1)
+        best = jnp.where(ok, jnp.minimum(best, err_new), best)
+        return (_where_tree(ok, x_new, x), jnp.where(ok, err_new, err),
+                it + 1, trace, best, since, ok)
 
-    x, err, it, trace, _, _ = lax.while_loop(
-        cond, body, (x0, big, 0, trace0, big, 0))
+    x, err, it, trace, _, _, _ = lax.while_loop(
+        cond, body, (x0, big, 0, trace0, big, 0, jnp.asarray(True)))
     if final_residual is not None:
         # The loop's error is the STEP size |step(x) - x|.  For plain
         # successive approximation that equals the operator residual by

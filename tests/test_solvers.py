@@ -249,3 +249,19 @@ def test_newton_tangent_T_iterative_refinement():
     assert float(res.residual) <= 1e-12
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                atol=1e-10)
+
+
+def test_iterate_nonfinite_step_returns_last_finite():
+    # A step that overflows f32 to inf mid-iteration: the device loop
+    # must stop on the non-finite step and return the last FINITE
+    # iterate (the 18.9M pair-SA failure class: an f32-envelope exit
+    # shows up as inf, which isnan() alone loops straight through,
+    # poisoning the returned field).
+    def T(x):
+        return x * jnp.asarray(1e4, jnp.float32)
+
+    x0 = jnp.full((8,), 1e30, jnp.float32)
+    res = solve(T, x0, method="sa", tol=1e-12, max_iter=50)
+    assert not bool(res.converged)
+    assert bool(jnp.all(jnp.isfinite(res.x)))
+    assert bool(jnp.isfinite(res.residual))
