@@ -88,8 +88,21 @@ def anderson_solver(T: Callable,
     # in place (local partials + psum).
     def aa_combination(X, F, fx):
         """Solve the ridge normal equations over the m stored pairs."""
-        G = (F - X).astype(gram_dtype)              # residuals, (m,)+shape
-        A = jnp.einsum("i...,j...->ij", G, G)       # (m, m) Gram
+        G = F - X                                   # residuals, (m,)+shape
+        # Pairwise Gram, NOT one (m,)+shape f64 einsum: on TPU the f64
+        # emulation expands each operand into its multiword form, and a
+        # single einsum materializes that expansion for the WHOLE
+        # history — measured: an f32[8, m, <grid>] intermediate (32 GB
+        # at m=10, 25.2M points; HBM is 16 GB).  Upper-triangle dots
+        # keep one vector pair's expansion live at a time (~0.8 GB),
+        # and XLA reuses the buffer across the unrolled m(m+1)/2 dots.
+        rows = [[None] * m for _ in range(m)]
+        for i in range(m):
+            gi = G[i].astype(gram_dtype)
+            for j in range(i, m):
+                rows[i][j] = rows[j][i] = jnp.sum(
+                    gi * G[j].astype(gram_dtype))
+        A = jnp.stack([jnp.stack(r) for r in rows])  # (m, m) Gram
         scale = jnp.maximum(jnp.trace(A) / m, 1e-30)
         A = A + ridge * scale * jnp.eye(m, dtype=gram_dtype)
         ones = jnp.ones((m,), dtype=gram_dtype)
