@@ -229,6 +229,7 @@ def _scale_metric(shapes=(56, 56, 56, 64)):
     import warnings
 
     from benchmarks.timing import hbm_roofline_pct, marginal_time
+    from benchmarks.compute_roofline import pct_of_compute_roofline
     from sdfs_via_autodiff_tpu import SSY, discretize_ssy
     from sdfs_via_autodiff_tpu.kernels.streamed_two_phase import (
         make_streamed_T_log)
@@ -272,6 +273,16 @@ def _scale_metric(shapes=(56, 56, 56, 64)):
                 round(dt_fast * 1e3, 3),
             "scale_throughput_mode_pct_of_hbm_roofline":
                 round(hbm_roofline_pct(n, dt_fast), 1),
+            # The honest frame for a compute-bound kernel: % of the
+            # self-calibrated VPU+MXU floor (benchmarks/
+            # compute_roofline.py; None until COMPUTE_ROOFLINE.json has
+            # been generated on this chip).
+            "scale_pct_of_compute_roofline":
+                pct_of_compute_roofline(shapes, dt, "accurate"),
+            "scale_mixed_trx_pct_of_compute_roofline":
+                pct_of_compute_roofline(shapes, dt_mixed, "mixed"),
+            "scale_throughput_mode_pct_of_compute_roofline":
+                pct_of_compute_roofline(shapes, dt_fast, "fast"),
             "scale_note": "compute-bound (VPU transcendentals + matmul "
                           "emulation), not HBM-bound; see docs/status.md",
         }

@@ -51,7 +51,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.timing import HBM_GBPS
+from jax import lax
+
+from benchmarks.timing import HBM_GBPS, sync_scalar
 
 # Elementwise non-transcendental ops per point per application in the
 # deferred-c2 LSE path (counted from kernels/streamed_two_phase.py
@@ -63,61 +65,80 @@ EW_OPS_PER_POINT = 15.0
 FIELD_BYTES_PER_POINT = 16.0      # 4 f32 passes of the field
 
 
-def _chain_cost_per_elem(step, n_elem=1 << 22, k1=4, k2=20, reps=5):
+def _chain_cost_per_elem(step, n_elem=1 << 24, reps=5):
     """Marginal per-element seconds of one ``step`` application, timed
-    as the difference of two fused chains (k2 vs k1 steps) over an
-    n_elem f32 array — intermediate values never touch HBM."""
-    def mk(k):
-        @jax.jit
-        def f(x):
-            for _ in range(k):
-                x = step(x)
-            return x
-        return f
+    as the difference of two fused ``fori_loop`` chains over an n_elem
+    f32 array — intermediate values never touch HBM.
+
+    Every timed call ends in ``sync_scalar`` (benchmarks/timing.py):
+    the axon tunnel's ``block_until_ready`` can return before execution
+    when the queue is deep, and the first committed calibration —
+    4M-element unrolled chains, block-only timing — measured pure
+    dispatch noise (negative per-element costs).  The fetch's constant
+    ~40 ms latency cancels in the k2-k1 delta; the chain length adapts
+    until the delta clears that constant's jitter."""
+    @jax.jit
+    def f(x, k):
+        return lax.fori_loop(0, k, lambda i, v: step(v), x)
 
     x = jnp.linspace(0.1, 0.9, n_elem, dtype=jnp.float32)
-    f1, f2 = mk(k1), mk(k2)
-    jax.block_until_ready(f1(x)); jax.block_until_ready(f2(x))
+    k1 = 8
+    sync_scalar(f(x, k1))                      # compile + drain
 
-    def t(f):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
-        return time.perf_counter() - t0
+    def t(k):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync_scalar(f(x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    d = min(t(f2) for _ in range(reps)) - min(t(f1) for _ in range(reps))
-    return d / (k2 - k1) / n_elem
+    t1 = t(k1)
+    k2 = 512
+    while True:
+        d = t(k2) - t1
+        if d > 0.05 or k2 >= 1 << 16:
+            return d / (k2 - k1) / n_elem
+        k2 *= 4
 
 
 def _matmul_rate(rows, n, reps=5):
     """Measured FLOP/s of the lead-merged (rows, n) @ (n, n) f32 dot —
     the kernels' per-axis contraction shape (HIGHEST precision, like
-    the kernels' _dot_p default)."""
+    the kernels' _dot_p default).  Same sync-scalar + adaptive-chain
+    protocol as _chain_cost_per_elem.  The dot result is rescaled each
+    step to keep the carry finite over long chains."""
     a = jnp.asarray(np.random.default_rng(0).standard_normal(
         (rows, n)), jnp.float32)
     w = jnp.asarray(np.random.default_rng(1).standard_normal(
         (n, n)), jnp.float32)
+    scale = jnp.float32(1.0 / (4.0 * np.sqrt(n)))
 
-    def mk(k):
-        @jax.jit
-        def f(x):
-            for _ in range(k):
-                x = jax.lax.dot(x, w,
-                                precision=jax.lax.Precision.HIGHEST)
-            return x
-        return f
+    @jax.jit
+    def f(x, wm, k):
+        def body(i, v):
+            return jax.lax.dot(v, wm,
+                               precision=jax.lax.Precision.HIGHEST) * scale
+        return lax.fori_loop(0, k, body, x)
 
-    k1, k2 = 2, 8
-    f1, f2 = mk(k1), mk(k2)
-    jax.block_until_ready(f1(a)); jax.block_until_ready(f2(a))
+    k1 = 4
+    sync_scalar(f(a, w, k1))
 
-    def t(f):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(a))
-        return time.perf_counter() - t0
+    def t(k):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync_scalar(f(a, w, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    d = min(t(f2) for _ in range(reps)) - min(t(f1) for _ in range(reps))
-    per_dot = d / (k2 - k1)
-    return 2.0 * rows * n * n / per_dot
+    t1 = t(k1)
+    k2 = 64
+    while True:
+        d = t(k2) - t1
+        if d > 0.05 or k2 >= 1 << 14:
+            return 2.0 * rows * n * n * (k2 - k1) / d
+        k2 *= 4
 
 
 def calibrate():
@@ -143,6 +164,13 @@ def calibrate():
         "log1p_hw_s": _chain_cost_per_elem(
             lambda x: jnp.log1p(x * 0.5)) - fma,
     }
+    # A non-positive marginal cost is a measurement failure (dispatch
+    # noise swamped the chain delta), never physics: refuse to write a
+    # calibration that would make the roofline claim nonsense.
+    bad = {k: v for k, v in c.items() if v <= 0}
+    if bad:
+        raise RuntimeError(f"noise-dominated calibration: {bad}; "
+                           "increase chain length / reps")
     return c
 
 
@@ -187,7 +215,12 @@ def main():
     shapes_cont = (56, 56, 56, 64)
     shapes_disc = (32, 32, 32, 384)
     axes = sorted(set(shapes_cont) | set(shapes_disc))
-    mm = {ax: _matmul_rate(1 << 17, ax) for ax in axes}
+    # Small contracted axes need taller stacks for the chain delta to
+    # clear the dispatch noise (per-dot FLOPs scale with n^2).
+    mm = {ax: _matmul_rate(1 << (19 if ax < 128 else 17), ax)
+          for ax in axes}
+    if any(r <= 0 for r in mm.values()):
+        raise RuntimeError(f"noise-dominated matmul rates: {mm}")
     out["matmul_gflops_by_axis"] = {str(ax): round(r / 1e9, 1)
                                     for ax, r in mm.items()}
     print(json.dumps(out["matmul_gflops_by_axis"]))

@@ -282,12 +282,18 @@ def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
     from functools import partial
 
     from ..ops.contract import lse_matmul
-    lse = partial(lse_matmul, transcendentals=transcendentals)
 
     theta, beta, gamma = model.theta, model.beta, model.gamma
     # dtype=None means keep float64 (every other operator path's
     # convention); the f32 scale tier is an explicit request.
     work_dtype = dtype or jnp.float64
+    # f32: the wide-Rouwenhorst ladders this normalized tier exists for
+    # put localized next-state rows' whole mass below the per-slice
+    # shift's ~87-decade window (measured: first application -inf/NaN
+    # at the 25.2M north-star grid) — enable lse_matmul's second,
+    # 80-decades-lower matmul window.
+    lse = partial(lse_matmul, transcendentals=transcendentals,
+                  deep_window=80.0 if work_dtype == jnp.float32 else 0.0)
     m = model
 
     parts = gcy_loglinear_parts(model, disc)

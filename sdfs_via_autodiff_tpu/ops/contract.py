@@ -48,9 +48,47 @@ def einsum_p(subscripts: str, M, E, precision: str = "highest"):
     return jnp.einsum(subscripts, M, E, precision=prec)
 
 
+def _rowsum_align(M, subscripts, axis):
+    """Row-normalize ``M`` over its contracted label, returning the
+    normalized matrix and ``log(rowsum)`` reshaped to broadcast against
+    the einsum OUTPUT.
+
+    Moving the row scale into a log-domain add is exact (``log s +
+    log(M^ @ e^v)``) and twice useful: conditioned operand matrices can
+    carry folded payoff factors spanning many decades (measured ~e^38
+    on GCY calibrations), which both waste the f32 window and hide the
+    row's true locality; and after normalization every row has an entry
+    >= 1/n, so a row can only underflow when ALL its mass sits below
+    the slice max's f32 window — the case the ``deep_window`` second
+    pass covers.  Requires every non-contracted label of ``M`` to
+    appear in the output (true for all the per-axis chains here).
+    """
+    ins, out = subscripts.split("->")
+    ms, vs = ins.split(",")
+    contracted = vs[axis]
+    kdim = ms.index(contracted)
+    s = M.sum(axis=kdim)
+    Mn = M / jnp.expand_dims(jnp.where(s == 0, jnp.ones_like(s), s), kdim)
+    labels = [l for l in ms if l != contracted]
+    assert all(l in out for l in labels), (subscripts, axis)
+    # Transpose s's labels into output order, then expand the missing
+    # output labels as singleton axes.
+    order = sorted(range(len(labels)), key=lambda i: out.index(labels[i]))
+    s_t = jnp.transpose(s, order)
+    shape, i = [], 0
+    for l in out:
+        if i < len(labels) and l == labels[order[i]]:
+            shape.append(s_t.shape[i])
+            i += 1
+        else:
+            shape.append(1)
+    return Mn, jnp.log(s_t).reshape(shape)
+
+
 def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
                axis: int, transcendentals: str = "accurate",
-               precision: str = "highest") -> jnp.ndarray:
+               precision: str = "highest",
+               deep_window: float = 0.0) -> jnp.ndarray:
     """log of ``einsum(subscripts, M, exp(log_v))`` with a per-slice shift
     over the contracted ``axis`` of ``log_v``.
 
@@ -60,7 +98,23 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     contractions used by the operators, where the contracted axis is
     replaced by the matching current-state axis in place).
 
-    All entries of ``M`` must be non-negative.
+    All entries of ``M`` must be non-negative.  ``M`` is row-normalized
+    internally (exact — the log row sum is added to the output; see
+    :func:`_rowsum_align`), so folded payoff factors in conditioned
+    operand matrices cannot eat into the exp window.
+
+    ``deep_window=W`` (float32 inputs only; e.g. 80.0) adds a second
+    matmul pass with the shift lowered by W: a LOCALIZED output row —
+    e.g. a Rouwenhorst ladder corner, whose binomial weights
+    concentrate far from the slice argmax — can have its entire mass
+    below the single joint window (exp(v - m) flushes to 0, u = 0,
+    log -> -inf even though the true output is finite, merely ~m - 150;
+    first measured at the 25.2M wide-Rouwenhorst GCY north-star case).
+    Pass 2 computes ``m - W + log(M^ @ exp(v - m + W))`` — its large
+    terms stay under e^{W + ln n} < f32 max for W <= ~80 — and the
+    result is selected per output element only where pass 1
+    underflowed, extending coverage to ~2x87 decades for one extra
+    (bandwidth-bound) matmul.
 
     ``transcendentals``: "accurate" (default) uses the faithfully-rounded
     software f32 exp/log (``ops/accurate.py``) — the TPU VPU's hardware
@@ -89,6 +143,7 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     else:
         raise ValueError(f"unknown transcendentals {transcendentals!r}")
 
+    M, log_s = _rowsum_align(M, subscripts, axis)
     m = jnp.max(log_v, axis=axis, keepdims=True)
     # An all--inf contracted slice (log of exact-zero mass) must yield
     # -inf, not NaN: -inf - -inf = NaN inside exp.  Shifting by 0 there
@@ -99,4 +154,9 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     # one-application error); these contractions are bandwidth-bound, so
     # the extra multiplier passes are ~free.  No-op for float64.
     u = einsum_p(subscripts, M, exp_(log_v - m), precision)
-    return m + log_(u)
+    out = m + log_(u)
+    if deep_window and jnp.result_type(log_v) == jnp.float32:
+        W = jnp.float32(deep_window)
+        u2 = einsum_p(subscripts, M, exp_(log_v - m + W), precision)
+        out = jnp.where(u > 0, out, m - W + log_(u2))
+    return out + log_s

@@ -304,3 +304,45 @@ def test_fused_gcy_continuous_coarse_baseline_operands():
     _, M2T, _, _, _, _, _ = kron_operands_gcy_continuous(
         model, grids, 5, baseline, jnp.float32)
     assert float(jnp.max(jnp.abs(M2T))) < 1e6
+
+
+def test_lse_matmul_row_normalization_is_exact():
+    # lse_matmul row-normalizes M internally (log rowsum added to the
+    # output): scaling any row of M by a huge factor must shift the
+    # result by exactly log(scale) and change nothing else.
+    from sdfs_via_autodiff_tpu.ops.contract import lse_matmul
+
+    rng = np.random.default_rng(3)
+    M = jnp.asarray(rng.uniform(0.1, 1.0, (5, 6)))
+    v = jnp.asarray(rng.standard_normal((4, 6)))
+    base = lse_matmul(M, v, "om,km->ko", 1)
+    scaled = lse_matmul(M.at[2].mul(1e80), v, "om,km->ko", 1)
+    np.testing.assert_allclose(np.asarray(scaled[:, 2]),
+                               np.asarray(base[:, 2]) + np.log(1e80),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(scaled[:, [0, 1, 3, 4]]),
+                               np.asarray(base[:, [0, 1, 3, 4]]),
+                               rtol=1e-12)
+
+
+def test_lse_matmul_deep_window_recovers_localized_rows():
+    # Localized rows over a 150-decade f32 span (the wide-Rouwenhorst
+    # class): row o's whole mass sits below the joint shift's ~87-decade
+    # window, so pass 1 underflows to log(0) = -inf; the deep_window
+    # second pass recovers the true finite value.
+    from sdfs_via_autodiff_tpu.ops.contract import lse_matmul
+
+    n = 8
+    v = jnp.asarray(np.linspace(-150.0, 0.0, n),
+                    jnp.float32).reshape(1, n)
+    M = jnp.asarray(np.eye(n), jnp.float32)
+    out0 = lse_matmul(M, v, "om,km->ko", 1)
+    assert not bool(jnp.isfinite(out0).all())          # the failure mode
+    out = lse_matmul(M, v, "om,km->ko", 1, deep_window=80.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(v), atol=1e-5)
+    # f64 input: the deep window is a no-op and stays exact.
+    out64 = lse_matmul(jnp.asarray(np.eye(n)),
+                       jnp.asarray(np.asarray(v), jnp.float64),
+                       "om,km->ko", 1, deep_window=80.0)
+    np.testing.assert_allclose(np.asarray(out64), np.asarray(v, np.float64),
+                               atol=1e-12)
