@@ -15,6 +15,8 @@ contraction step.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -85,6 +87,69 @@ def _rowsum_align(M, subscripts, axis):
     return Mn, jnp.log(s_t).reshape(shape)
 
 
+def _trx_pair(transcendentals: str):
+    """(exp, log) implementations for a transcendentals tier name."""
+    if transcendentals == "fast":
+        return jnp.exp, jnp.log
+    if transcendentals == "mixed":
+        from .accurate import accurate_log
+        return jnp.exp, accurate_log
+    if transcendentals == "accurate":
+        from .accurate import accurate_exp, accurate_log
+        return accurate_exp, accurate_log
+    raise ValueError(f"unknown transcendentals {transcendentals!r}")
+
+
+def _safe_shift(log_v, axis):
+    """Per-slice max shift; 0 for all--inf slices (-inf - -inf = NaN)."""
+    m = jnp.max(log_v, axis=axis, keepdims=True)
+    return jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _lse_matmul_deep(Mn, log_v, subscripts, axis, transcendentals,
+                     precision, W):
+    """Two-window LSE contraction of a ROW-NORMALIZED ``Mn`` (see
+    :func:`lse_matmul`); custom JVP so the tangent costs ONE einsum.
+
+    The naive autodiff of the two-pass primal doubles every tangent
+    matvec and its residuals — measured: Newton at the 25.2M GCY
+    north-star case went from compiling (pre-deep-window) to a 17.5G
+    HBM compile OOM.  The fix is mathematical, not scheduling: with
+    ``u2 = Mn^ @ exp(v - m + W)`` the derivative of BOTH branches is
+    the same softmax average ``d out = (Mn^ @ (exp(v - m + W) dv)) /
+    u2`` — the deep pass never flushes the mass that matters (terms
+    <= e^{W + ln n} < f32 max) and never vanishes (each normalized row
+    has an entry >= 1/n, so u2 >= e^W/n > 0), so one window serves the
+    whole tangent."""
+    exp_, log_ = _trx_pair(transcendentals)
+    m = _safe_shift(log_v, axis)
+    u = einsum_p(subscripts, Mn, exp_(log_v - m), precision)
+    u2 = einsum_p(subscripts, Mn, exp_(log_v - m + W), precision)
+    return jnp.where(u > 0, m + log_(u), m - W + log_(u2))
+
+
+@partial(_lse_matmul_deep.defjvp, symbolic_zeros=True)
+def _lse_matmul_deep_jvp(subscripts, axis, transcendentals, precision, W,
+                         primals, tangents):
+    from jax.custom_derivatives import SymbolicZero
+
+    Mn, log_v = primals
+    dM, dv = tangents
+    exp_, log_ = _trx_pair(transcendentals)
+    m = _safe_shift(log_v, axis)
+    em = exp_(log_v - m + W)
+    u = einsum_p(subscripts, Mn, exp_(log_v - m), precision)
+    u2 = einsum_p(subscripts, Mn, em, precision)
+    out = jnp.where(u > 0, m + log_(u), m - W + log_(u2))
+    num = jnp.zeros_like(out)
+    if not isinstance(dv, SymbolicZero):
+        num = einsum_p(subscripts, Mn, em * dv, precision)
+    if not isinstance(dM, SymbolicZero):
+        num = num + einsum_p(subscripts, dM, em, precision)
+    return out, num / u2
+
+
 def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
                axis: int, transcendentals: str = "accurate",
                precision: str = "highest",
@@ -133,30 +198,18 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     cost — the Newton inner-matvec tier), or "default" (one bf16 pass);
     see :func:`einsum_p`.
     """
-    if transcendentals == "fast":
-        exp_, log_ = jnp.exp, jnp.log
-    elif transcendentals == "mixed":
-        from .accurate import accurate_log as log_
-        exp_ = jnp.exp
-    elif transcendentals == "accurate":
-        from .accurate import accurate_exp as exp_, accurate_log as log_
-    else:
-        raise ValueError(f"unknown transcendentals {transcendentals!r}")
+    exp_, log_ = _trx_pair(transcendentals)
 
     M, log_s = _rowsum_align(M, subscripts, axis)
-    m = jnp.max(log_v, axis=axis, keepdims=True)
-    # An all--inf contracted slice (log of exact-zero mass) must yield
-    # -inf, not NaN: -inf - -inf = NaN inside exp.  Shifting by 0 there
-    # gives exp(-inf) = 0 -> log(0) = -inf, the correct limit.
-    m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
+    if deep_window and jnp.result_type(log_v) == jnp.float32:
+        out = _lse_matmul_deep(M, log_v, subscripts, axis,
+                               transcendentals, precision,
+                               float(deep_window))
+        return out + log_s
+    m = _safe_shift(log_v, axis)
     # HIGHEST keeps f32 operands in true f32 on the MXU (the TPU default
     # demotes them to one-pass bf16, a measured ~6x loss on the operator's
     # one-application error); these contractions are bandwidth-bound, so
     # the extra multiplier passes are ~free.  No-op for float64.
     u = einsum_p(subscripts, M, exp_(log_v - m), precision)
-    out = m + log_(u)
-    if deep_window and jnp.result_type(log_v) == jnp.float32:
-        W = jnp.float32(deep_window)
-        u2 = einsum_p(subscripts, M, exp_(log_v - m + W), precision)
-        out = jnp.where(u > 0, out, m - W + log_(u2))
-    return out + log_s
+    return m + log_(u) + log_s

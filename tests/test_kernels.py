@@ -346,3 +346,39 @@ def test_lse_matmul_deep_window_recovers_localized_rows():
                        "om,km->ko", 1, deep_window=80.0)
     np.testing.assert_allclose(np.asarray(out64), np.asarray(v, np.float64),
                                atol=1e-12)
+
+
+def test_lse_matmul_deep_window_custom_jvp_matches_plain():
+    # The deep path carries a custom JVP (one tangent einsum through the
+    # deep window — naive autodiff of the two-pass primal doubled Newton's
+    # inner-matvec memory and compile-OOMed the 25.2M case): its
+    # jvp/vjp must agree with the single-window autodiff wherever pass 1
+    # doesn't underflow, and stay finite where it does.
+    from sdfs_via_autodiff_tpu.ops.contract import lse_matmul
+
+    rng = np.random.default_rng(7)
+    M = jnp.asarray(rng.uniform(0.1, 1.0, (5, 6)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((4, 6)) * 3, jnp.float32)
+    dv = jnp.asarray(rng.standard_normal((4, 6)), jnp.float32)
+    dM = jnp.asarray(rng.standard_normal((5, 6)), jnp.float32) * 0.01
+    f = lambda M, v: lse_matmul(M, v, "om,km->ko", 1, deep_window=80.0)
+    f0 = lambda M, v: lse_matmul(M, v, "om,km->ko", 1)
+    out, t = jax.jvp(f, (M, v), (dM, dv))
+    out0, t0 = jax.jvp(f0, (M, v), (dM, dv))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t0), atol=1e-5)
+    g = jax.grad(lambda v: jnp.sum(jnp.sin(f(M, v))))(v)
+    g0 = jax.grad(lambda v: jnp.sum(jnp.sin(f0(M, v))))(v)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g0), atol=1e-5)
+    # Localized rows (pass-1 underflow): tangent finite and correct —
+    # identity M makes out = v, so d out/d v = 1 everywhere.
+    n = 8
+    vloc = jnp.asarray(np.linspace(-150.0, 0.0, n),
+                       jnp.float32).reshape(1, n)
+    Me = jnp.asarray(np.eye(n), jnp.float32)
+    outl, tl = jax.jvp(
+        lambda v: lse_matmul(Me, v, "om,km->ko", 1, deep_window=80.0),
+        (vloc,), (jnp.ones_like(vloc),))
+    np.testing.assert_allclose(np.asarray(outl), np.asarray(vloc),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tl), 1.0, atol=1e-5)
