@@ -313,47 +313,67 @@ def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
         lzP = logQ(disc.z_P)
 
     t = theta
-    M1 = np.exp(lQlam + t * (h_lam + phi_l)[None, :] - t * phi_l[:, None])
-    M2 = np.exp(lQc + t * (phi_d[None, :] - phi_d[:, None]))
+    # Matrices are assembled IN LOG DOMAIN and row-normalized before the
+    # only exp (ops/contract.normalize_rows_log): the folded baseline
+    # factors reach e^{+-hundreds} on wide-Rouwenhorst ladders, so an
+    # un-normalized np.exp + astype(f32) makes inf/0 entries (measured
+    # at the 25.2M north-star case: inf rowsums -> NaN everywhere).
+    # The exact per-row log-sums ride the chain as output adds.
+    from ..ops.contract import normalize_rows_log
+
+    logM1 = lQlam + t * (h_lam + phi_l)[None, :] - t * phi_l[:, None]
+    logM2 = lQc + t * (phi_d[None, :] - phi_d[:, None])
     # M3[A,B,E,c,C]: contract next-h_z at fixed (A,B,E); psi_z's
     # C-dependence folds here, rescaled by the current-c slice.
     psz_ABEC = psi_z.transpose(3, 0, 2, 1)              # (A, B, E, C)
-    M3 = np.exp(lQhz[None, None, None, :, :]
-                + t * (phi_c_[None, None, None, None, :]
-                       - phi_c_[None, None, None, :, None]
-                       + psz_ABEC[:, :, :, None, :]
-                       - psz_ABEC[:, :, :, :, None]))
+    logM3 = (lQhz[None, None, None, :, :]
+             + t * (phi_c_[None, None, None, None, :]
+                    - phi_c_[None, None, None, :, None]
+                    + psz_ABEC[:, :, :, None, :]
+                    - psz_ABEC[:, :, :, :, None]))
     # M4[A,B,c,e,E]: contract next-h_zpi; folds phi_e, psi_pi's
     # E-dependence, and psi_z's E-dependence.
     psz_ABCE = psi_z.transpose(3, 0, 1, 2)              # (A, B, C, E)
     psipi_BE = psi_pi.T                                  # (B, E)
-    M4 = np.exp(lQhzpi[None, None, None, :, :]
-                + t * (phi_e[None, None, None, None, :]
-                       - phi_e[None, None, None, :, None]
-                       + psipi_BE[None, :, None, None, :]
-                       - psipi_BE[None, :, None, :, None]
-                       + psz_ABCE[:, :, :, None, :]
-                       - psz_ABCE[:, :, :, :, None]))
+    logM4 = (lQhzpi[None, None, None, :, :]
+             + t * (phi_e[None, None, None, None, :]
+                    - phi_e[None, None, None, :, None]
+                    + psipi_BE[None, :, None, None, :]
+                    - psipi_BE[None, :, None, :, None]
+                    + psz_ABCE[:, :, :, None, :]
+                    - psz_ABCE[:, :, :, :, None]))
     # M5[A,c,e,b,B]: contract next-z_pi; folds psi_pi's B-dependence and
     # psi_z's B-dependence.
     psz_ACEB = psi_z.transpose(3, 1, 2, 0)              # (A, C, E, B)
-    M5 = np.exp(lzpiP[None, None, None, :, :]
-                + t * (psipi_BE.T[None, None, :, None, :]
-                       - psipi_BE.T[None, None, :, :, None]
-                       + psz_ACEB[:, :, :, None, :]
-                       - psz_ACEB[:, :, :, :, None]))
+    logM5 = (lzpiP[None, None, None, :, :]
+             + t * (psipi_BE.T[None, None, :, None, :]
+                    - psipi_BE.T[None, None, :, :, None]
+                    + psz_ACEB[:, :, :, None, :]
+                    - psz_ACEB[:, :, :, :, None]))
     # M6[b,c,e,a,A]: contract next-z; folds psi_z's A-dependence.
     psz_BCEA = psi_z                                    # (B, C, E, A)
-    M6 = np.exp(lzP[None, None, None, :, :]
-                + t * (psz_BCEA[:, :, :, None, :]
-                       - psz_BCEA[:, :, :, :, None]))
+    logM6 = (lzP[None, None, None, :, :]
+             + t * (psz_BCEA[:, :, :, None, :]
+                    - psz_BCEA[:, :, :, :, None]))
+
+    SUBS = ("lL,ABCDEL->ABCDEl", "dD,ABCDEl->ABCdEl",
+            "ABEcC,ABCdEl->ABcdEl", "ABceE,ABcdEl->ABcdel",
+            "AcebB,ABcdel->Abcdel", "bceaA,Abcdel->abcdel")
+    AXES = (5, 3, 2, 4, 1, 0)
+    Ms, log_ss = [], []
+    for logM, subs, ax in zip((logM1, logM2, logM3, logM4, logM5, logM6),
+                              SUBS, AXES):
+        Mn, ls = normalize_rows_log(logM, subs, ax)
+        Ms.append(Mn)
+        log_ss.append(ls)
 
     A2 = np.exp(0.5 * ((1 - gamma) * np.asarray(disc.sigma_c_states)) ** 2)
     log_A2 = np.log(A2)
     log_A3 = (1 - gamma) * (m.mu_c + zst.transpose(3, 0, 1, 2))  # (a,b,c,e)
 
     cast = lambda x: jnp.asarray(x, work_dtype)
-    M1, M2, M3, M4, M5, M6 = map(cast, (M1, M2, M3, M4, M5, M6))
+    Ms = [cast(M) for M in Ms]
+    log_ss = [cast(ls) for ls in log_ss]
     ell0_j = cast(ell0)
     log_A2 = cast(log_A2)
     log_A3 = cast(log_A3)
@@ -361,12 +381,8 @@ def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
 
     def T(ell):
         a = t_c * (ell - ell0_j)
-        a = lse(M1, a, "lL,ABCDEL->ABCDEl", 5)
-        a = lse(M2, a, "dD,ABCDEl->ABCdEl", 3)
-        a = lse(M3, a, "ABEcC,ABCdEl->ABcdEl", 2)
-        a = lse(M4, a, "ABceE,ABcdEl->ABcdel", 4)
-        a = lse(M5, a, "AcebB,ABcdel->Abcdel", 1)
-        a = lse(M6, a, "bceaA,Abcdel->abcdel", 0)
+        for M, ls, subs, ax in zip(Ms, log_ss, SUBS, AXES):
+            a = lse(M, a, subs, ax) + ls
         log_hwt = (t_c * ell0_j + a
                    + log_A2[None, None, None, :, None, None]
                    + log_A3[:, :, :, None, :, None])

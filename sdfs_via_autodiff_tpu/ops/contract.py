@@ -50,6 +50,34 @@ def einsum_p(subscripts: str, M, E, precision: str = "highest"):
     return jnp.einsum(subscripts, M, E, precision=prec)
 
 
+def _contracted_dims(subscripts, axis):
+    """(ms, out, kdim): M's labels, output labels, and the position of
+    the contracted label within M for an lse_matmul-style einsum."""
+    ins, out = subscripts.split("->")
+    ms, vs = ins.split(",")
+    contracted = vs[axis]
+    return ms, out, ms.index(contracted), contracted
+
+
+def _scale_to_output(s, ms, out, contracted, xp=jnp):
+    """Reshape a per-row scale ``s`` (M's non-contracted labels, in M
+    order) to broadcast against the einsum OUTPUT."""
+    labels = [l for l in ms if l != contracted]
+    assert all(l in out for l in labels), (ms, out)
+    # Transpose s's labels into output order, then expand the missing
+    # output labels as singleton axes.
+    order = sorted(range(len(labels)), key=lambda i: out.index(labels[i]))
+    s_t = xp.transpose(s, order)
+    shape, i = [], 0
+    for l in out:
+        if i < len(labels) and l == labels[order[i]]:
+            shape.append(s_t.shape[i])
+            i += 1
+        else:
+            shape.append(1)
+    return s_t.reshape(shape)
+
+
 def _rowsum_align(M, subscripts, axis):
     """Row-normalize ``M`` over its contracted label, returning the
     normalized matrix and ``log(rowsum)`` reshaped to broadcast against
@@ -65,26 +93,36 @@ def _rowsum_align(M, subscripts, axis):
     pass covers.  Requires every non-contracted label of ``M`` to
     appear in the output (true for all the per-axis chains here).
     """
-    ins, out = subscripts.split("->")
-    ms, vs = ins.split(",")
-    contracted = vs[axis]
-    kdim = ms.index(contracted)
+    ms, out, kdim, contracted = _contracted_dims(subscripts, axis)
     s = M.sum(axis=kdim)
     Mn = M / jnp.expand_dims(jnp.where(s == 0, jnp.ones_like(s), s), kdim)
-    labels = [l for l in ms if l != contracted]
-    assert all(l in out for l in labels), (subscripts, axis)
-    # Transpose s's labels into output order, then expand the missing
-    # output labels as singleton axes.
-    order = sorted(range(len(labels)), key=lambda i: out.index(labels[i]))
-    s_t = jnp.transpose(s, order)
-    shape, i = [], 0
-    for l in out:
-        if i < len(labels) and l == labels[order[i]]:
-            shape.append(s_t.shape[i])
-            i += 1
-        else:
-            shape.append(1)
-    return Mn, jnp.log(s_t).reshape(shape)
+    return Mn, jnp.log(_scale_to_output(s, ms, out, contracted))
+
+
+def normalize_rows_log(logM, subscripts, axis):
+    """Construction-time (host numpy, float64) log-domain row
+    normalization for an :func:`lse_matmul` operand.
+
+    ``lse_matmul``'s internal normalization is too late when the f32
+    CAST of the assembled matrix already over/underflowed: folded
+    baseline factors reach e^{+-hundreds} on wide-Rouwenhorst GCY grids
+    (measured at the 25.2M north-star case — ``astype(float32)`` made
+    inf entries, inf rowsums, NaN everywhere).  Never materializing
+    ``exp(logM)`` un-normalized closes that: returns ``(Mn, log_s)``
+    with ``Mn = exp(logM - logsumexp_row)`` (max entry per row >= 1/n —
+    immune to any float32 cast) and ``log_s`` (float64) reshaped to
+    broadcast against the einsum output, to be added to the
+    contraction's result.
+    """
+    import numpy as np
+
+    ms, out, kdim, contracted = _contracted_dims(subscripts, axis)
+    mx = np.max(logM, axis=kdim, keepdims=True)
+    mx = np.where(np.isfinite(mx), mx, 0.0)
+    log_s = (np.squeeze(mx, kdim)
+             + np.log(np.sum(np.exp(logM - mx), axis=kdim)))
+    Mn = np.exp(logM - np.expand_dims(log_s, kdim))
+    return Mn, _scale_to_output(log_s, ms, out, contracted, xp=np)
 
 
 def _trx_pair(transcendentals: str):
