@@ -256,31 +256,55 @@ def main(which=("continuous", "discrete")):
         print(json.dumps(entry))
         _flush(out)
 
-        # The wide-Rouwenhorst twin of the same grid is OUT of the f32
-        # envelope by construction (the z ladder spans ±sqrt(383) sigma);
-        # round 2 recorded it NaN-ing after a full kernel run.  The
-        # operand builders now refuse-by-warning upfront — record that.
+        # The wide-Rouwenhorst twin of the same grid: the z ladder spans
+        # ±sqrt(383) sigma, which capped f32 until round 5.  Two fixes
+        # opened it on the XLA normalized tier: construction-time
+        # log-domain row normalization (the folded baseline factors
+        # reach e^{+-hundreds} — a plain f32 cast made inf/0 entries)
+        # and lse_matmul's deep second matmul window (ladder-corner rows
+        # sit ~theta*4.4 ~ -167 nats below their slice max, past the
+        # single ~87-nat window).  The Pallas two-phase tier still
+        # refuses-by-warning upfront (its joint column-group shifts
+        # cannot window per row); record that alongside the real solve.
         import warnings as _warnings
         from sdfs_via_autodiff_tpu.operators.two_phase import (
             two_phase_operands_ssy)
+        from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
+            T_ssy_factory as _Tssyf)
         disc_r = discretize_ssy(model, SHAPES_DISC)
         with _warnings.catch_warnings(record=True) as caught:
             _warnings.simplefilter("always")
             two_phase_operands_ssy(model, disc_r, None)
         msgs = [str(w.message) for w in caught]
-        out["cases"].append({
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            Tr32 = _Tssyf(model, disc_r, space="log",
+                          baseline="loglinear", dtype=jnp.float32)
+        xr0 = jnp.asarray(Tr32.baseline_log_w, jnp.float32)
+        t0 = time.perf_counter()
+        res = solve(Tr32, xr0, method="newton", tol=3e-5, max_iter=25,
+                    inner_maxiter=12)
+        jax.block_until_ready(res.x)
+        entry = {
             "name": "ssy_discrete_rouwenhorst",
             "points": n_points, "shapes": list(SHAPES_DISC),
-            "skipped": True,
-            "upfront_envelope_warning": bool(msgs),
-            "warning": (msgs[0][:300] if msgs else None),
-            "note": "wide-Rouwenhorst z ladders (384 points span "
-                    "±19.6 sigma) exceed the f32 exp envelope; the "
-                    "operand builders warn upfront instead of NaN-ing "
-                    "after a full run (round-2 weak item #3).  Fine "
-                    "discrete f32 grids use Tauchen (above) or the "
-                    "f64/CPU tier."})
-        print(json.dumps(out["cases"][-1]))
+            "kernel_mode": "xla_normalized", "tol": 3e-5,
+            "algorithm": "newton(bicgstab_mixed)",
+            "solve_s": round(time.perf_counter() - t0, 1),
+            "iterations": int(res.iterations),
+            "residual_f32": float(res.residual),
+            "converged": bool(res.converged),
+            "pallas_tier_upfront_envelope_warning": bool(msgs),
+            "note": "wide-Rouwenhorst (z spans ±19.6 sigma) in f32 on "
+                    "the XLA normalized tier via log-domain row "
+                    "normalization + deep_window (round 5); the Pallas "
+                    "two-phase tier still warns upfront and Tauchen "
+                    "remains the fast-kernel discretization."}
+        Tr64 = _Tssyf(model, disc_r, space="log", baseline="loglinear",
+                      jit=False)
+        entry["residual_f64_check"] = f64_residual(Tr64, res.x)
+        out["cases"].append(entry)
+        print(json.dumps(entry))
         _flush(out)
 
     if "gcy" in which:

@@ -289,11 +289,14 @@ def _T_gcy_normalized(model: GCY, disc: GCYDiscretization, *, dtype=None,
     work_dtype = dtype or jnp.float64
     # f32: the wide-Rouwenhorst ladders this normalized tier exists for
     # put localized next-state rows' whole mass below the per-slice
-    # shift's ~87-decade window (measured: first application -inf/NaN
-    # at the 25.2M north-star grid) — enable lse_matmul's second,
-    # 80-decades-lower matmul window.
+    # shift's ~87-nat window (measured: first application -inf/NaN at
+    # the 25.2M north-star grid) — enable lse_matmul's deeper matmul
+    # windows.  Three passes: the measured stage depths reach 183 nats
+    # at the north-star widths (> the 167-nat two-pass union; CPU f32
+    # masks this via subnormals, TPU flushes them).
     lse = partial(lse_matmul, transcendentals=transcendentals,
-                  deep_window=80.0 if work_dtype == jnp.float32 else 0.0)
+                  deep_window=80.0 if work_dtype == jnp.float32 else 0.0,
+                  deep_passes=3)
     m = model
 
     parts = gcy_loglinear_parts(model, disc)

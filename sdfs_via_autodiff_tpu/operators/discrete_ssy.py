@@ -263,9 +263,6 @@ def _ssy_normalized_arrays(model: SSY, disc: SSYDiscretization) -> dict:
     psi_ij = co["A_z"] * z_states                       # (i, j)
 
     # Folded factors, assembled in log space on host (full f64 range).
-    def fold(logP, dnext, dcur):
-        return np.exp(logP + theta * (dnext - dcur))
-
     def logQ(P):
         # Corner transition probabilities underflow even host f64 on very
         # wide chains; log(0) = -inf is the correct sentinel (exp restores
@@ -273,26 +270,31 @@ def _ssy_normalized_arrays(model: SSY, disc: SSYDiscretization) -> dict:
         with np.errstate(divide="ignore"):
             return np.log(np.asarray(P, dtype=np.float64))
     B_log = logQ(disc.h_lam_Q) + theta * h_lam[None, :]   # A1 folded
-    M1 = fold(B_log, phi_l[None, :], phi_l[:, None])
-    M2 = fold(logQ(disc.h_c_Q), phi_k[None, :], phi_k[:, None])
+    logM1 = B_log + theta * (phi_l[None, :] - phi_l[:, None])
+    M1 = np.exp(logM1)
+    logM2 = logQ(disc.h_c_Q) + theta * (phi_k[None, :] - phi_k[:, None])
+    M2 = np.exp(logM2)
     # Step 3 (contract i' at fixed next-j axis): fold phi_i and the
     # (i', j')-coupled psi, rescaled by the current-(i, j') psi.
     # M3[j, i, ip] = Qhz[i, ip] * exp(theta*(phi_i[ip] - phi_i[i]
     #                                + psi[ip, j] - psi[i, j]))
-    M3 = np.exp(logQ(disc.h_z_Q)[None, :, :]
-                + theta * (phi_i[None, None, :] - phi_i[None, :, None]
-                           + psi_ij.T[:, None, :]
-                           - psi_ij.T[:, :, None]))
+    logM3 = (logQ(disc.h_z_Q)[None, :, :]
+             + theta * (phi_i[None, None, :] - phi_i[None, :, None]
+                        + psi_ij.T[:, None, :]
+                        - psi_ij.T[:, :, None]))
+    M3 = np.exp(logM3)
     # Step 4 (contract j' at fixed i): remaining telescope factor.
     # M4[i, j, jp] = zP[j, jp] * exp(theta*(psi[i, jp] - psi[i, j]))
-    M4 = np.exp(logQ(disc.z_P)[None, :, :]
-                + theta * (psi_ij[:, None, :] - psi_ij[:, :, None]))
+    logM4 = (logQ(disc.z_P)[None, :, :]
+             + theta * (psi_ij[:, None, :] - psi_ij[:, :, None]))
+    M4 = np.exp(logM4)
 
     A2 = np.exp(0.5 * ((1 - gamma) * np.asarray(disc.sigma_c_states)) ** 2)
     log_A2 = np.log(A2)
     log_A3 = (1 - gamma) * (model.mu_c + z_states)
 
     return dict(M1=M1, M2=M2, M3=M3, M4=M4, log_A2=log_A2, log_A3=log_A3,
+                logM1=logM1, logM2=logM2, logM3=logM3, logM4=logM4,
                 A0=float(co["A0"]), phi_l=phi_l, phi_k=phi_k, phi_i=phi_i,
                 psi_ij=psi_ij, A_z=float(co["A_z"]))
 
@@ -314,16 +316,23 @@ def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
     """
     from functools import partial
 
-    from ..ops.contract import lse_matmul
-    lse = partial(lse_matmul, transcendentals=transcendentals)
+    from ..ops.contract import lse_matmul, normalize_rows_log
 
     theta, beta = model.theta, model.beta
     # dtype=None means keep float64 (every other operator path's
     # convention); the f32 scale tier is an explicit request.
     work_dtype = dtype or jnp.float64
+    # f32: same recipe as the GCY normalized tier — construction-time
+    # log-domain row normalization (the folded factors reach
+    # e^{+-hundreds} on wide-Rouwenhorst ladders, so a plain f32 cast
+    # makes inf/0 entries) + the deep second matmul window (localized
+    # ladder-corner rows sit up to ~theta*4.4 ~ -167 nats below the
+    # slice max, past the single ~87-nat window).
+    lse = partial(lse_matmul, transcendentals=transcendentals,
+                  deep_window=80.0 if work_dtype == jnp.float32 else 0.0,
+                  deep_passes=3)
 
     arrs = _ssy_normalized_arrays(model, disc)
-    M1, M2, M3, M4 = arrs["M1"], arrs["M2"], arrs["M3"], arrs["M4"]
     log_A2, log_A3 = arrs["log_A2"], arrs["log_A3"]
     phi_l, phi_k = arrs["phi_l"], arrs["phi_k"]
     ell0 = (arrs["A0"] + phi_l[:, None, None, None]
@@ -331,8 +340,19 @@ def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
             + arrs["phi_i"][None, None, :, None]
             + arrs["psi_ij"][None, None, :, :])
 
+    SUBS = ("lm,mkij->lkij", "km,lmij->lkij",
+            "jim,lkmj->lkij", "ijm,lkim->lkij")
+    AXES = (0, 1, 2, 3)
+    Ms, log_ss = [], []
+    for key, subs, ax in zip(("logM1", "logM2", "logM3", "logM4"),
+                             SUBS, AXES):
+        Mn, ls = normalize_rows_log(arrs[key], subs, ax)
+        Ms.append(Mn)
+        log_ss.append(ls)
+
     cast = lambda a: jnp.asarray(a, dtype=work_dtype)
-    M1, M2, M3, M4 = map(cast, (M1, M2, M3, M4))
+    Ms = [cast(M) for M in Ms]
+    log_ss = [cast(ls) for ls in log_ss]
     ell0_j = cast(ell0)
     log_A2 = cast(log_A2)
     log_A3 = cast(log_A3)
@@ -340,10 +360,8 @@ def _T_ssy_normalized(model: SSY, disc: SSYDiscretization, *, dtype=None,
 
     def T(ell):
         a = theta_c * (ell - ell0_j)
-        a = lse(M1, a, "lm,mkij->lkij", 0)
-        a = lse(M2, a, "km,lmij->lkij", 1)
-        a = lse(M3, a, "jim,lkmj->lkij", 2)
-        a = lse(M4, a, "ijm,lkim->lkij", 3)
+        for M, ls, subs, ax in zip(Ms, log_ss, SUBS, AXES):
+            a = lse(M, a, subs, ax) + ls
         log_hwt = (theta_c * ell0_j + a
                    + log_A2[None, :, None, None]
                    + log_A3[None, None, :, :])

@@ -122,9 +122,13 @@ def _warn_ssy_f32_envelope(model, disc) -> None:
             f"theta * (within-column-group log-w span) ~ "
             f"{abs(model.theta) * span:.0f} exceeds float32's exp range "
             "(~85): the f32 tiled SSY operator will produce -inf/NaN on "
-            "this grid. Use baseline='loglinear', shrink the z / h_z "
-            "axes (Rouwenhorst spans grow like sqrt(n)), use "
-            "discretization='tauchen', or the float64 XLA chain.",
+            "this grid (its joint column-group shifts cannot window per "
+            "row). Use the XLA normalized tier — T_ssy_factory(space="
+            "'log', baseline='loglinear', dtype=float32), whose "
+            "log-domain row normalization + deep matmul window cover "
+            "wide ladders — shrink the z / h_z axes (Rouwenhorst spans "
+            "grow like sqrt(n)), use discretization='tauchen', or the "
+            "float64 XLA chain.",
             stacklevel=3)
 
 

@@ -144,54 +144,77 @@ def _safe_shift(log_v, axis):
     return jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _deep_passes(Mn, log_v, subscripts, axis, exp_, log_, precision, W, K):
+    """K-window LSE: pass k shifts by k*W, the shallowest pass whose
+    contraction stayed above the flush floor is selected per output
+    element.  Pass-k exponents are clamped at +80 (e^80 < f32 max): a
+    clamped term can only matter for rows already served by a
+    shallower pass, and the clamp prevents 0 * inf = NaN against
+    exact-zero matrix entries."""
+    m = _safe_shift(log_v, axis)
+    d = log_v - m
+    u = einsum_p(subscripts, Mn, exp_(d), precision)
+    out = m + log_(u)
+    sel = u > 0
+    for k in range(1, K):
+        s = jnp.asarray(k * W, d.dtype)
+        u_k = einsum_p(subscripts, Mn,
+                       exp_(jnp.minimum(d + s, 80.0)), precision)
+        out = jnp.where(sel, out, m - s + log_(u_k))
+        sel = jnp.logical_or(sel, u_k > 0)
+    return out
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _lse_matmul_deep(Mn, log_v, subscripts, axis, transcendentals,
-                     precision, W):
-    """Two-window LSE contraction of a ROW-NORMALIZED ``Mn`` (see
+                     precision, W, K):
+    """Multi-window LSE contraction of a ROW-NORMALIZED ``Mn`` (see
     :func:`lse_matmul`); custom JVP so the tangent costs ONE einsum.
 
-    The naive autodiff of the two-pass primal doubles every tangent
-    matvec and its residuals — measured: Newton at the 25.2M GCY
-    north-star case went from compiling (pre-deep-window) to a 17.5G
-    HBM compile OOM.  The fix is mathematical, not scheduling: with
-    ``u2 = Mn^ @ exp(v - m + W)`` the derivative of BOTH branches is
-    the same softmax average ``d out = (Mn^ @ (exp(v - m + W) dv)) /
-    u2`` — the deep pass never flushes the mass that matters (terms
-    <= e^{W + ln n} < f32 max) and never vanishes (each normalized row
-    has an entry >= 1/n, so u2 >= e^W/n > 0), so one window serves the
-    whole tangent."""
+    The naive autodiff of the multi-pass primal multiplies every
+    tangent matvec and its residuals by the pass count — measured: a
+    two-pass autodiff'd Newton at the 25.2M GCY north-star case went
+    from compiling (pre-deep-window) to a 17.5G HBM compile OOM.  The
+    fix is mathematical, not scheduling: with ``u2 = Mn^ @ exp(v - m +
+    W)`` the derivative of every branch is the same softmax average
+    ``d out = (Mn^ @ (exp(v - m + W) dv)) / u2`` — the W-pass never
+    flushes mass within ~(87+W) nats of the slice max (terms <= e^{W +
+    ln n} < f32 max).  Rows deeper than that (only reachable with K >=
+    3) get a ZERO tangent row (guard below): inexact-Newton tolerates
+    a Jacobian that drops a handful of ladder-corner rows — the
+    safeguarded outer step checks the TRUE residual — and SA/Anderson
+    never evaluate the tangent."""
     exp_, log_ = _trx_pair(transcendentals)
-    m = _safe_shift(log_v, axis)
-    u = einsum_p(subscripts, Mn, exp_(log_v - m), precision)
-    u2 = einsum_p(subscripts, Mn, exp_(log_v - m + W), precision)
-    return jnp.where(u > 0, m + log_(u), m - W + log_(u2))
+    return _deep_passes(Mn, log_v, subscripts, axis, exp_, log_,
+                        precision, W, K)
 
 
 @partial(_lse_matmul_deep.defjvp, symbolic_zeros=True)
 def _lse_matmul_deep_jvp(subscripts, axis, transcendentals, precision, W,
-                         primals, tangents):
+                         K, primals, tangents):
     from jax.custom_derivatives import SymbolicZero
 
     Mn, log_v = primals
     dM, dv = tangents
     exp_, log_ = _trx_pair(transcendentals)
+    out = _deep_passes(Mn, log_v, subscripts, axis, exp_, log_,
+                       precision, W, K)
     m = _safe_shift(log_v, axis)
     em = exp_(log_v - m + W)
-    u = einsum_p(subscripts, Mn, exp_(log_v - m), precision)
     u2 = einsum_p(subscripts, Mn, em, precision)
-    out = jnp.where(u > 0, m + log_(u), m - W + log_(u2))
     num = jnp.zeros_like(out)
     if not isinstance(dv, SymbolicZero):
         num = einsum_p(subscripts, Mn, em * dv, precision)
     if not isinstance(dM, SymbolicZero):
         num = num + einsum_p(subscripts, dM, em, precision)
-    return out, num / u2
+    return out, jnp.where(u2 > 0, num / jnp.where(u2 > 0, u2, 1.0), 0.0)
 
 
 def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
                axis: int, transcendentals: str = "accurate",
                precision: str = "highest",
-               deep_window: float = 0.0) -> jnp.ndarray:
+               deep_window: float = 0.0,
+               deep_passes: int = 2) -> jnp.ndarray:
     """log of ``einsum(subscripts, M, exp(log_v))`` with a per-slice shift
     over the contracted ``axis`` of ``log_v``.
 
@@ -216,8 +239,11 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     Pass 2 computes ``m - W + log(M^ @ exp(v - m + W))`` — its large
     terms stay under e^{W + ln n} < f32 max for W <= ~80 — and the
     result is selected per output element only where pass 1
-    underflowed, extending coverage to ~2x87 decades for one extra
-    (bandwidth-bound) matmul.
+    underflowed, extending coverage to ~(87 + W) nats for one extra
+    (bandwidth-bound) matmul.  ``deep_passes=K`` stacks further
+    windows at 2W, 3W, ... (each one more matmul): the 25.2M
+    wide-Rouwenhorst GCY case measures output rows up to 183 nats
+    below their slice max, past the two-pass union — K=3 covers ~247.
 
     ``transcendentals``: "accurate" (default) uses the faithfully-rounded
     software f32 exp/log (``ops/accurate.py``) — the TPU VPU's hardware
@@ -242,7 +268,7 @@ def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,
     if deep_window and jnp.result_type(log_v) == jnp.float32:
         out = _lse_matmul_deep(M, log_v, subscripts, axis,
                                transcendentals, precision,
-                               float(deep_window))
+                               float(deep_window), int(deep_passes))
         return out + log_s
     m = _safe_shift(log_v, axis)
     # HIGHEST keeps f32 operands in true f32 on the MXU (the TPU default

@@ -112,6 +112,24 @@ def test_normalized_f32_wide_grid_stays_finite():
     assert bool(jnp.all(jnp.isfinite(ell)))
 
 
+def test_normalized_f32_wide_ladder_first_app_and_f64_agreement():
+    # The 25.2M north-star widths scaled down: z = 32 Rouwenhorst with
+    # the conditioned factor folds whose plain-f32 cast used to make
+    # inf rowsums -> NaN (round-5 fix: log-domain row normalization at
+    # construction + lse_matmul deep_window).
+    model = GCY()
+    disc = discretize_gcy(model, (32, 8, 8, 3, 4, 4), dtype=jnp.float32)
+    T32 = T_gcy_factory(model, disc, space="log", baseline="loglinear",
+                        dtype=jnp.float32)
+    x0 = jnp.asarray(T32.baseline_log_w, jnp.float32)
+    y = T32(x0)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    disc64 = discretize_gcy(model, (32, 8, 8, 3, 4, 4))
+    T64 = T_gcy_factory(model, disc64, space="log", baseline="loglinear")
+    y64 = T64(jnp.asarray(x0, jnp.float64))
+    assert float(jnp.max(jnp.abs(jnp.asarray(y, jnp.float64) - y64))) < 1e-4
+
+
 def test_existence_check_gcy(setup):
     from sdfs_via_autodiff_tpu.utils.spectral import existence_check
     model, disc = setup

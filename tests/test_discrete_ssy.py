@@ -159,6 +159,26 @@ def test_normalized_f32_wide_grid_stays_finite():
     assert rel < 1e-3
 
 
+def test_normalized_f32_full_width_rouwenhorst_ladder():
+    # z = 256 spans ±sqrt(255) sigma — the regime where (a) the folded
+    # factors overflow a plain f32 cast of exp(logM) (round-5 fix:
+    # construction-time log-domain row normalization) and (b) ladder-
+    # corner rows sit further below their slice max than one ~87-nat
+    # window (fix: lse_matmul deep_window).  North-star twin:
+    # benchmarks/northstar.py ssy_discrete_rouwenhorst at (32,32,32,384).
+    model = SSY()
+    disc = discretize_ssy(model, (3, 3, 3, 256), dtype=jnp.float32)
+    T32 = T_ssy_factory(model, disc, space="log", baseline="loglinear",
+                        dtype=jnp.float32)
+    x0 = jnp.asarray(T32.baseline_log_w, jnp.float32)
+    y = T32(x0)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    disc64 = discretize_ssy(model, (3, 3, 3, 256))
+    T64 = T_ssy_factory(model, disc64, space="log", baseline="loglinear")
+    y64 = T64(jnp.asarray(x0, jnp.float64))
+    assert float(jnp.max(jnp.abs(jnp.asarray(y, jnp.float64) - y64))) < 1e-4
+
+
 def test_existence_check_matches_dense_eig(setup):
     # Matrix-free power iteration vs dense eigenvalues on a small grid.
     from sdfs_via_autodiff_tpu.utils.spectral import existence_check
