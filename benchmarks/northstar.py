@@ -44,8 +44,8 @@ SHAPES_DISC = (32, 32, 32, 384)    # 12_582_912 points; C = 32*384 = 96*128
 # device_polish goes LAST: it exercises f64-emulated Newton on the TPU at
 # 10^7 points for the first time, and a worker fault must not take out
 # the main cases (each case is separately flushed regardless).
-ALL_CASES = ("continuous", "discrete", "gcy", "gcy_rouwenhorst",
-             "gcy_continuous", "device_polish")
+ALL_CASES = ("continuous", "discrete", "ssy_rouwenhorst", "gcy",
+             "gcy_rouwenhorst", "gcy_continuous", "device_polish")
 TOL_CONT = 2e-5     # near the accurate-transcendentals f32 floor (round 2:
                     # was 2e-4 before ops/accurate.py; the solver stall
                     # guard makes an unreachable tol safe regardless)
@@ -256,6 +256,7 @@ def main(which=("continuous", "discrete")):
         print(json.dumps(entry))
         _flush(out)
 
+    if "ssy_rouwenhorst" in which:
         # The wide-Rouwenhorst twin of the same grid: the z ladder spans
         # ±sqrt(383) sigma, which capped f32 until round 5.  Two fixes
         # opened it on the XLA normalized tier: construction-time
@@ -267,6 +268,7 @@ def main(which=("continuous", "discrete")):
         # refuses-by-warning upfront (its joint column-group shifts
         # cannot window per row); record that alongside the real solve.
         import warnings as _warnings
+        n_points = int(np.prod(SHAPES_DISC))
         from sdfs_via_autodiff_tpu.operators.two_phase import (
             two_phase_operands_ssy)
         from sdfs_via_autodiff_tpu.operators.discrete_ssy import (
@@ -281,15 +283,32 @@ def main(which=("continuous", "discrete")):
             Tr32 = _Tssyf(model, disc_r, space="log",
                           baseline="loglinear", dtype=jnp.float32)
         xr0 = jnp.asarray(Tr32.baseline_log_w, jnp.float32)
+        newton_attempt = None
         t0 = time.perf_counter()
         res = solve(Tr32, xr0, method="newton", tol=3e-5, max_iter=25,
                     inner_maxiter=12)
         jax.block_until_ready(res.x)
+        algo = "newton(bicgstab_mixed)"
+        if not bool(res.converged):
+            # Keep the failed attempt on the record (this case monitors
+            # the multi-window tangent at scale — round 5 found the
+            # single-window tangent zeroing ladder-corner Jacobian rows,
+            # which degraded those rows to SA-rate convergence and
+            # stalled Newton at residual 0.13).
+            newton_attempt = {
+                "seconds": round(time.perf_counter() - t0, 1),
+                "iterations": int(res.iterations),
+                "residual_f32": float(res.residual)}
+            t0 = time.perf_counter()
+            res = solve(Tr32, xr0, method="anderson", tol=3e-5,
+                        max_iter=3000)
+            jax.block_until_ready(res.x)
+            algo = "anderson"
         entry = {
             "name": "ssy_discrete_rouwenhorst",
             "points": n_points, "shapes": list(SHAPES_DISC),
             "kernel_mode": "xla_normalized", "tol": 3e-5,
-            "algorithm": "newton(bicgstab_mixed)",
+            "algorithm": algo,
             "solve_s": round(time.perf_counter() - t0, 1),
             "iterations": int(res.iterations),
             "residual_f32": float(res.residual),
@@ -300,6 +319,8 @@ def main(which=("continuous", "discrete")):
                     "normalization + deep_window (round 5); the Pallas "
                     "two-phase tier still warns upfront and Tauchen "
                     "remains the fast-kernel discretization."}
+        if newton_attempt is not None:
+            entry["newton_attempt_failed"] = newton_attempt
         Tr64 = _Tssyf(model, disc_r, space="log", baseline="loglinear",
                       jit=False)
         entry["residual_f64_check"] = f64_residual(Tr64, res.x)

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["lse_matmul", "einsum_p"]
 
@@ -144,24 +145,36 @@ def _safe_shift(log_v, axis):
     return jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
 
 
+# Window-selection floor: the smallest NORMAL float32.  ``u > 0`` is the
+# wrong predicate — a SUBNORMAL contraction result is "> 0" but carries
+# as few as 1-2 mantissa bits, so log(u) quantizes in ~0.1-nat steps.
+# Measured consequence (round 5, 12.6M wide-Rouwenhorst SSY): corner
+# rows whose pass-1 result landed subnormal injected ~0.1-nat noise per
+# application, and BOTH Newton and Anderson stalled at residual ~0.1 —
+# the noise floor, not a convergence failure.  Selecting only full-
+# precision (normal) results lets those rows fall through to the deeper
+# window, which represents them with a full mantissa.
+_MIN_NORMAL_F32 = float(np.finfo(np.float32).tiny)
+
+
 def _deep_passes(Mn, log_v, subscripts, axis, exp_, log_, precision, W, K):
     """K-window LSE: pass k shifts by k*W, the shallowest pass whose
-    contraction stayed above the flush floor is selected per output
-    element.  Pass-k exponents are clamped at +80 (e^80 < f32 max): a
-    clamped term can only matter for rows already served by a
-    shallower pass, and the clamp prevents 0 * inf = NaN against
-    exact-zero matrix entries."""
+    contraction stayed NORMAL (full f32 precision — see
+    ``_MIN_NORMAL_F32``) is selected per output element.  Pass-k
+    exponents are clamped at +80 (e^80 < f32 max): a clamped term can
+    only matter for rows already served by a shallower pass, and the
+    clamp prevents 0 * inf = NaN against exact-zero matrix entries."""
     m = _safe_shift(log_v, axis)
     d = log_v - m
     u = einsum_p(subscripts, Mn, exp_(d), precision)
     out = m + log_(u)
-    sel = u > 0
+    sel = u >= _MIN_NORMAL_F32
     for k in range(1, K):
         s = jnp.asarray(k * W, d.dtype)
         u_k = einsum_p(subscripts, Mn,
                        exp_(jnp.minimum(d + s, 80.0)), precision)
         out = jnp.where(sel, out, m - s + log_(u_k))
-        sel = jnp.logical_or(sel, u_k > 0)
+        sel = jnp.logical_or(sel, u_k >= _MIN_NORMAL_F32)
     return out
 
 
@@ -169,21 +182,25 @@ def _deep_passes(Mn, log_v, subscripts, axis, exp_, log_, precision, W, K):
 def _lse_matmul_deep(Mn, log_v, subscripts, axis, transcendentals,
                      precision, W, K):
     """Multi-window LSE contraction of a ROW-NORMALIZED ``Mn`` (see
-    :func:`lse_matmul`); custom JVP so the tangent costs ONE einsum.
+    :func:`lse_matmul`); custom JVP so the tangent costs one einsum per
+    WINDOW, not per pass of the autodiff'd primal.
 
     The naive autodiff of the multi-pass primal multiplies every
     tangent matvec and its residuals by the pass count — measured: a
     two-pass autodiff'd Newton at the 25.2M GCY north-star case went
     from compiling (pre-deep-window) to a 17.5G HBM compile OOM.  The
-    fix is mathematical, not scheduling: with ``u2 = Mn^ @ exp(v - m +
-    W)`` the derivative of every branch is the same softmax average
-    ``d out = (Mn^ @ (exp(v - m + W) dv)) / u2`` — the W-pass never
-    flushes mass within ~(87+W) nats of the slice max (terms <= e^{W +
-    ln n} < f32 max).  Rows deeper than that (only reachable with K >=
-    3) get a ZERO tangent row (guard below): inexact-Newton tolerates
-    a Jacobian that drops a handful of ladder-corner rows — the
-    safeguarded outer step checks the TRUE residual — and SA/Anderson
-    never evaluate the tangent."""
+    fix is mathematical, not scheduling: for every window the exact
+    derivative is the same softmax average ``d out = (Mn^ @ (exp(v - m
+    + s) dv)) / u_s`` for any shift ``s`` whose contraction ``u_s``
+    stayed above the flush floor, so the tangent needs only the K-1
+    shifted windows ``W, 2W, ...`` (never the unshifted pass: window W
+    covers everything it covers), each selected per output element at
+    the shallowest non-flushed shift — identical coverage to the
+    primal's pass union.  Rows deeper than the deepest window (beyond
+    the primal's own coverage, so their PRIMAL is already -inf-floored)
+    get a zero tangent row: inexact-Newton tolerates a Jacobian that
+    drops unreachable rows — the safeguarded outer step checks the TRUE
+    residual — and SA/Anderson never evaluate the tangent."""
     exp_, log_ = _trx_pair(transcendentals)
     return _deep_passes(Mn, log_v, subscripts, axis, exp_, log_,
                         precision, W, K)
@@ -200,14 +217,29 @@ def _lse_matmul_deep_jvp(subscripts, axis, transcendentals, precision, W,
     out = _deep_passes(Mn, log_v, subscripts, axis, exp_, log_,
                        precision, W, K)
     m = _safe_shift(log_v, axis)
-    em = exp_(log_v - m + W)
-    u2 = einsum_p(subscripts, Mn, em, precision)
-    num = jnp.zeros_like(out)
-    if not isinstance(dv, SymbolicZero):
-        num = einsum_p(subscripts, Mn, em * dv, precision)
-    if not isinstance(dM, SymbolicZero):
-        num = num + einsum_p(subscripts, dM, em, precision)
-    return out, jnp.where(u2 > 0, num / jnp.where(u2 > 0, u2, 1.0), 0.0)
+    d = log_v - m
+    dout = jnp.zeros_like(out)
+    served = jnp.zeros_like(out, dtype=bool)
+    # Windows at shifts W, 2W, ..., (K-1)W: the same union of depths the
+    # primal's passes cover (its unshifted pass 0 is a subset of the
+    # W window).  Shift k*W is clamped at +80 exactly as in the primal
+    # (_deep_passes): a clamped term only matters for rows served by a
+    # shallower window, and the clamp prevents 0 * inf = NaN.
+    for k in range(1, max(K, 2)):
+        s = jnp.asarray(k * W, d.dtype)
+        em = exp_(jnp.minimum(d + s, 80.0))
+        u_k = einsum_p(subscripts, Mn, em, precision)
+        num = jnp.zeros_like(out)
+        if not isinstance(dv, SymbolicZero):
+            num = einsum_p(subscripts, Mn, em * dv, precision)
+        if not isinstance(dM, SymbolicZero):
+            num = num + einsum_p(subscripts, dM, em, precision)
+        ok = u_k >= _MIN_NORMAL_F32
+        val = num / jnp.where(ok, u_k, 1.0)
+        fresh = jnp.logical_and(~served, ok)
+        dout = jnp.where(fresh, val, dout)
+        served = jnp.logical_or(served, ok)
+    return out, dout
 
 
 def lse_matmul(M: jnp.ndarray, log_v: jnp.ndarray, subscripts: str,

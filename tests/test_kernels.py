@@ -382,3 +382,77 @@ def test_lse_matmul_deep_window_custom_jvp_matches_plain():
     np.testing.assert_allclose(np.asarray(outl), np.asarray(vloc),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(tl), 1.0, atol=1e-5)
+
+
+def test_lse_matmul_three_window_tangent_covers_ultra_deep_rows():
+    # Rows 167-247 nats below the slice max: reachable only by the K=3
+    # primal, and the pre-round-5 single-window tangent ZEROED them —
+    # measured consequence: Newton on the 12.6M wide-Rouwenhorst SSY
+    # case treated ladder-corner rows as plain SA steps and stalled at
+    # residual 0.13 after 25 outer iterations.  The multi-window JVP
+    # must give the exact softmax derivative (= 1.0 against an identity
+    # M) at every depth the primal covers.
+    from sdfs_via_autodiff_tpu.ops.contract import lse_matmul
+
+    n = 10
+    depths = np.linspace(-240.0, 0.0, n)       # spans all three windows
+    vloc = jnp.asarray(depths, jnp.float32).reshape(1, n)
+    Me = jnp.asarray(np.eye(n), jnp.float32)
+    f = lambda v: lse_matmul(Me, v, "om,km->ko", 1,
+                             deep_window=80.0, deep_passes=3)
+    out, t = jax.jvp(f, (vloc,), (jnp.ones_like(vloc),))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vloc), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), 1.0, atol=1e-5)
+    # Mixed rows (non-identity M): tangent agrees with f64 autodiff of
+    # the exact log-sum-exp at every covered depth.
+    rng = np.random.default_rng(3)
+    M = np.zeros((4, n))
+    M[0, :3] = rng.uniform(0.5, 1.0, 3)         # shallow row
+    M[1, 4:6] = rng.uniform(0.5, 1.0, 2)        # ~107-133 nat row
+    M[2, 6:8] = rng.uniform(0.5, 1.0, 2)        # ~53-80: shallow
+    M[3, :2] = rng.uniform(0.5, 1.0, 2)         # ~187-213: window 3
+    Mf = jnp.asarray(M, jnp.float32)
+    dv = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+    _, t32 = jax.jvp(
+        lambda v: lse_matmul(Mf, v, "om,km->ko", 1,
+                             deep_window=80.0, deep_passes=3),
+        (vloc,), (dv,))
+
+    def exact64(v):
+        with np.errstate(divide="ignore"):
+            logM = jnp.asarray(np.log(M))
+        t = logM[None, :, :] + v[:, None, :]        # (k, o, m)
+        m = jnp.max(t, axis=-1, keepdims=True)
+        return m[..., 0] + jnp.log(jnp.sum(jnp.exp(t - m), axis=-1))
+
+    _, t64 = jax.jvp(exact64, (jnp.asarray(depths).reshape(1, n),),
+                     (jnp.asarray(np.asarray(dv), jnp.float64),))
+    np.testing.assert_allclose(np.asarray(t32), np.asarray(t64),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_lse_matmul_deep_window_subnormal_band_full_precision():
+    # Depths in (87.3, 103.2] nats land pass 1's contraction in the f32
+    # SUBNORMAL range: "u > 0" passes, but log(u) then quantizes in
+    # ~0.01-0.1-nat steps (1-2 mantissa bits).  Measured consequence at
+    # the 12.6M wide-Rouwenhorst SSY north star: ~0.1-nat noise per
+    # application, Newton AND Anderson both stalled at residual ~0.1.
+    # The selection floor must be the smallest NORMAL f32 so these rows
+    # ride the deep window at full precision.
+    from sdfs_via_autodiff_tpu.ops.contract import lse_matmul
+
+    depths = np.linspace(-102.0, -88.0, 8)     # the subnormal band
+    n = len(depths) + 1
+    v = jnp.asarray(np.append(depths, 0.0), jnp.float32).reshape(1, n)
+    M = jnp.asarray(np.eye(n), jnp.float32)
+    out = lse_matmul(M, v, "om,km->ko", 1, deep_window=80.0,
+                     deep_passes=3)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(v)[0],
+                               atol=2e-5)
+    # And the tangent in the same band is the exact softmax derivative
+    # (1.0 against identity M), not subnormal-ratio noise.
+    _, t = jax.jvp(
+        lambda vv: lse_matmul(M, vv, "om,km->ko", 1, deep_window=80.0,
+                              deep_passes=3),
+        (v,), (jnp.ones_like(v),))
+    np.testing.assert_allclose(np.asarray(t), 1.0, atol=1e-5)
